@@ -1,0 +1,144 @@
+"""Text-analysis columns for large-scale training-data pipelines.
+
+All hot-path functions are built-in Catalyst expressions (JVM-side, codegen)
+— no Python UDFs — so they scale linearly with the scan at 100 TB. These go
+beyond the reference surface (which has no text ops) per the engine's
+extension charter (SURVEY.md §7.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency English stopword set for ratio heuristics.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for
+    fingerprinting and near-dup shingling."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish word-piece tokenization: runs of letters/digits or single
+    non-space punctuation — a deterministic stand-in for a real tokenizer."""
+    return F.filter(
+        F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_hits(col: Column, words: list[str] | None = None) -> Column:
+    """Total occurrences of stopword tokens (exact token matches)."""
+    toks = tokens(F.lower(col))
+    wordlist = F.array(*[F.lit(w) for w in (words or STOPWORDS)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """stopword tokens / all tokens — a standard quality-score component."""
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric, non-space characters / all characters."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword and punctuation
+    signals — the shape of a C4/Gopher-style quality filter."""
+    n_tok = token_count(col).cast("double")
+    length_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return (length_ok + stop_ok + punct_ok) / F.lit(3.0)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID via stopword-family hit counts (en/es/de frame).
+
+    A real deployment swaps in a fastText-style model behind the same column
+    contract; the heuristic keeps the operator testable and deterministic.
+    """
+    toks = tokens(F.lower(col))
+    def hits(words: list[str]) -> Column:
+        wl = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+    en = hits(["the", "and", "of", "is", "to"])
+    es = hits(["el", "la", "de", "que", "y"])
+    de = hits(["der", "die", "und", "das", "ist"])
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Cross-engine reproducible (md5 is standardized), used as the exact-dedup
+    key after normalization.
+    """
+    return F.md5(normalize_text(col))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Character n-gram shingles of the normalized text → array<string>.
+
+    Built from ``sequence`` + ``transform`` (JVM-side); empty/short texts
+    yield an empty array.
+    """
+    s = normalize_text(col)
+    count = F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Token n-gram shingles (space-joined) → array<string>.
+
+    Built by zipping ``n`` shifted copies of the token array instead of
+    indexing inside a ``transform`` lambda: expressions referenced from
+    inside a higher-order-function lambda are re-evaluated **per element**,
+    which would re-run the tokenizing regexp O(tokens) times per row. With
+    the zip, the lambda touches only its own struct element.
+    """
+    toks = tokens(normalize_text(col))
+    if n == 1:
+        return toks
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, k + 1, F.size(toks)).alias(f"t{k}") for k in range(1, n)
+    ]
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, count),
+        lambda x: F.concat_ws(" ", *[x[f"t{k}"] for k in range(n)]),
+    )
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(grams)

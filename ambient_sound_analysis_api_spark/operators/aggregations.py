@@ -1,0 +1,141 @@
+"""Window aggregations: resample, band means, daily summaries (SURVEY.md §2.4).
+
+The reference's hardest path — sequential chunked reads, per-chunk pandas
+``resample``, last-wins merge (``app/services/get_aggregations.py:208-288``)
+— collapses into single global ``groupBy(bucket)`` plans. One shuffle, partial
+aggregation map-side, no chunk-boundary artifacts (the reference keeps only
+the later chunk's partial-bucket mean when a bucket straddles a chunk; the
+global aggregate computes the true full-bucket mean — documented divergence,
+SURVEY.md §2.7 U1).
+
+All bucket keys are epoch-aligned tumbling windows (pandas ``resample``
+alignment) computed with exact integer arithmetic — see
+``functions.scalars.bucket_epoch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import decimal_mean, is_finite, time_bucket, tod_bucket
+
+
+def _mean(value_col: str, exact: bool):
+    """Mean strategy: plain double ``avg`` (fast path) or the
+    order-independent exact decimal mean (bit-deterministic, used for
+    oracle-compared outputs — see ``functions.scalars.decimal_mean``)."""
+    return decimal_mean(F.col(value_col)) if exact else F.avg(value_col)
+
+
+def resample_mean(
+    df: DataFrame,
+    interval_s: int,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    exact: bool = False,
+) -> DataFrame:
+    """Tumbling-window mean: one row per (keys…, bucket_ts).
+
+    Parity with pandas ``df.resample(rule).mean()`` as used at
+    ``app/services/get_aggregations.py:97, 187, 254`` — calendar/epoch
+    aligned buckets labeled by bucket start, NaN-skipping mean.
+    """
+    df = df.filter(is_finite(F.col(value_col)))
+    group = [*(keys or []), time_bucket(F.col(ts_col), interval_s).alias("bucket_ts")]
+    return df.groupBy(*group).agg(_mean(value_col, exact).alias("mean_value"))
+
+
+def band_mean(
+    psd: DataFrame,
+    interval_s: int,
+    band_low: float = 63.0,
+    band_high: float = 8000.0,
+    *,
+    keys: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-bucket arithmetic mean of dB values across a band range.
+
+    Semantics caveat preserved from the reference: this is a plain
+    arithmetic mean of dB values with null-skip — explicitly *not* acoustic
+    power integration (``app/services/get_aggregations.py:57-67``,
+    ``upstream-notes.md:36-49``). In long form the reference's horizontal
+    (axis=1) mean over selected columns is a vertical mean over filtered rows.
+    """
+    in_band = psd.filter(
+        F.col("band_hz").between(float(band_low), float(band_high))
+    )
+    return resample_mean(in_band, interval_s, keys=keys, exact=exact)
+
+
+def daily_summary(
+    psd: DataFrame,
+    tod_interval_s: int = 1,
+    *,
+    keys: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Time-of-day statistics across days: one grouped pass → mean/min/max/count.
+
+    Re-expresses upstream ``DailyNoiseAnalysis.create_daily_noise_summary_df``
+    (called at ``app/services/get_aggregations.py:338-354``; semantics
+    ``upstream-notes.md:11-12``) which returns *four* frames keyed
+    ``mean/min/max/count`` — here a single aggregation produces all four
+    columns per ``(tod_bucket_s, band_hz)`` group. The secondary resample of
+    the ``HH:MM:SS`` index (``app/services/get_aggregations.py:88-100``) is
+    folded in via the ``tod_interval_s`` bucket width.
+    """
+    df = psd.filter(is_finite(F.col("value")))
+    group = [
+        *(keys or []),
+        tod_bucket(F.col("ts"), tod_interval_s).alias("tod_s"),
+        F.col("band_hz"),
+    ]
+    return df.groupBy(*group).agg(
+        _mean("value", exact).alias("mean_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("value").alias("count_value"),
+    )
+
+
+def daily_summary_series(summary: DataFrame) -> DataFrame:
+    """Collapse the per-band summary into the reference's four response
+    series: per time-of-day bucket, mean across bands of each statistic.
+
+    The ``count`` series is the *mean over band columns of per-bucket
+    day-observation counts* ("mean contributing day-observation count",
+    reference ``README.md:137``, ``app/services/get_aggregations.py:350,
+    354``) — mean-of-counts, not sum.
+    """
+    return (
+        summary.groupBy("tod_s")
+        .agg(
+            F.avg("mean_value").alias("mean_series"),
+            F.avg("min_value").alias("min_series"),
+            F.avg("max_value").alias("max_series"),
+            F.avg("count_value").alias("count_series"),
+        )
+        .orderBy("tod_s")
+    )
+
+
+def daily_broadband(
+    df: DataFrame, *, keys: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """One true broadband mean per calendar day.
+
+    Parity with upstream ``create_broadband_daily_noise`` (called at
+    ``app/services/get_aggregations.py:424-427``; semantics
+    ``upstream-notes.md:13``).
+    """
+    df = df.filter(is_finite(F.col("value")))
+    group = [*(keys or []), F.to_date("ts").alias("day")]
+    return (
+        df.groupBy(*group)
+        .agg(_mean("value", exact).alias("mean_value"))
+        .orderBy(*[c for c in (keys or [])], "day")
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each designed around its shuffle profile at 100 TB:
+
+- **exact / fingerprint dedup** — one hash-groupBy shuffle on a 32-byte key;
+  map-side partial aggregation makes this scan-bound.
+- **n-gram Jaccard near-dup** — shingle → explode → self-join *on shingle*
+  (never an all-pairs cross join); candidate pairs are bounded by shared
+  shingles, then Jaccard is computed from intersection counts.
+- **MinHash + LSH** — per-doc signature (k hashes over shingles, all
+  JVM-side via ``xxhash64``), banded into LSH buckets; only docs sharing a
+  band bucket are compared. The all-pairs O(n²) never materializes.
+- **SimHash** — 64-bit weighted-bit vote over token hashes; near-dups share
+  simhash up to a small Hamming distance, found via band-equality blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalize_text, token_ngrams, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on raw text hash: keep the lowest id per md5(text).
+
+    Deterministic winner selection (min id) instead of ``dropDuplicates``
+    (which keeps an arbitrary row) so results are stable across runs and
+    engines.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-fingerprint dedup: md5 over normalized text (case/whitespace
+    folded) — catches trivially re-formatted copies exact dedup misses."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by token-n-gram Jaccard similarity.
+
+    Plan shape: distinct (id, shingle) → self-equi-join on shingle → count
+    intersections per pair → Jaccard = inter / (|A| + |B| - inter). The join
+    key is the shingle, so co-occurring docs meet without a cross join; the
+    pair aggregation is the only O(candidate-pairs) stage.
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
+    """
+    shingles = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(token_ngrams(F.col(text_col), n))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        # consumed three times (both join sides + sizes): materialize once
+        .persist()
+    )
+
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: k independent hash minima over shingles.
+
+    Hash family: ``xxhash64(shingle, i)`` — JVM-side, no Python. Shingles
+    are exploded and the k minima are computed as ordinary hash-aggregate
+    ``min`` columns: fully whole-stage-codegen, map-side partial
+    aggregation, one shuffle keyed by doc id. (A per-row
+    ``transform``+``array_min`` formulation is an order of magnitude slower
+    — higher-order functions run interpreted per element.) Output:
+    ``(id, sig array<long> length k)``. Docs with no shingles get no row.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return mins.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard from signature agreement.
+
+    Signatures are split into ``bands`` bands of ``num_hashes // bands``
+    rows; docs sharing any full band land in the same bucket (equi-join on
+    ``(band_idx, band_hash)``). Estimated Jaccard = fraction of matching
+    signature positions, filtered at ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    # signature computation (k× array_min over hashed shingles) is the
+    # expensive stage and is consumed by banding plus both sides of the
+    # estimate join: materialize once. The table is one small row per doc
+    # (id + k longs), so it broadcasts.
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # candidates are bare id pairs — nothing wide moves through this shuffle
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Each token contributes ±1 per bit position of ``xxhash64(token)``; the
+    sign of the per-bit sum forms the fingerprint. Entirely JVM-side:
+    explode tokens → per-(id, bit) vote aggregation → bit reassembly.
+    Near-dup docs differ in a few bits (compare via Hamming distance).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = h.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bit"),
+                        F.when(
+                            F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
+                        )
+                        .otherwise(-1)
+                        .alias("vote"),
+                    )
+                    for i in range(bits)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "bv.bit", "bv.vote")
+    bit_sums = votes.groupBy("id", "bit").agg(F.sum("vote").alias("s"))
+    return bit_sums.groupBy("id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias(
+            "simhash"
+        )
+    )
+
+
+def hamming_near_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via band blocking.
+
+    The 64-bit fingerprint is split into ``max_dist + 1`` bands; by
+    pigeonhole, any pair within ``max_dist`` bits shares at least one exact
+    band → equi-join on (band_idx, band_value), then exact popcount filter.
+    """
+    nbands = max_dist + 1
+    width = 64 // nbands
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("band_val"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_idx", "b.band_val")
+    banded = banded.persist()  # reused by both self-join sides
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_dist
+    )

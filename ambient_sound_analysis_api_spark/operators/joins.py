@@ -1,0 +1,112 @@
+"""General join operators beyond the reference surface (SURVEY.md §2.3, §7.7).
+
+The reference's only join-shaped logic is the catalog validation semi-join
+(implemented in ``operators/validation.py``); a real analytics engine needs
+the general forms. The non-trivial one Spark lacks natively is the **as-of
+join**; the implementation here is the scalable union-sort-window form, not
+a per-key collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (backward as-of join,
+    the semantics of pandas ``merge_asof`` / DuckDB ``ASOF JOIN``).
+
+    Plan shape: union the two sides tagged by origin, single shuffle on
+    ``on`` + sort by (ts, origin), then ``last(value, ignoreNulls)`` over an
+    unbounded-preceding window carries the most recent right-side values
+    forward onto left rows. Cost: one shuffle + one sort — no range
+    explosion, no per-key collect; skew on ``on`` is handled by AQE.
+
+    Right rows sort *before* left rows at equal timestamps so an exact
+    timestamp match is visible to the left row (<= semantics).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}")
+          for v in right_values],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_k",
+        "_ts",
+        "_is_left",
+        "_lrow",
+        *[
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_carried_{v}")
+            for v in right_values
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_carried_{v}").alias(v) for v in right_values],
+    )
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int,
+    extra_cond=None,
+) -> DataFrame:
+    """Point-in-interval range join via bucketing.
+
+    Naive ``l.ts BETWEEN r.start AND r.end`` forces a broadcast-nested-loop;
+    bucketing both sides to ``bucket_s`` buckets (intervals exploded across
+    the buckets they span) turns it into an equi-join on bucket with a
+    residual range predicate — the standard scalable range-join rewrite.
+    """
+    lb = left.withColumn(
+        "_bucket", (F.unix_micros(F.col(left_ts)) / F.lit(bucket_s * 1_000_000)).cast("long")
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(right_start)) / F.lit(bucket_s * 1_000_000)).cast("long"),
+                (F.unix_micros(F.col(right_end)) / F.lit(bucket_s * 1_000_000)).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (lb["_bucket"] == rb["_bucket"])
+        & (lb[left_ts] >= rb[right_start])
+        & (lb[left_ts] <= rb[right_end])
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, cond).drop("_bucket")

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale charter:
+
+- **brute-force cosine top-k** — the exact baseline: one scan, per-row dot
+  product via ``F.aggregate``/``zip_with`` (JVM higher-order functions, no
+  Python), then a global top-k. At 100 TB this is the per-partition
+  map + small-k reduce pattern (Spark's sort-merge of per-partition top-k
+  via ``orderBy().limit(k)`` is optimized to TakeOrderedAndProject).
+- **IVF-style partitioned search** — restrict the scan to the query's
+  coarse cell (here the ``label`` column stands in for a centroid
+  assignment) → reads 1/nlist of the data; the exact same top-k runs within
+  the cell. An LSH random-hyperplane bucketing variant is provided for when
+  no precomputed assignment exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM-side, sequential fold
+    → deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Ties broken by id for determinism. The query vector is a literal array
+    (broadcast in the plan), so the scan is embarrassingly parallel.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_by_id(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors of an *in-table* vector: broadcast 1-row cross join.
+
+    Excludes the query row itself.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = emb.filter(F.col(id_col) != query_id).crossJoin(
+        F.broadcast(q)
+    ).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell.
+
+    With the table partitioned/bucketed by ``cell_col``, the filter prunes
+    to one cell's files before any vector math — the IVF ``nprobe=1`` read
+    pattern. Recall < 1 by construction; the brute-force path is the oracle.
+    """
+    qrow = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col(cell_col).alias("_qcell")
+    )
+    scored = (
+        emb.join(F.broadcast(qrow), emb[cell_col] == F.col("_qcell"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern over ``planes``).
+
+    ``planes`` must be generated deterministically by the caller (seeded);
+    the bucket is a small integer usable as a join/partition key. Cosine-near
+    vectors agree on most signs, so probing the query's bucket (plus
+    neighbors at Hamming distance 1) yields high recall at 1/2^p read cost.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return emb.withColumn(bucket_col, bucket)

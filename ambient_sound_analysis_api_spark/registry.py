@@ -1,0 +1,1101 @@
+"""Query registry: every implemented operator as a (Spark query, DuckDB oracle) pair.
+
+This is the correctness surface consumed by ``__spark_entry__.py``. Each
+entry demonstrates one or more operators from SURVEY.md §2 (reference
+citations on each builder) over the driver's synthetic tables
+(``TESTDATA.md``): ``events`` stands in for the hydrophone timeseries
+(sanctioned by FIXTURES.md F5), ``documents``/``embeddings`` carry the
+training-data extension surface, and the TPC-H-ish tables carry general
+relational coverage.
+
+Hash-stability rules used throughout (the driver compares row counts, schema,
+and order-insensitive value hashes between Spark and DuckDB):
+
+- compared float **aggregates** use exact DECIMAL sums divided by counts
+  (``functions.scalars.decimal_mean``) — order-independent and therefore
+  bit-identical across engines *and* across Spark partition orders;
+- compared float **formulas** (ratios, cosine) replicate the identical IEEE
+  expression structure on both sides, with a defensive ``round(…, 4)`` where
+  summation order can differ (embedding folds);
+- timestamps that are *computed* (bucket starts, coverage bounds) are emitted
+  as epoch-second longs or ISO strings; raw pass-through timestamps stay
+  native;
+- every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalars import is_finite, iso_format, time_bucket
+from .functions.text import (
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from .operators import aggregations as agg
+from .operators import dedup, joins, multimodal, similarity, timeseries
+from .operators.planner import AUTO_INTERVAL_TARGET_POINTS, INTERVALS, expected_point_count
+from .sources.catalog import build_catalog
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+WINDOW_START = datetime(2024, 1, 5)
+WINDOW_END = datetime(2024, 1, 12)
+_WS = "2024-01-05 00:00:00"
+_WE = "2024-01-12 00:00:00"
+
+# 1/3-octave nominal band centers, 63–8000 Hz (reference
+# docs/upstream-notes.md:143,153-158 and default band range
+# app/api/aggregations.py:29-30).
+BANDS = [
+    63.0, 80.0, 100.0, 125.0, 160.0, 200.0, 250.0, 315.0, 400.0, 500.0,
+    630.0, 800.0, 1000.0, 1250.0, 1600.0, 2000.0, 2500.0, 3150.0, 4000.0,
+    5000.0, 6300.0, 8000.0,
+]
+_BANDS_SQL = "[" + ", ".join(f"CAST({b} AS DOUBLE)" for b in BANDS) + "]"
+
+_ISO_SPARK = "yyyy-MM-dd'T'HH:mm:ss"
+_ISO_DUCK = "%Y-%m-%dT%H:%M:%S"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to a microsecond TIMESTAMP.
+
+    The synthetic events parquet carries TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; ``nanosAsLong`` reads it as raw nanos and the
+    exact integer division below truncates to micros — matching DuckDB's own
+    nanos→micros truncation at scan time.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may not exist on some builds
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _broadband_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → broadband long-form view (FIXTURES.md F5 stand-in mapping:
+    event_type→hydrophone, ts→ts, value→value)."""
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("hydrophone"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+def _psd_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → PSD long-form view: a deterministic band assignment
+    (1/3-octave center indexed by user_id) exercises the band-filter and
+    per-band aggregation paths of SURVEY.md §2 P4/A4/A5."""
+    band = F.element_at(
+        F.array(*[F.lit(b) for b in BANDS]),
+        (F.col("user_id") % 22 + 1).cast("int"),
+    )
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("hydrophone"),
+        F.col("ts"),
+        band.alias("band_hz"),
+        F.col("value"),
+    )
+
+
+_PSD_VIEW_SQL = f"""
+    SELECT event_type AS hydrophone, ts,
+           list_extract({_BANDS_SQL}, CAST(user_id % 22 + 1 AS INTEGER)) AS band_hz,
+           value
+    FROM events
+"""
+
+_DECMEAN_DUCK = "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)"
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+
+_SPECS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _SPECS[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _SPECS.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# 1. reference surface — timeseries (SURVEY.md §2.1, §2.2, §2.6)
+
+
+@register(
+    "ts_broadband_raw",
+    f"""
+    SELECT ts, value
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+      AND isfinite(value)
+    ORDER BY ts
+    """,
+)
+def q_ts_broadband_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw broadband point list: pruned scan → window filter → projection →
+    non-finite drop → time order (reference P3/P5/P6/O2,
+    ``app/services/get_timeseries.py:246-261``)."""
+    return timeseries.broadband_points(
+        _broadband_view(spark, sf_dir), "click", WINDOW_START, WINDOW_END
+    )
+
+
+@register(
+    "ts_options_inventory",
+    f"""
+    SELECT event_type AS hydrophone,
+           strftime(min(ts), '{_ISO_DUCK}') AS first_start,
+           strftime(max(ts), '{_ISO_DUCK}') AS last_end,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    ORDER BY hydrophone
+    """,
+)
+def q_ts_options_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory/coverage summary per hydrophone: the `/options` group-agg
+    (reference A1/A2/O1, ``app/services/get_options.py:125-177``)."""
+    return (
+        _broadband_view(spark, sf_dir)
+        .groupBy("hydrophone")
+        .agg(
+            iso_format(F.min("ts")).alias("first_start"),
+            iso_format(F.max("ts")).alias("last_end"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("hydrophone")
+    )
+
+
+_CATALOG_KEYS_DUCK = """
+    SELECT DISTINCT
+      CASE
+        WHEN event_type = 'error' THEN 'archive/error/bush.parquet'
+        WHEN event_type = 'signup' AND event_id % 10 = 0
+          THEN 'archive/signup/ancient_20240101T000000_20240102T000000_1s_broadband.parquet'
+        WHEN event_type = 'view' AND event_id % 10 = 0
+          THEN 'archive/view/readme.txt'
+        ELSE concat(
+          'archive/', event_type, '/',
+          strftime(date_trunc('day', ts), '%Y%m%dT%H%M%S'), '_',
+          strftime(date_trunc('day', ts) + INTERVAL 1 DAY, '%Y%m%dT%H%M%S'),
+          '_1s_',
+          CASE event_type
+            WHEN 'click' THEN 'broadband' WHEN 'view' THEN '3oct'
+            WHEN 'purchase' THEN '50hz' WHEN 'signup' THEN 'broadband'
+          END,
+          '.parquet')
+      END AS key
+    FROM events
+"""
+
+
+@register(
+    "catalog_build",
+    f"""
+    WITH keys AS ({_CATALOG_KEYS_DUCK}),
+    named AS (
+      SELECT key,
+             split_part(key, '/', 3) AS fname,
+             upper(replace(replace(trim(split_part(key, '/', 2)), ' ', '_'), '-', '_')) AS hydrophone
+      FROM keys
+    ),
+    parsed AS (
+      SELECT hydrophone,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 1) AS start_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 2) AS end_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 3) AS secs_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 4) AS suffix
+      FROM named
+      WHERE fname LIKE '%.parquet' AND fname NOT LIKE 'ancient%'
+    ),
+    typed AS (
+      SELECT hydrophone,
+             CASE WHEN suffix = 'broadband' THEN 'broadband'
+                  WHEN regexp_extract(suffix, '^([0-9]+)oct$', 1) <> '' THEN 'octave_bands'
+                  WHEN regexp_extract(suffix, '^([0-9]+)hz$', 1) <> '' THEN 'delta_hz'
+             END AS freq_type,
+             CAST(NULLIF(coalesce(NULLIF(regexp_extract(suffix, '^([0-9]+)oct$', 1), ''),
+                                  regexp_extract(suffix, '^([0-9]+)hz$', 1)), '') AS INTEGER) AS delta_f,
+             CAST(secs_s AS INTEGER) AS delta_t,
+             strptime(start_s, '%Y%m%dT%H%M%S') AS file_start,
+             strptime(end_s, '%Y%m%dT%H%M%S') AS file_end
+      FROM parsed
+      WHERE start_s <> '' AND end_s <> '' AND secs_s <> ''
+    )
+    SELECT hydrophone, freq_type, delta_f, delta_t,
+           strftime(min(file_start), '{_ISO_DUCK}') AS first_start,
+           strftime(max(file_end), '{_ISO_DUCK}') AS last_end,
+           count(*) AS file_count
+    FROM typed
+    WHERE freq_type IS NOT NULL
+    GROUP BY hydrophone, freq_type, delta_f, delta_t
+    ORDER BY hydrophone, freq_type, delta_f, delta_t
+    """,
+)
+def q_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-key listing → filename parse → coverage catalog (reference
+    S1/S2/P1/P2/A1/A2, ``app/services/get_options.py:86-177``), including the
+    documented failure modes: malformed filenames skipped, non-parquet and
+    ``ancient*`` keys filtered (``docs/upstream-notes.md:19-25``)."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    fmt = lambda c: F.date_format(c, "yyyyMMdd'T'HHmmss")  # noqa: E731
+    suffix = (
+        F.when(F.col("event_type") == "click", "broadband")
+        .when(F.col("event_type") == "view", "3oct")
+        .when(F.col("event_type") == "purchase", "50hz")
+        .when(F.col("event_type") == "signup", "broadband")
+    )
+    normal_key = F.concat(
+        F.lit("archive/"), F.col("event_type"), F.lit("/"),
+        fmt(day), F.lit("_"), fmt(day + F.expr("INTERVAL 1 DAY")),
+        F.lit("_1s_"), suffix, F.lit(".parquet"),
+    )
+    key = (
+        F.when(F.col("event_type") == "error", F.lit("archive/error/bush.parquet"))
+        .when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0),
+            F.lit(
+                "archive/signup/ancient_20240101T000000_20240102T000000_1s_broadband.parquet"
+            ),
+        )
+        .when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 10 == 0),
+            F.lit("archive/view/readme.txt"),
+        )
+        .otherwise(normal_key)
+    )
+    keys_df = ev.select(key.alias("key")).distinct()
+    cat = build_catalog(keys_df)
+    return cat.select(
+        "hydrophone", "freq_type", "delta_f", "delta_t",
+        iso_format(F.col("first_start")).alias("first_start"),
+        iso_format(F.col("last_end")).alias("last_end"),
+        "file_count",
+    )
+
+
+@register(
+    "ts_coverage_semijoin",
+    f"""
+    WITH inv AS (
+      SELECT event_type AS hydrophone, min(ts) AS fs, max(ts) AS le, count(*) AS c
+      FROM events GROUP BY event_type
+    ),
+    req AS (SELECT 'click' AS hydrophone,
+                   TIMESTAMP '{_WS}' AS s, TIMESTAMP '{_WE}' AS e)
+    SELECT inv.hydrophone AS hydrophone,
+           strftime(inv.fs, '{_ISO_DUCK}') AS first_start,
+           strftime(inv.le, '{_ISO_DUCK}') AS last_end,
+           inv.c AS n_rows
+    FROM inv JOIN req
+      ON inv.hydrophone = req.hydrophone AND req.s <= inv.le AND req.e >= inv.fs
+    """,
+)
+def q_ts_coverage_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preflight validation as a broadcast interval semi-join: request ×
+    coverage catalog with equi + range condition (reference C4,
+    ``app/services/get_timeseries.py:101-184``; SURVEY.md §2.3)."""
+    inv = (
+        _broadband_view(spark, sf_dir)
+        .groupBy("hydrophone")
+        .agg(F.min("ts").alias("fs"), F.max("ts").alias("le"), F.count("*").alias("c"))
+    )
+    req = spark.createDataFrame(
+        [("click", WINDOW_START, WINDOW_END)],
+        "r_hydrophone string, r_start timestamp, r_end timestamp",
+    )
+    return (
+        inv.join(
+            F.broadcast(req),
+            (inv["hydrophone"] == req["r_hydrophone"])
+            & (req["r_start"] <= inv["le"])
+            & (req["r_end"] >= inv["fs"]),
+        )
+        .select(
+            "hydrophone",
+            iso_format(F.col("fs")).alias("first_start"),
+            iso_format(F.col("le")).alias("last_end"),
+            F.col("c").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "ts_expected_vs_actual",
+    f"""
+    SELECT event_type AS hydrophone,
+           CAST(ceil((epoch_us(TIMESTAMP '{_WE}') - epoch_us(TIMESTAMP '{_WS}')) / 300000000.0) AS BIGINT) AS expected_points,
+           count(*) AS actual_points
+    FROM events
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+    GROUP BY event_type
+    ORDER BY hydrophone
+    """,
+)
+def q_ts_expected_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-point-count arithmetic + actual row count per hydrophone —
+    the integrity-probe comparison shape (reference A9/S5,
+    ``app/services/get_timeseries.py:36-40, 71-81``)."""
+    expected = expected_point_count(WINDOW_START, WINDOW_END, 300)
+    return (
+        timeseries.window_filter(_broadband_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+        .groupBy("hydrophone")
+        .agg(F.count("*").alias("actual_points"))
+        .select(
+            "hydrophone",
+            F.lit(expected).cast("long").alias("expected_points"),
+            "actual_points",
+        )
+        .orderBy("hydrophone")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. reference surface — aggregations (SURVEY.md §2.4)
+
+
+@register(
+    "agg_bucket_mean_5m",
+    f"""
+    SELECT event_type AS hydrophone,
+           (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}' AND isfinite(value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_agg_bucket_mean_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute mean per hydrophone — the reference's resample
+    aggregation (A3, ``app/services/get_aggregations.py:183-199``) as one
+    global shuffle-aggregated plan replacing chunk+merge (C6/U1)."""
+    bb = timeseries.window_filter(_broadband_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    return (
+        agg.resample_mean(bb, 300, keys=["hydrophone"], exact=True)
+        .select(
+            "hydrophone",
+            F.unix_timestamp("bucket_ts").alias("bucket_s"),
+            "mean_value",
+        )
+        .orderBy("hydrophone", "bucket_s")
+    )
+
+
+@register(
+    "agg_band_mean_1h",
+    f"""
+    WITH psd AS ({_PSD_VIEW_SQL})
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM psd
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+      AND band_hz BETWEEN 100 AND 1000 AND isfinite(value)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_agg_band_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-range mean: select bands in [100, 1000] Hz, hourly arithmetic
+    mean of dB values with null-skip — long-form equivalent of the
+    reference's horizontal band mean (P4/A4,
+    ``app/services/get_aggregations.py:57-75``; explicitly *not* power
+    integration, ``upstream-notes.md:36-49``)."""
+    psd = timeseries.window_filter(_psd_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    return (
+        agg.band_mean(psd, 3600, 100.0, 1000.0, exact=True)
+        .select(F.unix_timestamp("bucket_ts").alias("bucket_s"), "mean_value")
+        .orderBy("bucket_s")
+    )
+
+
+@register(
+    "agg_daily_summary_tod",
+    f"""
+    WITH psd AS ({_PSD_VIEW_SQL})
+    SELECT ((epoch_us(ts) // 1000000) % 86400 // 900) * 900 AS tod_s,
+           band_hz,
+           {_DECMEAN_DUCK} AS mean_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(value) AS count_value
+    FROM psd
+    WHERE isfinite(value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_agg_daily_summary_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day statistics across days, 15-minute buckets: one grouped
+    pass produces the reference's four daily-summary series (A5/A7/A8,
+    upstream ``create_daily_noise_summary_df`` called at
+    ``app/services/get_aggregations.py:338-354``)."""
+    psd = _psd_view(spark, sf_dir)
+    return agg.daily_summary(psd, 900, exact=True).orderBy("tod_s", "band_hz")
+
+
+@register(
+    "agg_daily_broadband",
+    f"""
+    SELECT event_type AS hydrophone,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM events
+    WHERE isfinite(value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_agg_daily_broadband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One broadband mean per calendar day per hydrophone (A6, upstream
+    ``create_broadband_daily_noise`` called at
+    ``app/services/get_aggregations.py:424-427``)."""
+    bb = _broadband_view(spark, sf_dir)
+    return (
+        agg.daily_broadband(bb, keys=["hydrophone"], exact=True)
+        .select(
+            "hydrophone",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "mean_value",
+        )
+        .orderBy("hydrophone", "day")
+    )
+
+
+@register(
+    "agg_auto_interval",
+    f"""
+    WITH w AS (
+      SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us FROM events
+    ),
+    c(secs) AS (VALUES (10), (60), (300), (900), (3600), (86400))
+    SELECT secs AS chosen_interval_s
+    FROM c, w
+    WHERE ceil(span_us / (secs * 1000000.0)) <= {AUTO_INTERVAL_TARGET_POINTS}
+    ORDER BY secs
+    LIMIT 1
+    """,
+)
+def q_agg_auto_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``interval=auto`` point-budget planner expressed relationally:
+    finest candidate interval whose estimated point count fits the budget
+    (C1, ``app/services/get_aggregations.py:138-163``)."""
+    ev = _events(spark, sf_dir)
+    span = ev.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us")
+    )
+    cands = spark.createDataFrame(
+        [(s,) for s in sorted(INTERVALS.values())], "secs int"
+    )
+    return (
+        cands.crossJoin(F.broadcast(span))
+        .filter(
+            F.ceil(F.col("span_us") / (F.col("secs") * F.lit(1000000.0)))
+            <= AUTO_INTERVAL_TARGET_POINTS
+        )
+        .orderBy("secs")
+        .limit(1)
+        .select(F.col("secs").alias("chosen_interval_s"))
+    )
+
+
+@register(
+    "psd_wide_matrix",
+    f"""
+    WITH psd AS ({_PSD_VIEW_SQL})
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+           CAST(sum(CASE WHEN band_hz = 63.0 THEN CAST(value AS DECIMAL(20,2)) END) AS DOUBLE) / count(CASE WHEN band_hz = 63.0 THEN value END) AS band_63,
+           CAST(sum(CASE WHEN band_hz = 125.0 THEN CAST(value AS DECIMAL(20,2)) END) AS DOUBLE) / count(CASE WHEN band_hz = 125.0 THEN value END) AS band_125,
+           CAST(sum(CASE WHEN band_hz = 250.0 THEN CAST(value AS DECIMAL(20,2)) END) AS DOUBLE) / count(CASE WHEN band_hz = 250.0 THEN value END) AS band_250,
+           CAST(sum(CASE WHEN band_hz = 500.0 THEN CAST(value AS DECIMAL(20,2)) END) AS DOUBLE) / count(CASE WHEN band_hz = 500.0 THEN value END) AS band_500,
+           CAST(sum(CASE WHEN band_hz = 1000.0 THEN CAST(value AS DECIMAL(20,2)) END) AS DOUBLE) / count(CASE WHEN band_hz = 1000.0 THEN value END) AS band_1000
+    FROM psd
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}' AND isfinite(value)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_psd_wide_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving projection: long PSD → wide per-bucket matrix with one column
+    per band (S6/U2 response shape,
+    ``app/services/get_timeseries.py:309-328``). Conditional aggregation
+    keeps the schema static — no dynamic pivot pass."""
+    psd = timeseries.window_filter(_psd_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    psd = psd.filter(is_finite(F.col("value")))
+
+    def band_col(b: float) -> F.Column:
+        sel = F.when(F.col("band_hz") == F.lit(b), F.col("value"))
+        return (
+            F.sum(sel.cast("decimal(20,2)")).cast("double") / F.count(sel)
+        ).alias(f"band_{b:g}")
+
+    return (
+        psd.groupBy(F.unix_timestamp(time_bucket(F.col("ts"), 3600)).alias("bucket_s"))
+        .agg(*[band_col(b) for b in [63.0, 125.0, 250.0, 500.0, 1000.0]])
+        .orderBy("bucket_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. general relational surface (SURVEY.md §7.7)
+
+
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan-heavy grouped aggregation with pushed
+    filter — the canonical partial-agg/whole-stage-codegen benchmark shape."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(datetime(2001, 9, 2))
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective dimension filter → fact join →
+    grouped revenue → global top-k (TakeOrderedAndProject; revenue is exact
+    decimal so the top-10 cut is deterministic across engines)."""
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1998, 3, 15))
+    )
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1998, 3, 15))
+    )
+    dec = lambda col: F.col(col).cast("decimal(12,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue: multi-way star join with small dims
+    broadcast (customer/supplier/nation/region) so only the fact tables
+    shuffle."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(12,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "win_top_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 2
+    ORDER BY o_custkey, rn
+    """,
+)
+def q_win_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window function: top-2 orders per customer by price with
+    deterministic tiebreaks (general windowing surface, absent from the
+    reference — SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "setop_churned_customers",
+    """
+    SELECT DISTINCT o_custkey
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT DISTINCT o_custkey
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+)
+def q_setop_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): customers ordering before 1997 but not after
+    1999. Implemented as distinct + left-anti hash join — the scalable form
+    of EXCEPT for keyed data (general set-op surface, SURVEY.md §2.7)."""
+    o = _table(spark, sf_dir, "orders")
+    early = (
+        o.filter(F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+        .select("o_custkey")
+        .distinct()
+    )
+    late = (
+        o.filter(F.col("o_orderdate") >= F.lit(datetime(1999, 1, 1)))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        early.join(late, "o_custkey", "left_anti")
+        .select("o_custkey")
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+    FROM e ASOF LEFT JOIN o2
+      ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the customer's most
+    recent order at event time. Spark-side implementation is the scalable
+    union-sort-window form (``operators/joins.asof_join``); DuckDB's native
+    ASOF JOIN is the oracle. Right side is pre-reduced to one row per
+    (custkey, orderdate) for deterministic tie handling."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = _table(spark, sf_dir, "orders")
+    o2 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return joins.asof_join(
+        ev, o2, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# 4. training-data extension surface — dedup / text / similarity / multimodal
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_md5
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash group-by: one shuffle on a 32-byte key
+    with deterministic winner selection (min doc_id)."""
+    return dedup.exact_dedup(_table(spark, sf_dir, "documents")).orderBy("text_md5")
+
+
+@register(
+    "dedup_fingerprint",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup: md5 over case/whitespace-folded text —
+    catches trivially reformatted copies."""
+    return dedup.fingerprint_dedup(_table(spark, sf_dir, "documents")).orderBy("fp")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-3-gram Jaccard ≥ 0.2. Plan: explode distinct
+    shingles → equi-join on shingle (never a cross join) → per-pair
+    intersection counts → exact Jaccard from integer counts."""
+    return dedup.ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS BIGINT) AS stop_hits,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: char/token counts, stopword hits,
+    punctuation ratio — all JVM-side Catalyst expressions (no UDFs)."""
+    d = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        token_count(t).cast("long").alias("n_tokens"),
+        stopword_hits(t).cast("long").alias("stop_hits"),
+        punct_ratio(t).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_quality",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '\s+') AS toks,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS p_ratio
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_tok, p_ratio,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS es,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS lang_guess,
+           (least(n_tok / 50.0, 1.0)
+            + least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5.0, 1.0)
+            + (1.0 - least(p_ratio * 4.0, 1.0))) / 3.0 AS quality
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + composite quality score (C4/Gopher-style
+    filter shape); formulas replicated structurally in the oracle so the
+    doubles are bit-identical."""
+    d = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT e.vec_id, unnest(e.embedding) AS a, generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    qx AS (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i FROM q),
+    s AS (
+      SELECT vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ex JOIN qx USING (i)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM s
+    ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0: per-row JVM
+    higher-order-function dot product, global top-k
+    (TakeOrderedAndProject). Rounded to 4dp — summation order differs
+    between engines."""
+    emb = _table(spark, sf_dir, "embeddings")
+    top = similarity.cosine_topk_by_id(emb, query_id=0, k=10)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+@register(
+    "emb_ann_ivf",
+    """
+    WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT e.vec_id, unnest(e.embedding) AS a, generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql
+    ),
+    qx AS (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i FROM q),
+    s AS (
+      SELECT vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ex JOIN qx USING (i)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM s
+    ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search restricted to the query's coarse cell (the
+    ``label`` column as centroid assignment) — the nprobe=1 partition-pruned
+    read pattern; brute force within the cell."""
+    emb = _table(spark, sf_dir, "embeddings")
+    top = similarity.ivf_topk(emb, query_id=0, k=5)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: text→binary payloads streamed
+    through the Arrow-batched ``mapInPandas`` feature extractor; byte counts
+    and payload digests are verified against SQL computed directly on the
+    source — proving the binary round-trip is lossless."""
+    media = multimodal.documents_as_media(_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "n_bytes", "payload_md5").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# 5. rows-only checks (engine-internal hash families — no cross-engine SQL)
+
+
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidate pairs with estimated Jaccard ≥
+    0.3. Uses xxhash64 (engine-internal hash family) — verified rows-only by
+    the driver; unit tests assert recall against the exact Jaccard op."""
+    return dedup.minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"),
+        num_hashes=32, bands=8, n=3, threshold=0.3,
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash_hamming", None)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 7 via pigeonhole
+    band blocking (engine-internal hash family — rows-only check)."""
+    sim = dedup.simhash(_table(spark, sf_dir, "documents"))
+    return dedup.hamming_near_pairs(sim, max_dist=7).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Flagship query for the driver smoke check: the reference's hardest
+    path (global tumbling-window aggregation, SURVEY.md §3.2) at sf0.001."""
+    return q_agg_bucket_mean_5m(spark, "/root/testdata/sf0.001")

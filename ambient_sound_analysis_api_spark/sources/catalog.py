@@ -1,0 +1,132 @@
+"""Archive catalog: listing → filename parse → coverage aggregation.
+
+Replaces the reference's inventory scan (``_scan_hydrophone_archive``,
+``app/services/get_options.py:86-140``): S3 keys named
+``{start:yyyyMMdd'T'HHmmss}_{end}_{delta_t}s_{suffix}.parquet`` (grammar
+``docs/upstream-notes.md:23, 139-144``) are parsed with ``regexp_extract``
+and aggregated into a tiny coverage catalog
+``(hydrophone, freq_type, delta_f, delta_t, first_start, last_end,
+file_count)`` that is broadcast-joined against requests for preflight
+validation (reference ``app/services/get_timeseries.py:101-184``).
+
+Scale note: the catalog is bounded by the number of archive *files* (one per
+hydrophone-product-month), i.e. thousands of rows at 100 TB of data — it is
+always broadcastable and is the partition-pruning index for every scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import normalize_hydrophone
+
+# {start}_{end}_{secs}s_{freq}.parquet ; freq ∈ broadband | <n>oct | <n>hz
+# (reference grammar docs/upstream-notes.md:139-144, parse consumed at
+# app/services/get_options.py:116-120)
+FILENAME_PATTERN = (
+    r"([0-9]{8}T[0-9]{6})_([0-9]{8}T[0-9]{6})_([0-9]+)s_([a-z0-9]+)\.parquet$"
+)
+_TS_FORMAT = "yyyyMMdd'T'HHmmss"
+
+
+def keys_from_listing(spark: SparkSession, keys: Iterable[str]) -> DataFrame:
+    """Driver-side object listing → single-column DataFrame of keys.
+
+    Mirrors the reference's boto3 listing boundary
+    (``app/services/get_options.py:103``); on a real deployment this is a
+    ``hadoopFS.listStatus`` / S3 inventory-manifest read instead.
+    """
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def key_matches_hydrophone(key: Column, hydrophone: str) -> Column:
+    """Hydrophone-attribution predicate for shared/mixed prefixes.
+
+    Parity with ``_key_matches_hydrophone``
+    (``app/services/get_options.py:75-83``): a key belongs to ``name`` if it
+    contains a ``/{name}/`` path segment or a ``hydrophone={name}``
+    partition-style component (fixes the cross-hydrophone bleed documented in
+    ``docs/upstream-notes.md:43-58``).
+    """
+    name = hydrophone.strip().lower()
+    return key.contains(f"/{name}/") | key.contains(f"hydrophone={name}")
+
+
+def parse_archive_keys(keys_df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Parse filenames into typed product metadata; malformed keys dropped.
+
+    Filters non-parquet and ``ancient*`` keys (reference
+    ``app/services/get_options.py:111-113``) and *skips* malformed filenames
+    rather than erroring — the reference wraps the parse in
+    ``except (IndexError, TypeError, ValueError)`` deliberately
+    (``app/services/get_options.py:116-120``, ``docs/upstream-notes.md:19-25``).
+
+    Output: ``(key, hydrophone, freq_type, delta_f, delta_t, file_start,
+    file_end)``, one row per well-formed archive file.
+    """
+    key = F.col(key_col)
+    fname = F.element_at(F.split(key, "/"), -1)
+    # hydrophone = path segment before the filename (archive layout
+    # .../{hydrophone}/{file}, docs/upstream-notes.md:62-64)
+    hydro_raw = F.element_at(F.split(key, "/"), -2)
+
+    start_s = F.regexp_extract(fname, FILENAME_PATTERN, 1)
+    end_s = F.regexp_extract(fname, FILENAME_PATTERN, 2)
+    secs_s = F.regexp_extract(fname, FILENAME_PATTERN, 3)
+    suffix = F.regexp_extract(fname, FILENAME_PATTERN, 4)
+
+    oct_n = F.regexp_extract(suffix, r"^(\d+)oct$", 1)
+    hz_n = F.regexp_extract(suffix, r"^(\d+)hz$", 1)
+    freq_type = (
+        F.when(suffix == "broadband", "broadband")
+        .when(oct_n != "", "octave_bands")
+        .when(hz_n != "", "delta_hz")
+    )
+    delta_f = (
+        F.when(oct_n != "", oct_n.cast("int"))
+        .when(hz_n != "", hz_n.cast("int"))
+        .cast("int")
+    )
+
+    return (
+        keys_df.filter(fname.endswith(".parquet") & ~fname.startswith("ancient"))
+        .select(
+            key.alias("key"),
+            normalize_hydrophone(hydro_raw).alias("hydrophone"),
+            freq_type.alias("freq_type"),
+            delta_f.alias("delta_f"),
+            secs_s.cast("int").alias("delta_t"),
+            F.to_timestamp(start_s, _TS_FORMAT).alias("file_start"),
+            F.to_timestamp(end_s, _TS_FORMAT).alias("file_end"),
+        )
+        # malformed filename ⇒ regexp groups empty ⇒ nulls ⇒ skipped
+        .filter(
+            F.col("freq_type").isNotNull()
+            & F.col("delta_t").isNotNull()
+            & F.col("file_start").isNotNull()
+            & F.col("file_end").isNotNull()
+        )
+    )
+
+
+def build_catalog(keys_df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Coverage catalog: group parsed files by product, min/max/count.
+
+    Parity with the reference's inventory group-agg + coverage summary
+    (``app/services/get_options.py:125-177``): per
+    ``(hydrophone, freq_type, delta_f, delta_t)`` product, the earliest file
+    start, latest file end, and file count.
+    """
+    return (
+        parse_archive_keys(keys_df, key_col)
+        .groupBy("hydrophone", "freq_type", "delta_f", "delta_t")
+        .agg(
+            F.min("file_start").alias("first_start"),
+            F.max("file_end").alias("last_end"),
+            F.count("*").alias("file_count"),
+        )
+        .orderBy("hydrophone", "freq_type", "delta_f", "delta_t")
+    )

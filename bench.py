@@ -1,0 +1,79 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The headline set covers every execution shape in the engine: pruned
+scan+filter, global window aggregation (the reference's hardest path —
+compare BASELINE.md: 30d PSD heatmap ≈ 226 s single-node), grouped TPC-H
+joins, window functions, as-of join, dedup joins, embedding top-k, and the
+Arrow/mapInPandas multimodal path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from ambient_sound_analysis_api_spark.registry import queries  # noqa: E402
+from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ts_broadband_raw",
+    "agg_bucket_mean_5m",
+    "agg_daily_summary_tod",
+    "psd_wide_matrix",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "win_top_orders_per_cust",
+    "asof_latest_order",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "mm_binary_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm the JVM/session so per-query numbers measure the plan, not startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

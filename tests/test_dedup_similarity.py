@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    hamming_near_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ambient_sound_analysis_api_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_by_id,
+    ivf_topk,
+    lsh_bucket,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "The  quick  brown fox jumps over the lazy dog"),      # ws/case variant
+    (4, "the quick brown fox jumps over the sleepy dog"),       # near dup
+    (5, "completely different words entirely unrelated text here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["text_md5"]: r for r in exact_dedup(docs).collect()}
+    assert len(out) == 4  # 1&2 collapse
+    assert any(r["n_copies"] == 2 and r["keep_id"] == 1 for r in out.values())
+
+
+def test_fingerprint_dedup_catches_formatting(docs):
+    out = fingerprint_dedup(docs).collect()
+    assert len(out) == 3  # 1,2,3 collapse under normalization
+    assert any(r["n_copies"] == 3 and r["keep_id"] == 1 for r in out)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0  # normalization folds whitespace/case
+    assert 0.3 < pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = minhash_signatures(docs, num_hashes=64)
+    assert sigs.count() == 5
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.05
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near-dup estimate should be in a plausible band around true ~0.45
+    assert 0.15 < pairs[(1, 4)] < 0.9
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(simhash(docs), max_dist=63).collect()
+    }
+    assert near.get((1, 2), None) == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, [-1.0, 0.0, 0.0], 1),
+    (4, [0.8, 0.2, 0.0], 0),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_cosine_topk_literal(vecs):
+    top = cosine_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 1
+
+
+def test_cosine_topk_by_id_excludes_query(vecs):
+    top = cosine_topk_by_id(vecs, 0, k=4).collect()
+    assert [r["vec_id"] for r in top][:2] == [1, 4]
+    assert all(r["vec_id"] != 0 for r in top)
+
+
+def test_ivf_restricts_to_cell(vecs):
+    top = ivf_topk(vecs, 0, k=4).collect()
+    assert {r["vec_id"] for r in top} == {1, 4}  # only label-0 cell searched
+
+
+def test_lsh_bucket_deterministic(vecs):
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    b = {r["vec_id"]: r["lsh_bucket"] for r in lsh_bucket(vecs, planes).collect()}
+    assert b[0] == b[1] == b[4]  # same orthant
+    assert b[0] != b[3]

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.joins import (
+    asof_join,
+    range_join_buckets,
+)
+from ambient_sound_analysis_api_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from ambient_sound_analysis_api_spark.streaming.windows import (
+    streaming_resample_mean,
+)
+
+T = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "k", T(5)), (2, "k", T(10)), (3, "k", T(2)), (4, "x", T(5))],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", T(3), 100.0), ("k", T(10), 200.0), ("k", T(20), 300.0)],
+        "k string, rts timestamp, price double",
+    )
+    out = {
+        r["event_id"]: r["price"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["price"],
+        ).collect()
+    }
+    assert out[1] == 100.0     # latest right ts ≤ 5 is 3
+    assert out[2] == 200.0     # exact-match timestamp visible (≤ semantics)
+    assert out[3] is None      # nothing at or before t=2... right starts at 3
+    assert out[4] is None      # no right rows for key x
+
+
+def test_range_join_buckets(spark):
+    pts = spark.createDataFrame(
+        [(1, T(5)), (2, T(30)), (3, T(59))], "id long, ts timestamp"
+    )
+    ivals = spark.createDataFrame(
+        [("a", T(0), T(10)), ("b", T(25), T(59))],
+        "name string, s timestamp, e timestamp",
+    )
+    out = range_join_buckets(pts, ivals, "ts", "s", "e", bucket_s=10)
+    got = sorted((r["id"], r["name"]) for r in out.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "b")]
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "doc_id long, text string"
+    )
+    media = documents_as_media(docs)
+    feats = {r["media_id"]: r for r in extract_features(media, 4).collect()}
+    assert feats[1]["n_bytes"] == 3
+    import hashlib
+
+    assert feats[1]["payload_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert sum(feats[1]["feature"]) == pytest.approx(1.0)
+    assert feats[2]["n_bytes"] == 0
+
+
+def test_streaming_resample_matches_batch(spark, tmp_path):
+    rows = [(T(i), float(i)) for i in range(0, 50)]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    out = streaming_resample_mean(stream, 10, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_buckets")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["bucket_ts"]: r["mean_value"]
+        for r in spark.sql("select * from stream_buckets").collect()
+    }
+    assert len(got) == 5
+    assert got[T(0)] == pytest.approx(4.5)
+    assert got[T(40)] == pytest.approx(44.5)

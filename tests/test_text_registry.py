@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+    token_ngrams,
+)
+
+
+def _vals(spark, text, *cols):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(*[c.alias(f"c{i}") for i, c in enumerate(cols)]).collect()[0]
+
+
+def test_token_and_char_helpers(spark):
+    r = _vals(
+        spark,
+        "The cat and the dog",
+        token_count(F.col("text")),
+        stopword_hits(F.col("text")),
+        normalize_text(F.lit("  A   B  ")),
+    )
+    assert r["c0"] == 5
+    assert r["c1"] == 3  # 'the' twice (case-folded) + 'and'
+    assert r["c2"] == "a b"
+
+
+def test_stopword_hits_counts_all_occurrences(spark):
+    r = _vals(spark, "the the the", stopword_hits(F.col("text")))
+    assert r["c0"] == 3
+
+
+def test_ngrams(spark):
+    r = _vals(
+        spark,
+        "a b c d",
+        token_ngrams(F.col("text"), 3),
+        char_ngrams(F.lit("abcd"), 2),
+    )
+    assert r["c0"] == ["a b c", "b c d"]
+    assert r["c1"] == ["ab", "bc", "cd"]
+
+
+def test_ngrams_short_input_empty(spark):
+    r = _vals(spark, "a b", token_ngrams(F.col("text"), 3))
+    assert r["c0"] == []
+
+
+def test_lang_and_quality(spark):
+    r = _vals(
+        spark,
+        "the house is big and the cat is small",
+        lang_id(F.col("text")),
+        quality_score(F.col("text")),
+        punct_ratio(F.col("text")),
+    )
+    assert r["c0"] == "en"
+    assert 0.0 <= r["c1"] <= 1.0
+    assert r["c2"] == 0.0
+    r2 = _vals(spark, "el perro y la casa de que", lang_id(F.col("text")))
+    assert r2["c0"] == "es"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_registry_contract():
+    from ambient_sound_analysis_api_spark import registry
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # engine-internal hash ops are intentionally rows-only
+    assert "dedup_minhash_lsh" in qs and "dedup_minhash_lsh" not in oracles
