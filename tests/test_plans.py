@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, pinned as tests so a regression in plan shape fails loudly.
+
+These matter more than micro-benchmarks at 100 TB: a lost partition filter
+or a broadcast that degrades to sort-merge changes cost by orders of
+magnitude, invisibly, on small test data.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.sources.domain import materialize_domain
+
+START = datetime(2024, 1, 5)
+END = datetime(2024, 1, 12)
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def domain_root(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plans_domain"))
+    materialize_domain(spark, sf_dir, root)
+    return root
+
+
+def test_scan_prunes_partitions_and_pushes_ts(spark, domain_root):
+    df = (
+        spark.read.parquet(f"{domain_root}/data")
+        .filter(
+            (F.col("freq_type") == "broadband")
+            & (F.col("delta_t") == 1)
+            & (F.col("hydrophone") == "click")
+            & (F.col("ts") >= F.lit(START))
+            & (F.col("ts") < F.lit(END))
+        )
+        .select("ts", "value")
+    )
+    plan = explain_str(df)
+    # product/hydrophone predicates must be partition filters, not row filters
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1].split("PushedFilters")[0]
+    assert "freq_type" in part_section and "hydrophone" in part_section
+    # the time predicate must reach the parquet reader (row-group pruning)
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "ts" in pushed and "GreaterThanOrEqual" in pushed
+    # projection pruning: only the needed columns are read
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "value" in read_schema and "band_hz" not in read_schema
+
+
+def test_resample_is_single_shuffle_with_partial_agg(spark, domain_root):
+    from ambient_sound_analysis_api_spark.operators.aggregations import (
+        resample_mean,
+    )
+
+    df = spark.read.parquet(f"{domain_root}/data").filter(
+        F.col("freq_type") == "broadband"
+    )
+    plan = explain_str(resample_mean(df, 300), "simple")
+    # exactly one exchange: map-side partial agg, shuffle, final agg
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "WholeStageCodegen" in explain_str(resample_mean(df, 300), "codegen")
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["tpch_q3_topk"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # global top-k compiles to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_one_shuffle_per_side(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["asof_latest_order"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # union-sort-window form: no join operator at all, only exchanges
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_has_no_python_udf(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["emb_cosine_topk"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_signature_agg_is_codegen(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(minhash_signatures(docs, 8), "formatted")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan

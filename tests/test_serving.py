@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from ambient_sound_analysis_api_spark.errors import (
+    OutsideCoverageError,
+    RequestValidationError,
+    UnavailableCombinationError,
+    UnknownHydrophoneError,
+    WindowTooLargeError,
+)
+from ambient_sound_analysis_api_spark.serving import Engine
+from ambient_sound_analysis_api_spark.sources.domain import materialize_domain
+
+START = datetime(2024, 1, 5)
+END = datetime(2024, 1, 12)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("domain"))
+    materialize_domain(spark, sf_dir, root)
+    return Engine(spark, root)
+
+
+def test_options_structure(engine):
+    opts = engine.options()
+    assert "CLICK" in opts and "VIEW" in opts
+    assert 1 in opts["CLICK"]["broadband"]
+    assert (3, 1) in opts["CLICK"]["octave_bands"]
+    cov = opts["CLICK"]["broadband"][1]
+    assert cov["file_count"] >= 1 and cov["first_start"] < cov["last_end"]
+    with pytest.raises(UnknownHydrophoneError):
+        engine.options("nope")
+
+
+def test_broadband_timeseries_roundtrip(engine):
+    out = engine.broadband_timeseries("click", START, END)
+    assert out["hydrophone"] == "CLICK"
+    assert out["point_count"] == len(out["points"]) > 0
+    assert out["expected_point_count"] == 7 * 86400
+    ts_values = [p[0] for p in out["points"]]
+    assert ts_values == sorted(ts_values)
+    # memoization: same request hits the lru cache
+    before = engine.broadband_timeseries.cache_info().hits
+    engine.broadband_timeseries("click", START, END)
+    assert engine.broadband_timeseries.cache_info().hits == before + 1
+
+
+def test_validation_taxonomy(engine):
+    with pytest.raises(UnavailableCombinationError):
+        engine.broadband_timeseries("click", START, END, delta_t=99)
+    with pytest.raises(OutsideCoverageError):
+        engine.broadband_timeseries(
+            "click", datetime(2030, 1, 1), datetime(2030, 1, 2)
+        )
+    with pytest.raises(WindowTooLargeError):
+        engine.broadband_timeseries(
+            "click", datetime(2024, 1, 1), datetime(2024, 2, 5)
+        )
+    # validate=False skips preflight → empty result, not a 400
+    # (reference tests/test_get_timeseries.py:18-39); window starts strictly
+    # after the last file's named end so no integrity probe fires
+    out = engine.broadband_timeseries(
+        "click", datetime(2024, 2, 2), datetime(2024, 2, 3), 1, False
+    )
+    assert out["points"] == []
+    # window matched by filename coverage but with no rows → integrity error
+    # (reference tests/test_get_timeseries.py:95-125)
+    from ambient_sound_analysis_api_spark.errors import (
+        TimeseriesDataIntegrityError,
+    )
+
+    with pytest.raises(TimeseriesDataIntegrityError):
+        engine.broadband_timeseries(
+            "click", datetime(2024, 2, 1), datetime(2024, 2, 2), 1, False
+        )
+
+
+def test_slug_normalization(engine):
+    a = engine.broadband_timeseries("click", START, END)
+    b = engine.broadband_timeseries("  Click ", START, END)
+    assert a["points"] == b["points"]
+
+
+def test_broadband_aggregation_auto(engine):
+    out = engine.broadband_aggregation("click", START, END)
+    # 7-day window: finest interval fitting ≤1000 estimated points is 15m
+    assert out["interval"] == "15m"
+    assert 0 < out["point_count"] <= 672
+    vals = [v for _, v in out["points"]]
+    assert all(isinstance(v, float) for v in vals)
+
+
+def test_band_aggregation(engine):
+    out = engine.band_aggregation("view", START, END, band_low=100, band_high=1000)
+    assert out["points"]
+    with pytest.raises(RequestValidationError):
+        engine.band_aggregation("view", START, END, band_low=9e5, band_high=9e6)
+
+
+def test_psd_heatmap_matrix(engine):
+    out = engine.psd_heatmap("view", START, END)
+    assert out["times"] and out["frequencies"]
+    assert len(out["values"]) == len(out["times"])
+    assert all(len(row) == len(out["frequencies"]) for row in out["values"])
+    flat = [v for row in out["values"] for v in row if v is not None]
+    assert flat, "heatmap should contain data cells"
+    with pytest.raises(RequestValidationError):
+        engine.psd_heatmap("view", START, END, delta_f="broadband")
+
+
+def test_psd_timeseries(engine):
+    out = engine.psd_timeseries("view", START, datetime(2024, 1, 6))
+    assert len(out["frequencies"]) >= 1
+    assert len(out["values"]) == len(out["times"])
+
+
+def test_daily_summary_series(engine):
+    out = engine.daily_summary("view", datetime(2024, 1, 1), num_days=30)
+    series = out["series"]
+    assert set(series) == {"mean", "min", "max", "count"}
+    assert series["mean"], "mean series should be non-empty"
+    # time-of-day labels
+    assert all(len(lbl) == 8 and lbl[2] == ":" for lbl, _ in series["mean"])
+    assert all(v >= 1.0 for _, v in series["count"])
+
+
+def test_daily_broadband_summary(engine):
+    out = engine.daily_broadband_summary(
+        "click", datetime(2024, 1, 1), num_days=30
+    )
+    assert 1 <= len(out["points"]) <= 30
+    assert all(len(day) == 10 for day, _ in out["points"])
