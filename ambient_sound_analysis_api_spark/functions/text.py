@@ -142,3 +142,64 @@ def token_ngrams(col: Column, n: int) -> Column:
         lambda x: F.concat_ws(" ", *[x[f"t{k}"] for k in range(n)]),
     )
     return F.when(count == 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+# Karp-Rabin polynomial rolling-hash parameters. Base 31 over codepoints,
+# modulus 2^31-1: accumulator stays < 2^31 so `acc*31 + code` fits a BIGINT
+# on every engine — the property that makes the hash cross-engine exact.
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647
+
+
+def _char_codes(col: Column) -> Column:
+    """Codepoints of a string column → array<long>.
+
+    ``col`` must be a *plain column reference* (pre-projected), not an
+    expression subtree: it is referenced from inside a higher-order-function
+    lambda, where any closed-over expression re-evaluates per element.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+    )
+
+
+def rolling_hash(col: Column) -> Column:
+    """Karp-Rabin polynomial hash of a whole string:
+    ``h = fold(codepoints, h*31 + c mod 2^31-1)`` — the classic rolling-hash
+    document fingerprint, reproducible across engines (unlike xxhash/md5
+    truncations, the arithmetic is portable integer math).
+
+    Empty strings hash to 0. See ``_char_codes`` for the pre-projection
+    requirement on ``col``.
+    """
+    folded = F.aggregate(
+        _char_codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLLING_BASE) + c) % F.lit(ROLLING_MOD),
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def min_gram_hash(col: Column, n: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum rolling hash over all character
+    ``n``-grams of the string (the min-sampled variant of MOSS winnowing —
+    one representative hash per document, robust to local edits).
+
+    Strings shorter than ``n`` fall back to the whole-string hash. ``col``
+    must be a plain column reference (see ``_char_codes``).
+    """
+    gram_hash = F.transform(
+        F.sequence(F.lit(1), F.length(col) - F.lit(n - 1)),
+        lambda i: F.aggregate(
+            F.transform(
+                F.sequence(i, i + F.lit(n - 1)),
+                lambda j: F.ascii(col.substr(j, F.lit(1))).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * F.lit(ROLLING_BASE) + c) % F.lit(ROLLING_MOD),
+        ),
+    )
+    return F.when(F.length(col) < n, rolling_hash(col)).otherwise(
+        F.array_min(gram_hash)
+    )

@@ -299,3 +299,44 @@ def hamming_near_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
     return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_dist
     )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse blocks.
+
+    The all-pairs O(n²) comparison never materializes: candidates are
+    generated by an equi-join on ``block_col`` (a cluster/centroid
+    assignment — at scale, produced by k-means or LSH bucketing), so the
+    join shuffles on the block key and each executor compares only
+    within-block pairs. The cosine is a JVM higher-order-function fold
+    (``similarity.cosine``) — no Python in the hot path.
+
+    Emits ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b`` and
+    ``round(cosine, 4) >= threshold`` (rounding makes the threshold cut
+    reproducible across engines whose summation order differs).
+    """
+    from .similarity import cosine
+
+    a = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -129,3 +129,35 @@ def lsh_bucket(
             F.lit(0)
         )
     return emb.withColumn(bucket_col, bucket)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: score only vectors sharing the query's
+    sign-pattern bucket.
+
+    With the table written bucketed/partitioned by the (cheap, persistable)
+    ``lsh_bucket`` column, the probe reads ~1/2^p of the data; here the
+    bucket is computed on the fly and the candidate restriction is an
+    equi-join on the bucket id. Recall < 1 by construction — the brute-force
+    scan is the oracle (unit-tested recall, rows-only driver check).
+    """
+    bucketed = lsh_bucket(emb, planes, vec_col=vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qbucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("lsh_bucket") == F.col("_qbucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)

@@ -1093,6 +1093,335 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 6. extended relational + pipeline surface (round-1 widening)
+
+
+@register(
+    "range_join_click_error",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id,
+           (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
+    FROM events c
+    JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 600 SECOND
+    ORDER BY click_id, error_id
+    """,
+)
+def q_range_join_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: errors within 10 minutes after each
+    click. The bucketed rewrite (``operators/joins.range_join_buckets``)
+    turns the inequality join into an equi-join on time bucket + residual
+    predicate — a shuffle hash join instead of the broadcast-nested-loop a
+    naive BETWEEN would force."""
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_start"),
+            (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("c_end"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    joined = joins.range_join_buckets(
+        errors, clicks, left_ts="e_ts", right_start="c_start",
+        right_end="c_end", bucket_s=600,
+    )
+    delay = F.floor(
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_start")))
+        / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        joined.select("click_id", "error_id", delay.alias("delay_s"))
+        .orderBy("click_id", "error_id")
+    )
+
+
+@register(
+    "tpch_rollup_revenue",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    ORDER BY mktsegment, orderpriority
+    """,
+)
+def q_tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (segment → priority → grand total) in
+    one pass — Spark's ``rollup`` expands grouping sets inside a single
+    shuffle instead of unioning three grouped jobs. Null grouping slots are
+    coalesced to 'ALL' so the hash compare is engine-neutral."""
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("mktsegment"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("mktsegment", "orderpriority")
+    )
+
+
+@register(
+    "agg_distinct_percentile",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_acctbal,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates + exact interpolated percentiles per group —
+    the order-statistics surface (none exists in the reference). Both
+    engines use the (n-1)·q linear-interpolation definition, so the doubles
+    agree bit-for-bit on identical multisets (round(4) is defensive)."""
+    c = _table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "tpch_q4_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelated to a left-semi hash join (TPC-H Q4 shape): the
+    semi join never materializes matched lineitem rows, so the probe side
+    streams and duplicates on the build side cost nothing."""
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 4, 1)))
+    )
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part average) decorrelated into a
+    grouped aggregate + broadcast join back onto the fact (TPC-H Q17 shape).
+    The per-part averages are tiny relative to lineitem, so they broadcast
+    and lineitem never re-shuffles."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(pa), li["l_partkey"] == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "setop_intersect_active",
+    """
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+)
+def q_setop_intersect_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (customers active in both 1996 and 1997) as distinct
+    + left-semi hash join — the keyed-data INTERSECT plan that scales like a
+    join instead of a full-row comparison (SURVEY.md §2.7 complement to
+    ``setop_churned_customers``)."""
+    o = _table(spark, sf_dir, "orders")
+    y96 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(datetime(1997, 1, 1)))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    y97 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return y96.join(y97, "o_custkey", "left_semi").orderBy("o_custkey")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    x AS (
+      SELECT id_a, id_b,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT id_a, id_b, unnest(va) AS ua, unnest(vb) AS ub FROM p)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM x
+    WHERE round(dp / (sqrt(na2) * sqrt(nb2)), 4) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse ``label``
+    cell so the O(n²) all-pairs never materializes (the k-means/LSH-blocked
+    semantic-dedup pattern for training corpora)."""
+    return dedup.embedding_near_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_rolling_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 0
+                ELSE list_reduce([CAST(unicode(s[i]) AS BIGINT) FOR i IN range(1, length(s) + 1)],
+                                 (acc, c) -> (acc * 31 + c) % 2147483647)
+           END AS doc_hash,
+           CASE WHEN length(s) = 0 THEN 0
+                WHEN length(s) < 8
+                THEN list_reduce([CAST(unicode(s[i]) AS BIGINT) FOR i IN range(1, length(s) + 1)],
+                                 (acc, c) -> (acc * 31 + c) % 2147483647)
+                ELSE list_min([
+                       list_reduce([CAST(unicode(s[i + o]) AS BIGINT) FOR o IN range(0, 8)],
+                                   (acc, c) -> (acc * 31 + c) % 2147483647)
+                       FOR i IN range(1, length(s) - 6)])
+           END AS min8_hash
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: Karp-Rabin polynomial hash of the
+    normalized text plus a winnowing-style minimum 8-gram hash — portable
+    integer arithmetic (base 31 mod 2^31-1) reproduced exactly by the
+    oracle, unlike engine-specific hash builtins."""
+    from .functions.text import min_gram_hash, normalize_text, rolling_hash
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("s")
+    )
+    return d.select(
+        "doc_id",
+        rolling_hash(F.col("s")).alias("doc_hash"),
+        min_gram_hash(F.col("s"), n=8).alias("min8_hash"),
+    ).orderBy("doc_id")
+
+
+def _lsh_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, numpy-free).
+
+    A linear-congruential stream keeps the planes identical across runs and
+    processes — required for the driver's repeated rows-only checks."""
+    planes, state = [], 1234567
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+@register("sim_lsh_hyperplane", None)
+def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: probe only the query's sign-pattern bucket
+    (~1/2^6 of the table) then exact cosine within it. Recall vs brute force
+    is unit-tested; the driver check is rows-only (no SQL oracle for the
+    bucketing)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, query_id=0, planes=_lsh_planes(), k=5)
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

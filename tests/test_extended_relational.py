@@ -1,0 +1,122 @@
+"""Unit tests for the round-1 widening: embedding near-dup, LSH ANN,
+rolling-hash fingerprints, and the bucketed range join."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.functions.text import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+    min_gram_hash,
+    rolling_hash,
+)
+from ambient_sound_analysis_api_spark.operators.dedup import embedding_near_pairs
+from ambient_sound_analysis_api_spark.operators.joins import range_join_buckets
+from ambient_sound_analysis_api_spark.operators.similarity import (
+    cosine_topk_by_id,
+    lsh_topk,
+)
+
+
+def _py_rolling(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    return h
+
+
+def test_rolling_hash_matches_python(spark):
+    rows = [(1, "hello world"), (2, ""), (3, "a"), (4, "abcdefghij")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    out = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", rolling_hash(F.col("s")).alias("h")).collect()}
+    for i, s in rows:
+        assert out[i] == _py_rolling(s), s
+
+
+def test_min_gram_hash(spark):
+    rows = [(1, "abcdefghij"), (2, "short"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    out = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", min_gram_hash(F.col("s"), n=8).alias("h")).collect()}
+    grams = ["abcdefghij"[i:i + 8] for i in range(3)]
+    assert out[1] == min(_py_rolling(g) for g in grams)
+    # shorter than n falls back to the whole-string hash
+    assert out[2] == _py_rolling("short")
+    assert out[3] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # two tight clusters + one outlier, all in block 0 except id 5
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.95, 0.2, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0, 0.0], 0),
+        (5, [1.0, 0.0, 0.0, 0.0], 1),  # identical to 0 but different block
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_embedding_near_pairs_blocking(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_near_pairs(vectors, threshold=0.9).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    # orthogonal / opposite vectors excluded by threshold
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # cross-block identical pair is NOT found (blocking trade-off)
+    assert (0, 5) not in pairs
+    assert pairs[(0, 1)] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.1**2), abs=1e-3)
+
+
+def test_lsh_topk_recall(spark):
+    # deterministic ring of vectors: neighbors of query share the bucket
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    for i in range(40):
+        noise = 0.1 if i < 10 else 3.0  # first 10 are near the query
+        rows.append(
+            (i, [b + rng.gauss(0, noise) for b in base], 0)
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    exact = [r["vec_id"] for r in cosine_topk_by_id(emb, query_id=0, k=5).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, query_id=0, planes=planes, k=5).collect()]
+    # at least 3 of the exact top-5 survive 4-plane bucketing
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_range_join_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 01:00:00")],
+        "lid long, e_ts string",
+    ).select("lid", F.col("e_ts").cast("timestamp").alias("e_ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+         (11, "2024-01-01 00:59:00", "2024-01-01 01:09:00"),
+         (12, "2024-01-01 02:00:00", "2024-01-01 02:10:00")],
+        "rid long, s string, e string",
+    ).select(
+        "rid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_buckets(
+            left, right, left_ts="e_ts", right_start="s", right_end="e", bucket_s=60
+        ).collect()
+    )
+    assert out == [(1, 10), (2, 11)]
