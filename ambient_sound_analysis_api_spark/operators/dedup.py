@@ -64,6 +64,13 @@ def ngram_jaccard_pairs(
     key is the shingle, so co-occurring docs meet without a cross join; the
     pair aggregation is the only O(candidate-pairs) stage.
 
+    Shingles are hashed to 64-bit (``xxhash64``) before the join: the
+    shuffle moves 8-byte longs instead of multi-word strings (~3× fewer
+    bytes at 100 TB) and the equality probe is an integer compare. A hash
+    collision would merge two shingles for one pair's intersection count —
+    probability ~(rows²)/2⁶⁵, ignored by design (and deterministic:
+    xxhash64 is a fixed function, so results are stable run-to-run).
+
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
     shingles = (
@@ -74,6 +81,7 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
+        .select("id", F.xxhash64("shingle").alias("shingle"))
         # consumed three times (both join sides + sizes): materialize once
         .persist()
     )
@@ -321,19 +329,26 @@ def embedding_near_pairs(
     ``round(cosine, 4) >= threshold`` (rounding makes the threshold cut
     reproducible across engines whose summation order differs).
     """
-    from .similarity import cosine
+    from .similarity import dot, l2_norm
 
+    # Precompute the L2 norm per vector (O(n) folds) so each candidate pair
+    # costs ONE array fold (the dot product) instead of three — at 200k
+    # within-block pairs of 64-dim vectors that's the dominant cost.
     a = emb.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
     )
     b = emb.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+    )
     return (
         a.join(b, ["_blk"])
         .filter(F.col("id_a") < F.col("id_b"))

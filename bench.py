@@ -32,10 +32,14 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    "tpch_rollup_revenue",
     "win_top_orders_per_cust",
     "asof_latest_order",
+    "range_join_click_error",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_rolling_fingerprint",
     "emb_cosine_topk",
     "mm_binary_meta",
 ]
