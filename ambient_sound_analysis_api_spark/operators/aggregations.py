@@ -139,3 +139,34 @@ def daily_broadband(
         .agg(_mean("value", exact).alias("mean_value"))
         .orderBy(*[c for c in (keys or [])], "day")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization via ``F.session_window``: events whose
+    spacing is strictly less than ``gap_s`` merge into one session per key.
+
+    One shuffle on the keys; the session merge happens inside Spark's
+    session-window aggregation (works identically in batch and Structured
+    Streaming — the streaming form adds a watermark upstream). Session
+    bounds are reported from the *data* (min/max event time), not the
+    gap-padded window end, so they are engine-neutral.
+    """
+    keys = keys or []
+    return (
+        df.groupBy(
+            *keys,
+            F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("_sw"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("_sw")
+    )

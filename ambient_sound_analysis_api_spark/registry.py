@@ -1396,6 +1396,69 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "session_window_users",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_session_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h inactivity gap) per user via Spark's
+    native session window — one shuffle, merge inside the aggregation. The
+    oracle is the classic gaps-and-islands rewrite (lag → break flag →
+    running sum → group), proving the session semantics equivalence.
+    Spark merges events with gap <= 6h (touching windows coalesce), hence
+    the oracle breaks strictly at ``> 6h``."""
+    ev = _events(spark, sf_dir)
+    return (
+        agg.sessionize(ev, 6 * 3600, keys=["user_id"])
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register("agg_approx_sketches", None)
+def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates per event_type: HyperLogLog++ distinct-user
+    estimate and approximate value percentiles — the fixed-memory,
+    merge-able one-pass forms that replace exact distinct/sort at 100 TB.
+    Estimates are engine-specific (rows-only check); accuracy vs the exact
+    answers is unit-tested."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.99], 10_000).alias("approx_p50_p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _lsh_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded, numpy-free).
 

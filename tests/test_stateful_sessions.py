@@ -1,0 +1,104 @@
+"""Tests for session windows, the stateful streaming anomaly operator, and
+sketch-aggregate accuracy."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.aggregations import sessionize
+from ambient_sound_analysis_api_spark.streaming.stateful import (
+    flag_anomalies_stateful,
+)
+
+
+def T(minute: int, hour: int = 0) -> datetime:
+    return datetime(2024, 1, 1, hour, minute)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        ("u1", T(0)), ("u1", T(5)), ("u1", T(9)),      # one session (gaps < 10m)
+        ("u1", T(30)), ("u1", T(35)),                   # second session
+        ("u2", T(0)),                                   # singleton
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = sorted(
+        (r["user"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, 600, keys=["user"], ts_col="ts").collect()
+    )
+    assert out == [
+        ("u1", T(0), T(9), 3),
+        ("u1", T(30), T(35), 2),
+        ("u2", T(0), T(0), 1),
+    ]
+
+
+def test_sessionize_exact_gap_merges(spark):
+    # Spark coalesces touching session windows: an exactly-10-minute gap
+    # still merges (the oracle breaks strictly at > gap to mirror this).
+    df = spark.createDataFrame(
+        [("u", T(0)), ("u", T(10)), ("u", T(21))], "user string, ts timestamp"
+    )
+    out = sessionize(df, 600, keys=["user"]).collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_stateful_anomaly_carries_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "anom_src")
+    # batch 1: 20 calm points (value ~100) for key A — builds state, no flags
+    calm = [("A", T(i), 100.0 + (i % 3)) for i in range(20)]
+    spark.createDataFrame(
+        calm, "hydrophone string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "hydrophone string, ts timestamp, value double"
+    ).parquet(src)
+    out = flag_anomalies_stateful(stream, z_threshold=3.0, min_obs=10)
+    # one long-lived query: micro-batch state carries across the two feeds
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anomalies")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from anomalies").count() == 0
+
+        # batch 2: one wild point among calm ones — flagged via batch-1 state
+        batch2 = [("A", T(i, hour=1), 100.0 + (i % 3)) for i in range(5)]
+        batch2.append(("A", T(30, hour=1), 500.0))
+        spark.createDataFrame(
+            batch2, "hydrophone string, ts timestamp, value double"
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flagged = spark.sql("select * from anomalies").collect()
+    assert len(flagged) == 1
+    r = flagged[0]
+    assert r["key"] == "A" and r["value"] == 500.0
+    # state included batch 1: n_seen reflects all prior calm points
+    assert r["n_seen"] == 25
+    assert r["zscore"] > 3
+
+
+def test_approx_sketches_accuracy(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1000), float(rng.gauss(50, 10))) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = df.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+    ).collect()[0]
+    exact_users = df.select("user_id").distinct().count()
+    exact_p50 = df.agg(F.percentile("value", F.lit(0.5))).collect()[0][0]
+    assert got["au"] == pytest.approx(exact_users, rel=0.05)
+    assert got["p50"] == pytest.approx(exact_p50, abs=0.5)
