@@ -104,3 +104,81 @@ def _byte_histogram(payload: bytes, dim: int) -> list[float]:
         counts[byte % dim] += 1
     total = float(len(payload))
     return [c / total for c in counts]
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_payload binary, n_bytes long"
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (1→1 batch shape).
+
+    The real path decodes with Pillow and resamples; stubbed here
+    (``DecodeUnavailable``) with a deterministic fake — payload truncated/
+    cycled to ``width*height`` bytes — so the binary round-trip, output
+    schema, and batch plumbing are fully exercised and testable. Swap
+    ``_fake_resize`` for ``_decode_image_impl`` + a resampler in deployment.
+    """
+    target = width * height
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b"\x00" * target
+        reps = (target + len(payload) - 1) // len(payload)
+        return (payload * reps)[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(
+                        lambda b: _fake_resize(bytes(b or b""))
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2,
+                  frame_bytes: int = 16) -> DataFrame:
+    """Sample every ``k``-th frame from video-shaped payloads — the 1→N
+    ``mapInPandas`` shape (each input row explodes into multiple frame
+    rows inside the Arrow batch, no separate ``explode`` pass).
+
+    Frames are fixed-size byte windows of the payload (deterministic fake
+    for the stubbed video codec); a real deployment replaces the chunker
+    with pyav keyframe extraction and keeps the same output contract.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, sizes = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(b or b"")
+                n_frames = max(len(data) // frame_bytes, 0)
+                for fi in range(0, n_frames, every_k):
+                    chunk = data[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    payloads.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": pd.Series(payloads, dtype=object),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -1069,6 +1069,33 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "payload_md5").orderBy("media_id")
 
 
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(16 AS BIGINT) AS n_bytes
+    FROM (
+      SELECT doc_id, unnest(range(0, octet_length(encode(text)) // 16, 2)) AS f
+      FROM documents
+    )
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: every 2nd fixed-size frame window per
+    payload, exploded to one row per frame *inside* the Arrow batch (1→N
+    ``mapInPandas`` — no separate explode pass). The codec is a stubbed
+    deterministic chunker, so the frame index/byte accounting is fully
+    SQL-checkable."""
+    media = multimodal.documents_as_media(_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.sample_frames(media, every_k=2, frame_bytes=16)
+        .select("media_id", "frame_idx", "n_bytes")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. rows-only checks (engine-internal hash families — no cross-engine SQL)
 

@@ -91,3 +91,36 @@ def test_streaming_resample_matches_batch(spark, tmp_path):
     assert len(got) == 5
     assert got[T(0)] == pytest.approx(4.5)
     assert got[T(40)] == pytest.approx(44.5)
+
+
+def test_resize_media_deterministic(spark):
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    out = {r["media_id"]: r for r in
+           resize_media(documents_as_media(docs), 3, 2).collect()}
+    assert bytes(out[1]["payload"]) == b"abcdab"
+    assert bytes(out[2]["payload"]) == b"\x00" * 6
+    assert out[1]["width"] == 3 and out[1]["height"] == 2
+
+
+def test_sample_frames_one_to_many(spark):
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    # 40 bytes → 10 frames of 4 → sampled at every 2nd → frames 0,2,4,6,8
+    docs = spark.createDataFrame(
+        [(7, "x" * 40), (8, "ab")], "doc_id long, text string"
+    )
+    rows = sample_frames(documents_as_media(docs), every_k=2, frame_bytes=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_id[7]) == [0, 2, 4, 6, 8]
+    assert all(r["n_bytes"] == 4 for r in by_id[7])
+    assert 8 not in by_id  # payload shorter than one frame → no rows
