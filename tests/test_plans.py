@@ -115,3 +115,59 @@ def test_minhash_signature_agg_is_codegen(spark, sf_dir):
     plan = explain_str(minhash_signatures(docs, 8), "formatted")
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["range_join_click_error"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the bucketed rewrite must produce a hash/sort-merge equi join,
+    # never the nested-loop a naive BETWEEN forces
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_rollup_is_single_expand_single_shuffle(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["tpch_rollup_revenue"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # grouping sets compile to one Expand + one agg exchange (plus the
+    # broadcast for the dimension and the final presentation sort)
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    agg_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(agg_exchanges) == 1
+
+
+def test_q17_broadcasts_the_avg_join_back(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["tpch_q17_small_qty"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["tpch_q4_exists"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+
+
+def test_embedding_near_pairs_no_cartesian(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    df = queries()["dedup_embedding_cosine"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
