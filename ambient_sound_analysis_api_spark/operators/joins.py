@@ -110,3 +110,31 @@ def range_join_buckets(
     if extra_cond is not None:
         cond = cond & extra_cond
     return lb.join(rb, cond).drop("_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with hot-key salting for skewed key distributions.
+
+    The left (large, skewed) side gets a uniform random salt in [0, salt);
+    the right side is replicated once per salt value. The shuffle key
+    becomes (key, salt), splitting each hot key across ``salt`` reducers at
+    the cost of a ``salt``× blowup of the right side — so use it with a
+    small-to-medium right side and a genuinely skewed left.
+
+    AQE's runtime skew-join split (``spark.sql.adaptive.skewJoin``) is the
+    first line of defense and needs no code change; explicit salting remains
+    the tool when AQE is off, when skew is known a priori, or for non-sort-
+    merge plans AQE won't split. Results are identical to the plain join for
+    any salt assignment — the salt only redistributes rows.
+    """
+    salted_l = left.withColumn("_salt", (F.rand(42) * salt).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(salted_r, [*on, "_salt"], how).drop("_salt")

@@ -1070,6 +1070,41 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): LEFT OUTER join with a
+    join-side residual predicate (kept out of WHERE so unmatched customers
+    survive as count 0), double aggregation. The outer-join surface —
+    ``count(o_orderkey)`` counts only matched rows, exactly the SQL
+    semantics."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,

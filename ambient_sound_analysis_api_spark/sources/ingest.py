@@ -83,3 +83,27 @@ def write_partitioned(df: DataFrame, root: str, mode: str = "overwrite") -> None
         .partitionBy("freq_type", "delta_f", "delta_t", "hydrophone", "month")
         .parquet(root)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (and sorted) by join/aggregation keys.
+
+    Both sides of a recurring large-large equi-join written with the same
+    ``(keys, num_buckets)`` join WITHOUT any exchange: Spark trusts the
+    bucket layout and zips matching buckets (sort-merge with no shuffle, no
+    sort when ``sortBy`` matches). This is the pre-shuffle amortization for
+    pipelines that join the same fact tables every run — at 100 TB the
+    avoided exchange dominates total cost.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )

@@ -171,3 +171,42 @@ def test_embedding_near_pairs_no_cartesian(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.operators.joins import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, ["o_custkey"]).groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, ["o_custkey"], salt=4).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    from ambient_sound_analysis_api_spark.sources.ingest import write_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 8
+    )
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    # below the broadcast threshold Spark would broadcast; force the
+    # bucketed path to show the exchange-free sort-merge join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(joined, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
