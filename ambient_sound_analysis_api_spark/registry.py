@@ -66,13 +66,25 @@ _ISO_SPARK = "yyyy-MM-dd'T'HH:mm:ss"
 _ISO_DUCK = "%Y-%m-%dT%H:%M:%S"
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(
+    spark: SparkSession,
+    sf_dir: str,
+    start: datetime | None = None,
+    end: datetime | None = None,
+) -> DataFrame:
     """events table with ``ts`` normalized to a microsecond TIMESTAMP.
 
     The synthetic events parquet carries TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; ``nanosAsLong`` reads it as raw nanos and the
     exact integer division below truncates to micros — matching DuckDB's own
     nanos→micros truncation at scan time.
+
+    ``start``/``end`` (naive-UTC, start-inclusive / end-exclusive) are
+    applied *before* the long→timestamp conversion, as integer comparisons
+    on the raw nanos column — predicates on the converted timestamp are
+    expressions Parquet pushdown cannot see, while the long bounds reach the
+    reader as ``PushedFilters`` and prune row groups. At archive scale this
+    is the difference between scanning a window and scanning the table.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
@@ -80,8 +92,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover - conf may not exist on some builds
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def _ns(dt: datetime) -> int:
+        from datetime import timezone
+
+        return int(dt.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000_000
+
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(_ns(start)))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(_ns(end)))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.lit(end))
     return df
 
 
@@ -90,17 +117,28 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _broadband_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _broadband_view(
+    spark: SparkSession,
+    sf_dir: str,
+    start: datetime | None = None,
+    end: datetime | None = None,
+) -> DataFrame:
     """events → broadband long-form view (FIXTURES.md F5 stand-in mapping:
-    event_type→hydrophone, ts→ts, value→value)."""
-    return _events(spark, sf_dir).select(
+    event_type→hydrophone, ts→ts, value→value). Window bounds push to the
+    scan (see ``_events``)."""
+    return _events(spark, sf_dir, start, end).select(
         F.col("event_type").alias("hydrophone"),
         F.col("ts"),
         F.col("value"),
     )
 
 
-def _psd_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _psd_view(
+    spark: SparkSession,
+    sf_dir: str,
+    start: datetime | None = None,
+    end: datetime | None = None,
+) -> DataFrame:
     """events → PSD long-form view: a deterministic band assignment
     (1/3-octave center indexed by user_id) exercises the band-filter and
     per-band aggregation paths of SURVEY.md §2 P4/A4/A5."""
@@ -108,7 +146,7 @@ def _psd_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(b) for b in BANDS]),
         (F.col("user_id") % 22 + 1).cast("int"),
     )
-    return _events(spark, sf_dir).select(
+    return _events(spark, sf_dir, start, end).select(
         F.col("event_type").alias("hydrophone"),
         F.col("ts"),
         band.alias("band_hz"),
@@ -168,7 +206,8 @@ def q_ts_broadband_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-finite drop → time order (reference P3/P5/P6/O2,
     ``app/services/get_timeseries.py:246-261``)."""
     return timeseries.broadband_points(
-        _broadband_view(spark, sf_dir), "click", WINDOW_START, WINDOW_END
+        _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+        "click", WINDOW_START, WINDOW_END,
     )
 
 
@@ -372,7 +411,10 @@ def q_ts_expected_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``app/services/get_timeseries.py:36-40, 71-81``)."""
     expected = expected_point_count(WINDOW_START, WINDOW_END, 300)
     return (
-        timeseries.window_filter(_broadband_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+        timeseries.window_filter(
+            _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+            WINDOW_START, WINDOW_END,
+        )
         .groupBy("hydrophone")
         .agg(F.count("*").alias("actual_points"))
         .select(
@@ -404,7 +446,10 @@ def q_agg_bucket_mean_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute mean per hydrophone — the reference's resample
     aggregation (A3, ``app/services/get_aggregations.py:183-199``) as one
     global shuffle-aggregated plan replacing chunk+merge (C6/U1)."""
-    bb = timeseries.window_filter(_broadband_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    bb = timeseries.window_filter(
+        _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+        WINDOW_START, WINDOW_END,
+    )
     return (
         agg.resample_mean(bb, 300, keys=["hydrophone"], exact=True)
         .select(
@@ -435,7 +480,10 @@ def q_agg_band_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's horizontal band mean (P4/A4,
     ``app/services/get_aggregations.py:57-75``; explicitly *not* power
     integration, ``upstream-notes.md:36-49``)."""
-    psd = timeseries.window_filter(_psd_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    psd = timeseries.window_filter(
+        _psd_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+        WINDOW_START, WINDOW_END,
+    )
     return (
         agg.band_mean(psd, 3600, 100.0, 1000.0, exact=True)
         .select(F.unix_timestamp("bucket_ts").alias("bucket_s"), "mean_value")
@@ -554,7 +602,10 @@ def q_psd_wide_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band (S6/U2 response shape,
     ``app/services/get_timeseries.py:309-328``). Conditional aggregation
     keeps the schema static — no dynamic pivot pass."""
-    psd = timeseries.window_filter(_psd_view(spark, sf_dir), WINDOW_START, WINDOW_END)
+    psd = timeseries.window_filter(
+        _psd_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+        WINDOW_START, WINDOW_END,
+    )
     psd = psd.filter(is_finite(F.col("value")))
 
     def band_col(b: float) -> F.Column:

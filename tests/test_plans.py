@@ -210,3 +210,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_events_window_pushes_to_parquet_scan(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import _events
+
+    df = _events(spark, sf_dir, START, END).select("event_id", "ts")
+    plan = explain_str(df)
+    # window bounds must reach the reader as long comparisons on the raw
+    # nanos column — a filter on the converted timestamp cannot push down
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
