@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalize_text, token_ngrams, tokens
+from ..functions.text import (
+    fingerprint,
+    normalize_text,
+    token_ngram_hashes,
+    token_ngrams,
+    tokens,
+)
 
 
 def exact_dedup(
@@ -77,11 +83,10 @@ def ngram_jaccard_pairs(
         df.select(
             F.col(id_col).alias("id"),
             F.explode_outer(
-                F.array_distinct(token_ngrams(F.col(text_col), n))
+                F.array_distinct(token_ngram_hashes(F.col(text_col), n))
             ).alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
-        .select("id", F.xxhash64("shingle").alias("shingle"))
         # consumed three times (both join sides + sizes): materialize once
         .persist()
     )
@@ -132,9 +137,9 @@ def minhash_signatures(
     """
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(token_ngram_hashes(F.col(text_col), n))
+        ).alias("shingle"),
     )
     mins = exploded.groupBy("id").agg(
         *[

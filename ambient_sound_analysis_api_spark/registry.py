@@ -808,6 +808,52 @@ def q_win_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           CAST(coalesce(
+             CAST(o_totalprice AS DECIMAL(12,2))
+               - lag(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta_prev
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window functions: per-customer running revenue (unbounded
+    preceding frame) and lag delta with deterministic ordering — the
+    cumulative/offset windowing surface beyond ranking (SURVEY.md §2.5 gap).
+    Decimal arithmetic keeps the running sums exact across engines; the
+    customer sample keeps oracle output bounded."""
+    from pyspark.sql import Window
+
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = (
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).cast("double")
+    delta = F.coalesce(
+        dec - F.lag(dec).over(w), F.lit(0).cast("decimal(12,2)")
+    ).cast("double")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            running.alias("running_total"),
+            delta.alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "setop_churned_customers",
     """
     SELECT DISTINCT o_custkey
