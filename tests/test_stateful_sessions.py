@@ -102,3 +102,42 @@ def test_approx_sketches_accuracy(spark):
     exact_p50 = df.agg(F.percentile("value", F.lit(0.5))).collect()[0][0]
     assert got["au"] == pytest.approx(exact_users, rel=0.05)
     assert got["p50"] == pytest.approx(exact_p50, abs=0.5)
+
+
+def test_sessionize_streaming_merges_across_batches(spark, tmp_path):
+    """Session windows hold state across micro-batches: an event arriving in
+    a later batch inside the gap extends the open session instead of
+    starting a new one."""
+    src = str(tmp_path / "sess_src")
+    schema = "user string, ts timestamp"
+    spark.createDataFrame(
+        [("u1", T(0)), ("u1", T(5))], schema
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize(stream, 600, keys=["user"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from sessions").collect()
+        assert [(r["n_events"]) for r in first] == [2]
+
+        # T(8) is within the gap of the open session -> merge; T(0,hour=3)
+        # is far outside -> new session
+        spark.createDataFrame(
+            [("u1", T(8)), ("u1", T(0, hour=3))], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    )
+    assert rows == [(T(0), T(8), 3), (T(0, hour=3), T(0, hour=3), 1)]
