@@ -1202,6 +1202,93 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_big_orders",
+    """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 160
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING over a grouped fact →
+    qualifying keys semi-join back onto the join. The key set after the
+    HAVING cut is small, so it broadcasts and the fact scan is filtered
+    before the order join — aggregate-then-semi-join, never
+    aggregate-then-rejoin-everything."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    dec_qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec_qty).alias("q"))
+        .filter(F.col("q") > 160)
+        .select("l_orderkey")
+    )
+    li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    return (
+        li_big.join(o, li_big["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(dec_qty).cast("double").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+@register(
+    "join_full_outer_nation",
+    """
+    WITH cc AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ),
+    sc AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cc.nationkey, sc.nationkey) AS nationkey,
+           coalesce(cc.n_customers, 0) AS n_customers,
+           coalesce(sc.n_suppliers, 0) AS n_suppliers
+    FROM cc FULL OUTER JOIN sc ON cc.nationkey = sc.nationkey
+    ORDER BY nationkey
+    """,
+)
+def q_join_full_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts —
+    completes the outer-join surface (left outer in Q13); both inputs are
+    pre-aggregated so the outer join runs on tiny keyed sides."""
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    sc = s.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        cc.join(sc, cc["c_nk"] == sc["s_nk"], "full_outer")
+        .select(
+            F.coalesce(cc["c_nk"], sc["s_nk"]).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,
