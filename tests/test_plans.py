@@ -190,7 +190,16 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     from ambient_sound_analysis_api_spark.sources.ingest import write_bucketed
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    # a previous session may have left the managed-table dirs behind:
+    # saveAsTable(overwrite) refuses a location it doesn't know about
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
