@@ -230,3 +230,27 @@ def test_events_window_pushes_to_parquet_scan(spark, sf_dir):
     # nanos column — a filter on the converted timestamp cannot push down
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
+def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
+    """Global guardrail over every registry query: no cartesian products, no
+    unintended nested-loop joins, no Python in the hot path. Exemptions are
+    deliberate: 1-row broadcast cross joins (query-vector / scalar-plan
+    patterns) and the mm_* operators whose Arrow-batched Python IS the
+    operator."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    one_row_broadcast = {"emb_cosine_topk", "agg_auto_interval"}
+    python_ok = {"mm_binary_meta", "mm_frame_sample"}
+    problems = []
+    for name, fn in queries().items():
+        plan = explain_str(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in one_row_broadcast:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
+        if name not in python_ok and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        ):
+            problems.append(f"{name}: Python in plan")
+    assert not problems, problems

@@ -141,3 +141,34 @@ def test_sessionize_streaming_merges_across_batches(spark, tmp_path):
         for r in spark.sql("select * from sessions").collect()
     )
     assert rows == [(T(0), T(8), 3), (T(0, hour=3), T(0, hour=3), 1)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup: duplicate event_ids arriving in later
+    micro-batches inside the watermark are dropped exactly once."""
+    src = str(tmp_path / "dedup_src")
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, T(0), 1.0), (2, T(1), 2.0), (1, T(0), 1.0)], schema
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, T(1), 2.0), (3, T(2), 3.0)], schema  # 2 is a cross-batch dup
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.sql("select * from dedup_stream").collect())
+    assert got == [1, 2, 3]
