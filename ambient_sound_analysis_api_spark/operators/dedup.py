@@ -229,39 +229,34 @@ def simhash(
     """64-bit SimHash per document over whitespace tokens.
 
     Each token contributes ±1 per bit position of ``xxhash64(token)``; the
-    sign of the per-bit sum forms the fingerprint. Entirely JVM-side:
-    explode tokens → per-(id, bit) vote aggregation → bit reassembly.
-    Near-dup docs differ in a few bits (compare via Hamming distance).
+    sign of the per-bit sum forms the fingerprint. Entirely JVM-side: the
+    per-bit votes are ``bits`` aggregate columns over the exploded tokens —
+    one shuffle of map-side-combined partials (one row per doc per
+    partition), never a ``bits``× row explosion (the naive per-(id, bit)
+    vote explode shuffles 64× the token count; this form shuffles just the
+    doc count). Near-dup docs differ in a few bits (Hamming distance).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     )
     h = toks.select("id", F.xxhash64("tok").alias("h"))
-    votes = h.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bit"),
-                        F.when(
-                            F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
-                        )
-                        .otherwise(-1)
-                        .alias("vote"),
-                    )
-                    for i in range(bits)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", "bv.bit", "bv.vote")
-    bit_sums = votes.groupBy("id", "bit").agg(F.sum("vote").alias("s"))
-    return bit_sums.groupBy("id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias(
-            "simhash"
-        )
+    vote = lambda i: F.when(  # noqa: E731
+        F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
+    ).otherwise(-1)
+    sums = h.groupBy("id").agg(
+        *[F.sum(vote(i)).alias(f"b{i}") for i in range(bits)]
     )
+    fingerprint_bits = [
+        F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    acc = fingerprint_bits[0]
+    for fb in fingerprint_bits[1:]:
+        acc = acc + fb
+    return sums.select("id", acc.alias("simhash"))
 
 
 def hamming_near_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
