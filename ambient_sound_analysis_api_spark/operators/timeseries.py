@@ -100,3 +100,60 @@ def _band_col(band_hz: float) -> str:
     """Stringified band label (reference stringifies column labels for the
     response, ``app/services/get_timeseries.py:321``)."""
     return f"band_{band_hz:g}"
+
+
+def gap_fill(
+    df: DataFrame,
+    interval_s: int,
+    start: datetime,
+    end: datetime,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular-grid gap filling with backward fill, per key.
+
+    Emits one row per key per grid point in ``[start, end)`` carrying the
+    most recent observation at-or-before the grid point (``value`` /
+    ``last_event_us``; null before the first observation). This is the
+    serving-side "resample to a dense grid" the archived-noise dashboards
+    need when hydrophones drop out — SQL-awkward (grid × as-of per key),
+    natural as a grouped-map: ``applyInPandas`` ships each key's rows to one
+    Arrow batch and ``pandas.merge_asof`` does the backward scan.
+
+    Input duplicates per (key, ts) must be pre-reduced by the caller (the
+    registry query reduces with max(value)) so the fill is deterministic.
+    Scale shape: one shuffle on the keys; each group holds only that key's
+    observations plus a bounded grid (grid length = window/interval), so
+    memory per group is bounded regardless of table size.
+    """
+    import pandas as pd
+
+    keys = keys or ["hydrophone"]
+    grid = pd.date_range(start, end, freq=f"{interval_s}s", inclusive="left")
+    out_schema = ", ".join(
+        [f"{k} string" for k in keys]
+        + ["grid_us long", "value double", "last_event_us long"]
+    )
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        gdf = pd.DataFrame({"_g": grid})
+        merged = pd.merge_asof(
+            gdf, pdf[[ts_col, value_col]], left_on="_g", right_on=ts_col,
+            direction="backward",
+        )
+        out = pd.DataFrame(
+            {
+                **{k: key[i] for i, k in enumerate(keys)},
+                "grid_us": merged["_g"].astype("int64") // 1000,
+                "value": merged[value_col],
+                "last_event_us": merged[ts_col].astype("int64") // 1000,
+            }
+        )
+        # pandas NaT // 1000 is a huge negative sentinel — null it out
+        out.loc[merged[ts_col].isna(), "last_event_us"] = None
+        return out
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)

@@ -1202,6 +1202,47 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_gap_fill",
+    f"""
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '{_WS}',
+                                    TIMESTAMP '{_WE}' - INTERVAL 1 MICROSECOND,
+                                    INTERVAL 3600 SECOND)) AS gts
+    ),
+    hh AS (SELECT DISTINCT event_type AS hydrophone FROM events),
+    pre AS (
+      SELECT event_type AS hydrophone, ts, max(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    g2 AS (SELECT hh.hydrophone, grid.gts FROM hh CROSS JOIN grid)
+    SELECT g2.hydrophone AS hydrophone,
+           epoch_us(g2.gts) AS grid_us,
+           pre.v AS value,
+           epoch_us(pre.ts) AS last_event_us
+    FROM g2 ASOF LEFT JOIN pre
+      ON g2.hydrophone = pre.hydrophone AND g2.gts >= pre.ts
+    ORDER BY hydrophone, grid_us
+    """,
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap filling: hourly grid over the query window, backward-
+    filled from each hydrophone's most recent observation — the grouped-map
+    (``applyInPandas`` + ``merge_asof``) surface, oracle-checked against
+    DuckDB's native grid × ASOF LEFT JOIN."""
+    ev = (
+        _broadband_view(spark, sf_dir)
+        .groupBy("hydrophone", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return (
+        timeseries.gap_fill(
+            ev, 3600, WINDOW_START, WINDOW_END, keys=["hydrophone"]
+        )
+        .orderBy("hydrophone", "grid_us")
+    )
+
+
+@register(
     "tpch_q18_big_orders",
     """
     SELECT o.o_orderkey,

@@ -120,3 +120,35 @@ def test_range_join_buckets(spark):
         ).collect()
     )
     assert out == [(1, 10), (2, 11)]
+
+
+def test_gap_fill_backward_fill_and_leading_nulls(spark):
+    from datetime import datetime
+
+    from ambient_sound_analysis_api_spark.operators.timeseries import gap_fill
+
+    rows = [
+        ("h1", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("h1", datetime(2024, 1, 1, 2, 0), 20.0),   # exactly on a grid point
+        ("h2", datetime(2024, 1, 1, 3, 15), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "hydrophone string, ts timestamp, value double")
+    out = {
+        (r["hydrophone"], r["grid_us"]): (r["value"], r["last_event_us"])
+        for r in gap_fill(
+            df, 3600, datetime(2024, 1, 1), datetime(2024, 1, 1, 5)
+        ).collect()
+    }
+    h = 3600 * 1_000_000
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    # before first observation -> nulls
+    assert out[("h1", base)] == (None, None)
+    # backward fill carries 10.0 across 01:00, exact-match at 02:00 takes 20.0
+    assert out[("h1", base + 1 * h)][0] == 10.0
+    assert out[("h1", base + 2 * h)][0] == 20.0
+    assert out[("h1", base + 4 * h)][0] == 20.0
+    # h2: null until 04:00 grid point after its 03:15 observation
+    assert out[("h2", base + 3 * h)] == (None, None)
+    assert out[("h2", base + 4 * h)][0] == 7.0
+    # 5 grid points per key
+    assert len(out) == 10
