@@ -1684,6 +1684,40 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_daily_event_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def q_pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: daily counts with one column per event type via
+    ``groupBy().pivot(values=...).count()``. Passing the explicit value list
+    skips Spark's extra distinct-scan job AND keeps the output schema static
+    — the form a 100 TB pivot must take (unbounded dynamic pivots do a full
+    pre-pass and can exceed ``spark.sql.pivotMaxValues``)."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+        .orderBy("day")
+    )
+    # pivot leaves missing combinations null; counts are 0
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@register(
     "session_window_users",
     """
     WITH g AS (
