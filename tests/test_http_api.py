@@ -1,0 +1,81 @@
+"""End-to-end HTTP tests: stdlib server → Engine → Spark → JSON responses,
+mirroring the reference's route/param/header/error surface."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from ambient_sound_analysis_api_spark.http_api import serve
+from ambient_sound_analysis_api_spark.serving import Engine
+from ambient_sound_analysis_api_spark.sources.domain import materialize_domain
+
+WS, WE = "2024-01-05T00:00:00", "2024-01-12T00:00:00"
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("http_domain"))
+    materialize_domain(spark, sf_dir, root)
+    httpd = serve(Engine(spark, root))
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        return json.loads(resp.read()), dict(resp.headers)
+
+
+def test_options_endpoint(api):
+    body, _ = _get(f"{api}/options")
+    assert "CLICK" in body
+    assert "broadband" in body["CLICK"]
+    # PSD coverage keyed by "delta_f,delta_t" string
+    assert any("," in k for k in body["VIEW"]["octave_bands"])
+
+
+def test_broadband_timeseries_endpoint(api):
+    body, headers = _get(
+        f"{api}/timeseries/broadband?hydrophone=click&start={WS}&end={WE}"
+    )
+    assert body["hydrophone"] == "CLICK"
+    assert len(body["points"]) > 0
+    assert int(headers["X-Point-Count"]) == len(body["points"])
+    assert "X-Expected-Point-Count" in headers
+    # points are (iso_ts, value) pairs in ascending time order
+    times = [p[0] for p in body["points"]]
+    assert times == sorted(times)
+
+
+def test_psd_heatmap_endpoint(api):
+    body, headers = _get(
+        f"{api}/aggregations/psd?hydrophone=view&start={WS}&end={WE}&interval=1h"
+    )
+    assert len(body["times"]) == int(headers["X-Time-Count"])
+    assert len(body["frequencies"]) == int(headers["X-Frequency-Count"])
+    assert len(body["values"]) == len(body["times"])
+    assert all(len(row) == len(body["frequencies"]) for row in body["values"])
+
+
+def test_validation_maps_to_400(api):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{api}/timeseries/broadband?hydrophone=nosuch&start={WS}&end={WE}")
+    assert exc.value.code == 400
+    detail = json.loads(exc.value.read())["detail"]
+    assert "nosuch" in detail.lower() or "unknown" in detail.lower()
+
+
+def test_unknown_route_is_400(api):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{api}/nope")
+    assert exc.value.code == 400
+
+
+def test_missing_required_param_is_400(api):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{api}/timeseries/broadband?hydrophone=click")
+    assert exc.value.code == 400
