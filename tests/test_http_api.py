@@ -79,3 +79,25 @@ def test_missing_required_param_is_400(api):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(f"{api}/timeseries/broadband?hydrophone=click")
     assert exc.value.code == 400
+
+
+def test_band_aggregation_endpoint(api):
+    body, headers = _get(
+        f"{api}/aggregations/band?hydrophone=view&start={WS}&end={WE}"
+        "&interval=1h&band_low=100&band_high=1000"
+    )
+    assert body["band_low"] == 100.0 and body["band_high"] == 1000.0
+    assert len(body["points"]) == int(headers["X-Point-Count"]) > 0
+
+
+def test_daily_summary_endpoints(api):
+    body, _ = _get(
+        f"{api}/aggregations/daily-summary?hydrophone=view"
+        "&start_date=2024-01-05T00:00:00&num_days=7&interval=1h"
+    )
+    assert set(body["series"]) >= {"mean", "min", "max", "count"}
+    daily, _ = _get(
+        f"{api}/aggregations/daily-broadband-summary?hydrophone=click"
+        "&start_date=2024-01-05T00:00:00&num_days=7"
+    )
+    assert len(daily["points"]) == 7
