@@ -133,6 +133,11 @@ class Engine:
         cat = self._catalog
         if hydrophone is not None:
             cat = cat.filter(F.col("hydrophone") == _norm_slug(hydrophone))
+        else:
+            # C7: the all-hydrophone listing omits the untrustworthy sandbox
+            # archive; an explicit request still reaches it (reference
+            # ``app/services/get_options.py:59-64``, ``README.md:66-70``)
+            cat = cat.filter(F.col("hydrophone") != "SANDBOX")
         rows = cat.collect()
         if hydrophone is not None and not rows:
             raise UnknownHydrophoneError(f"unknown hydrophone {hydrophone!r}")

@@ -134,3 +134,31 @@ def test_daily_broadband_summary(engine):
     )
     assert 1 <= len(out["points"]) <= 30
     assert all(len(day) == 10 for day, _ in out["points"])
+
+
+def test_options_skips_sandbox_unless_explicit(spark, tmp_path_factory, sf_dir):
+    """C7: the all-hydrophone listing omits SANDBOX; explicit requests reach
+    it (reference app/services/get_options.py:59-64)."""
+    import pyspark.sql.functions as F
+
+    from ambient_sound_analysis_api_spark.serving import Engine
+    from ambient_sound_analysis_api_spark.sources.domain import materialize_domain
+
+    root = str(tmp_path_factory.mktemp("sandbox_domain"))
+    materialize_domain(spark, sf_dir, root)
+    # graft a sandbox archive key alongside the real ones
+    keys = spark.read.parquet(f"{root}/archive_keys.parquet")
+    extra = spark.createDataFrame(
+        [("archive/sandbox/20240101T000000_20240201T000000_1s_broadband.parquet",)],
+        "key string",
+    )
+    keys.unionByName(extra).write.mode("overwrite").parquet(
+        f"{root}/archive_keys2.parquet"
+    )
+    spark.read.parquet(f"{root}/archive_keys2.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/archive_keys.parquet")
+
+    eng = Engine(spark, root)
+    assert "SANDBOX" not in eng.options()
+    assert "broadband" in eng.options("sandbox")["SANDBOX"]
