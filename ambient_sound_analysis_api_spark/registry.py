@@ -939,6 +939,40 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union_activity",
+    """
+    SELECT actor_id, kind, count(*) AS n
+    FROM (
+      SELECT o_custkey AS actor_id, 'order' AS kind FROM orders
+      UNION ALL
+      SELECT user_id AS actor_id, 'event' AS kind FROM events
+      WHERE event_type = 'purchase'
+    )
+    GROUP BY actor_id, kind
+    ORDER BY actor_id, kind
+    """,
+)
+def q_setop_union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-shaped sources projected to a common
+    schema, then grouped — the vertical-concat surface (SURVEY.md §2.7 U3;
+    Spark unions are metadata-only, no data movement until the agg)."""
+    o = _table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("actor_id"), F.lit("order").alias("kind")
+    )
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("actor_id"), F.lit("event").alias("kind"))
+    )
+    return (
+        o.unionByName(e)
+        .groupBy("actor_id", "kind")
+        .agg(F.count("*").alias("n"))
+        .orderBy("actor_id", "kind")
+    )
+
+
+@register(
     "dedup_exact",
     """
     SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
