@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by token-n-gram Jaccard similarity.
 
@@ -77,6 +78,18 @@ def ngram_jaccard_pairs(
     probability ~(rows²)/2⁶⁵, ignored by design (and deterministic:
     xxhash64 is a fixed function, so results are stable run-to-run).
 
+    Candidate volume is O(df²) per distinct shingle (df = how many docs
+    carry it). On boilerplate-heavy corpora — the realistic 100 TB case,
+    where headers/footers/templates repeat across millions of pages — that
+    quadratic blows up on exactly the shingles that carry no discriminating
+    signal. ``max_shingle_df`` removes shingles shared by more than that
+    many docs from the *entire* computation (candidates AND set sizes), so
+    the result is exact Jaccard over the reduced, discriminating shingle
+    universe: identical docs still score 1.0, while pairs similar only
+    through boilerplate drop out — the standard stop-shingle trade-off.
+    Default ``None`` = the full-universe exact form (the oracle-compared
+    configuration).
+
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
     shingles = (
@@ -90,6 +103,15 @@ def ngram_jaccard_pairs(
         # consumed three times (both join sides + sizes): materialize once
         .persist()
     )
+
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
 

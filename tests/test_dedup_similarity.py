@@ -118,3 +118,24 @@ def test_lsh_bucket_deterministic(vecs):
     b = {r["vec_id"]: r["lsh_bucket"] for r in lsh_bucket(vecs, planes).collect()}
     assert b[0] == b[1] == b[4]  # same orthant
     assert b[0] != b[3]
+
+
+def test_ngram_jaccard_max_shingle_df_drops_boilerplate(spark):
+    # every doc shares the same boilerplate prefix; only 1&2 share real
+    # content. With the df cap, the boilerplate-only pair (1,3) disappears
+    # while the true near-dup pair keeps its exact Jaccard value.
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter today folks. cats sit on warm mats"),
+            (2, "subscribe to our newsletter today folks. cats sit on warm mats"),
+            (3, "subscribe to our newsletter today folks. dogs run in cold yards"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(
+                  docs, n=3, threshold=0.1, max_shingle_df=2).collect()}
+    assert (1, 3) in full and (1, 3) not in capped
+    assert capped[(1, 2)] == full[(1, 2)] == 1.0
