@@ -281,12 +281,21 @@ def simhash(
     return sums.select("id", acc.alias("simhash"))
 
 
-def hamming_near_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
+def hamming_near_pairs(
+    sim: DataFrame, max_dist: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius, via band blocking.
 
     The 64-bit fingerprint is split into ``max_dist + 1`` bands; by
     pigeonhole, any pair within ``max_dist`` bits shares at least one exact
     band → equi-join on (band_idx, band_value), then exact popcount filter.
+
+    Candidates are O(bucket²) per band bucket. ``max_bucket_size`` skips
+    buckets larger than the cap — on dup-heavy corpora those are giant
+    duplicate clusters (better collapsed by exact/fingerprint dedup first)
+    or degenerate bands, and they dominate runtime while contributing
+    little beyond what exact dedup already finds. Default ``None`` = exact
+    pigeonhole guarantee (the driver-checked configuration).
     """
     nbands = max_dist + 1
     width = 64 // nbands
@@ -308,6 +317,16 @@ def hamming_near_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
         ).alias("b"),
     ).select("id", "simhash", "b.band_idx", "b.band_val")
     banded = banded.persist()  # reused by both self-join sides
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(
+            F.broadcast(big), ["band_idx", "band_val"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

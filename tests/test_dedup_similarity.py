@@ -139,3 +139,23 @@ def test_ngram_jaccard_max_shingle_df_drops_boilerplate(spark):
                   docs, n=3, threshold=0.1, max_shingle_df=2).collect()}
     assert (1, 3) in full and (1, 3) not in capped
     assert capped[(1, 2)] == full[(1, 2)] == 1.0
+
+
+def test_hamming_bucket_cap_skips_giant_clusters(spark):
+    # 6 identical docs form one giant bucket per band; one distinct near-pair
+    # (docs 10/11 differ slightly) survives the cap.
+    rows = [(i, "common words repeated all over this text body") for i in range(6)]
+    rows += [
+        (10, "a completely different document about whales and hydrophones"),
+        (11, "a completely different document about whales and microphones"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = simhash(docs)
+    full = {(r["id_a"], r["id_b"])
+            for r in hamming_near_pairs(sim, max_dist=10).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in hamming_near_pairs(sim, max_dist=10, max_bucket_size=4).collect()}
+    assert (10, 11) in full and (10, 11) in capped
+    # the 15 identical-cluster pairs are dropped by the cap
+    assert all(a >= 10 for a, _ in capped)
+    assert any(a < 10 for a, _ in full)
