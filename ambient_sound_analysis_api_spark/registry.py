@@ -1003,10 +1003,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(_table(spark, sf_dir, "documents")).orderBy("fp")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    r"""
-    WITH t AS (
+_NGRAM_JACCARD_CTES = r"""t AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
       FROM documents
@@ -1022,13 +1019,22 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    ),
+    jac_pairs AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jac_pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -1392,6 +1398,42 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # 5. rows-only checks (engine-internal hash families — no cross-engine SQL)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    Jaccard≥0.2 similarity graph (min-reachable-id label per doc; singletons
+    keep their own id). The iterative min-label propagation
+    (``operators/graph.connected_components``) is oracle-checked against
+    DuckDB's recursive-CTE transitive closure — the engine's iterative-
+    algorithm surface, the step that turns near-dup *pairs* into actionable
+    keep/drop decisions."""
+    from .operators.graph import connected_components
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return connected_components(
+        edges, docs.select("doc_id"), node_col="doc_id"
+    ).orderBy("doc_id")
 
 
 @register("dedup_minhash_lsh", None)

@@ -164,3 +164,18 @@ def test_embedding_near_pairs_arrow_matches_jvm(spark, sf_dir):
     )
     assert len(jvm) > 0
     assert jvm == arrow
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from ambient_sound_analysis_api_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter > 1 iteration), pair 10-11, singleton 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "id long")
+    out = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges, nodes, node_col="id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
