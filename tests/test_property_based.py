@@ -111,3 +111,32 @@ def test_resample_mean_matches_pandas_resample(spark, points):
     assert set(got) == set(expected)
     for k in expected:
         assert got[k] == pytest.approx(expected[k], rel=1e-9)
+
+
+@given(st.lists(offsets, min_size=1, max_size=25))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_matches_gaps_and_islands(spark, secs):
+    from ambient_sound_analysis_api_spark.operators.aggregations import sessionize
+
+    gap = 60
+    rows = [("u", BASE + timedelta(seconds=s)) for s in sorted(set(secs))]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap, keys=["user"]).collect()
+    )
+    # reference: break strictly when the gap exceeds the threshold
+    expected = []
+    cur = [rows[0][1]]
+    for _, ts in rows[1:]:
+        if (ts - cur[-1]).total_seconds() > gap:
+            expected.append((cur[0], cur[-1], len(cur)))
+            cur = [ts]
+        else:
+            cur.append(ts)
+    expected.append((cur[0], cur[-1], len(cur)))
+    assert got == sorted(expected)
