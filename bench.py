@@ -33,12 +33,18 @@ HEADLINE = [
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
     "tpch_rollup_revenue",
+    "tpch_q13_custdist",
+    "tpch_q18_big_orders",
     "win_top_orders_per_cust",
     "asof_latest_order",
     "range_join_click_error",
+    "session_window_users",
+    "ts_gap_fill",
+    "pivot_daily_event_counts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "text_rolling_fingerprint",
     "emb_cosine_topk",
     "mm_binary_meta",
