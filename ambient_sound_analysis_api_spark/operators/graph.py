@@ -38,10 +38,16 @@ def connected_components(
 
     Returns ``(node_col, cluster_id)`` — singleton nodes keep their own id.
     """
+    # materialize the symmetric edge set ONCE: every iteration joins against
+    # it, and without this the full upstream edge-generation pipeline (e.g.
+    # the Jaccard shingle join) would re-execute per round. persist (not
+    # checkpoint): it caches the data AND keeps plan statistics, so the
+    # per-round join can still broadcast a small edge set.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(
         F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
