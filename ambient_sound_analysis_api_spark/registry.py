@@ -1882,6 +1882,529 @@ def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8. relational breadth — adapted TPC-H + window/grouping surface
+#
+# The synthetic tables omit partsupp, l_shipmode, l_commitdate/receiptdate
+# and c_phone, so Q7/Q8/Q12/Q16/Q22 are adapted to the available columns
+# while keeping each query's characteristic *shape* (the thing the engine
+# must execute well at 100 TB): two-role dimension joins, conditional-share
+# aggregation, disjunctive pushdown, distinct aggregation, anti-join with a
+# scalar subquery.
+
+_DEC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def _disc_price() -> F.Column:
+    one = F.lit(1).cast("decimal(12,2)")
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(12,2)")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           CAST(sum({_DEC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: the *two-role dimension* pattern — nation
+    joined twice under different aliases (supplier side and customer side)
+    with a symmetric disjunctive filter. Both nation joins broadcast; only
+    the fact-fact joins shuffle. General join surface beyond the reference
+    (SURVEY.md §2.3)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    n1 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST({_DEC_PRICE} AS DECIMAL(26,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: conditional-share aggregation — the
+    numerator is a CASE-gated subset of the denominator computed in ONE
+    grouped pass (no self-join). Exact decimal sums on both sides make the
+    double division bit-identical across engines."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    n1 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = _disc_price().cast("decimal(26,4)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(26,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum("volume").cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_topk",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_DEC_PRICE}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: selective fact filter → star join →
+    grouped revenue → deterministic top-20 (exact decimal revenue breaks ties
+    identically across engines; TakeOrderedAndProject physical form)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: priority classes instead of the absent shipmode/
+    commitdate columns): join + CASE-bucketed conditional counts in one
+    grouped pass — the pivot-style conditional aggregation shape."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    o = _table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT CAST(100.00 AS DOUBLE)
+             * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST({_DEC_PRICE} AS DECIMAL(26,4))
+                             ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+             / CAST(sum(CAST({_DEC_PRICE} AS DECIMAL(26,4))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: global (no group keys) conditional-ratio
+    aggregate over a month of shipments with a broadcast part join."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 10, 1)))
+    )
+    p = _table(spark, sf_dir, "part")
+    vol = _disc_price().cast("decimal(26,4)")
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(26,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 14, 20, 27, 33, 42)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier relationships via lineitem — no partsupp
+    table exists): exclusion filter + IN-list pushdown + COUNT(DISTINCT)
+    per group. Spark plans distinct-agg as a two-phase partial/final expand —
+    still one shuffle family, no driver round trips."""
+    p = _table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 42))
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT CAST(sum({_DEC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: disjunction of conjunctive predicate
+    triplets spanning both join sides. Catalyst pushes the common single-side
+    conjuncts (brand/size to part, quantity bounds to lineitem) below the
+    join and evaluates the residual OR after it — the predicate-splitting
+    shape Q19 exists to test."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_idle_rich",
+    """
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(c_acctbal)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nationkey instead of the absent phone prefix):
+    scalar-subquery threshold (broadcast 1-row cross join) + anti-join
+    against recent orders — customers with above-average balances and no
+    orders since 2000. The decimal-exact mean keeps the `>` cut identical
+    across engines."""
+    c = _table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    recent = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(2000, 1, 1))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "win_lag_event_gap",
+    """
+    SELECT user_id,
+           count(gap_us) AS gap_cnt,
+           CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us,
+           max(gap_us) AS max_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_win_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key inter-arrival gaps: lag() over (user, time) then grouped gap
+    stats — the sessionization precursor every event pipeline runs. One
+    shuffle keys both the window and the aggregation on user_id. Gaps are
+    exact integer microseconds, so sums/maxes are engine-independent."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("gap_cnt"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "win_ntile_balance",
+    """
+    SELECT decile,
+           count(*) AS n,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+      SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+             c_acctbal
+      FROM customer
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_win_ntile_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding via ntile() with a deterministic total order, then
+    per-decile extrema. A global (unpartitioned) window serializes to one
+    task — acceptable for dimension-sized inputs only; at fact scale the
+    engine's percentile path (``agg_distinct_percentile``) is the scalable
+    equivalent. min/max of doubles are exact, so no decimal detour needed."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        _table(spark, sf_dir, "customer")
+        .select(F.ntile(10).over(w).alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q_agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation: all 2^2 grouping combinations in one
+    Expand+Aggregate pass (no unions of re-scans). Subtotal slots surface as
+    NULL and are labeled 'ALL' (source columns are never null here, so the
+    label is unambiguous)."""
+    return (
+        _table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -240,7 +240,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
     operator."""
     from ambient_sound_analysis_api_spark.registry import queries
 
-    one_row_broadcast = {"emb_cosine_topk", "agg_auto_interval"}
+    one_row_broadcast = {"emb_cosine_topk", "agg_auto_interval", "tpch_q22_idle_rich"}
     python_ok = {"mm_binary_meta", "mm_frame_sample"}
     problems = []
     for name, fn in queries().items():

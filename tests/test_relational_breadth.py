@@ -1,0 +1,146 @@
+"""Semantics + plan-shape tests for the adapted-TPC-H / window / grouping
+breadth queries (registry section 8).
+
+Correctness against the DuckDB oracle is the driver gate's job
+(``scripts/check_oracle.py``); these tests pin the *internal invariants*
+(conditional counts partition the total, CUBE subtotals add up, anti-join
+rows really have no matches) and the *physical shapes* that matter at scale
+(dimension broadcasts, disjunctive predicate splitting, single-shuffle
+window+agg reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.registry import (
+    _table,
+    q_agg_cube_orders,
+    q_tpch_q7_volume,
+    q_tpch_q8_market_share,
+    q_tpch_q12_priority,
+    q_tpch_q16_supplier_cnt,
+    q_tpch_q19_disjunctive,
+    q_tpch_q22_idle_rich,
+    q_win_lag_event_gap,
+    q_win_ntile_balance,
+)
+from tests.test_plans import explain_str
+
+
+def test_q12_priority_counts_partition_the_join(spark, sf_dir):
+    rows = q_tpch_q12_priority(spark, sf_dir).collect()
+    from datetime import datetime
+
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    o = _table(spark, sf_dir, "orders")
+    total = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == total
+
+
+def test_q8_share_is_a_fraction(spark, sf_dir):
+    for r in q_tpch_q8_market_share(spark, sf_dir).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_q22_rows_have_no_recent_orders_and_high_balance(spark, sf_dir):
+    from datetime import datetime
+
+    out = q_tpch_q22_idle_rich(spark, sf_dir)
+    c = _table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("v")
+        )
+        .collect()[0].v
+    )
+    qualifying = c.filter(F.col("c_acctbal") > avg_bal)
+    recent_cust = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(datetime(2000, 1, 1)))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    expected = (
+        qualifying.join(recent_cust, "c_custkey", "left_anti").count()
+    )
+    assert sum(r.numcust for r in out.collect()) == expected
+
+
+def test_cube_subtotals_are_consistent(spark, sf_dir):
+    rows = {(r.status, r.priority): r for r in q_agg_cube_orders(spark, sf_dir).collect()}
+    grand = rows[("ALL", "ALL")]
+    total_orders = _table(spark, sf_dir, "orders").count()
+    assert grand.n_orders == total_orders
+    # per-status subtotals sum to the grand total
+    status_rows = [
+        r for (s, p), r in rows.items() if p == "ALL" and s != "ALL"
+    ]
+    assert sum(r.n_orders for r in status_rows) == grand.n_orders
+    leaf = [r for (s, p), r in rows.items() if p != "ALL" and s != "ALL"]
+    assert sum(r.n_orders for r in leaf) == grand.n_orders
+    assert abs(sum(r.total_price for r in leaf) - grand.total_price) < 1e-6
+
+
+def test_cube_is_one_expand_not_a_union_of_scans(spark, sf_dir):
+    plan = explain_str(q_agg_cube_orders(spark, sf_dir), "simple")
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_lag_gaps_are_positive_and_counts_match(spark, sf_dir):
+    rows = q_win_lag_event_gap(spark, sf_dir).collect()
+    assert rows, "expected purchase gaps"
+    for r in rows:
+        assert r.max_gap_us >= r.avg_gap_us > 0
+    from ambient_sound_analysis_api_spark.registry import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.gap_cnt == per_user[r.user_id] - 1
+
+
+def test_ntile_deciles_are_balanced_and_ordered(spark, sf_dir):
+    rows = sorted(q_win_ntile_balance(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total = _table(spark, sf_dir, "customer").count()
+    sizes = [r.n for r in rows]
+    assert sum(sizes) == total
+    assert max(sizes) - min(sizes) <= 1  # ntile balance guarantee
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_bal <= b.min_bal  # deciles tile the sorted order
+
+
+def test_q7_and_q8_broadcast_every_dimension(spark, sf_dir):
+    for q in (q_tpch_q7_volume, q_tpch_q8_market_share):
+        plan = explain_str(q(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # the only sort-merge/shuffle joins allowed are the fact-fact ones
+        assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q19_splits_disjunction_below_the_join(spark, sf_dir):
+    plan = explain_str(q_tpch_q19_disjunctive(spark, sf_dir))
+    # Catalyst should derive single-side conjuncts from the OR and push them
+    # into both scans: brand/size bounds reach the part scan, quantity
+    # bounds reach the lineitem scan.
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(pushed)
+    assert "p_brand" in joined
+    assert "l_quantity" in joined
+
+
+def test_q16_distinct_agg_no_extra_shuffle(spark, sf_dir):
+    plan = explain_str(q_tpch_q16_supplier_cnt(spark, sf_dir), "simple")
+    # broadcast part join + the distinct-agg exchange family; no SMJ needed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
