@@ -44,6 +44,18 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+def letter_tokens(col: Column) -> Column:
+    """Letter/digit-run tokens of the lowercased text → array<string>.
+
+    Uses ``regexp_extract_all`` with an RE2-safe pattern (no lookarounds),
+    so the *identical* pattern runs in DuckDB — the tokenization used by the
+    oracle-checked vocabulary/TF-IDF queries. ``word_tokens`` (lookaround
+    split keeping punctuation) remains the richer variant for quality
+    scoring, where no cross-engine oracle is involved.
+    """
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
 def stopword_hits(col: Column, words: list[str] | None = None) -> Column:
     """Total occurrences of stopword tokens (exact token matches)."""
     toks = tokens(F.lower(col))

@@ -1,0 +1,84 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+The reference has no sampling surface; these are part of the engine's
+extension charter (SURVEY.md §7.7): every large-scale corpus pipeline needs
+a *reproducible* train/valid/test split and *reproducible* stratified
+downsampling, where membership is a pure function of a stable key — never
+``rand()``, which is neither repeatable across runs nor stable under
+repartitioning.
+
+Everything here is a built-in Catalyst expression (md5 + substring + conv),
+so it rides the scan: no shuffle, no Python, no driver state. At 100 TB the
+split is a WHERE clause the optimizer can place directly above the Parquet
+reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of hash buckets the key space is folded into (12 bits of the md5).
+N_BUCKETS = 4096
+
+
+def hash_bucket(key: Column, offset: int = 1) -> Column:
+    """Stable bucket in [0, 4096) from 3 hex chars of the md5 of the
+    (stringified) key, starting at 1-based ``offset``.
+
+    md5 is standardized, so the same key lands in the same bucket in any
+    engine — the property that makes splits auditable with plain SQL.
+    Distinct offsets give (for md5's purposes) independent buckets, so a
+    sampling decision and a split decision on the same key don't correlate.
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), offset, 3), 16, 10).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column,
+    *,
+    train: float = 0.8,
+    valid: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Label each row train/valid/test by deterministic key-hash bucket.
+
+    ``train``/``valid`` are fractions of the 4096-bucket space (test gets
+    the remainder). Fractions are quantized to whole buckets so the SQL
+    predicate is integer-exact.
+    """
+    b = hash_bucket(key)
+    train_hi = int(train * N_BUCKETS)
+    valid_hi = train_hi + int(valid * N_BUCKETS)
+    label = (
+        F.when(b < F.lit(train_hi), "train")
+        .when(b < F.lit(valid_hi), "valid")
+        .otherwise("test")
+    )
+    return df.withColumn(split_col, label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float],
+    stratum_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum downsample: keep a row iff its key bucket
+    falls below the stratum's quantized fraction.
+
+    Unlike ``DataFrame.sampleBy`` this is repeatable across runs, engines,
+    and partitionings, and composes with :func:`hash_split`: the sample
+    reads md5 chars 4-6 while the split reads chars 1-3, so sample-then-
+    split keeps strata proportions inside each split.
+    """
+    b = hash_bucket(key, offset=4)
+    cut = F.create_map(
+        *[
+            x
+            for s, frac in fractions.items()
+            for x in (F.lit(s), F.lit(int(frac * N_BUCKETS)))
+        ]
+    )
+    return df.filter(b < F.coalesce(cut[F.col(stratum_col)], F.lit(0)))

@@ -2405,6 +2405,185 @@ def q_agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 9. training-pipeline surface — deterministic splits, vocab, TF-IDF
+
+
+@register(
+    "pipeline_train_test_split",
+    """
+    SELECT CASE WHEN h < 'ccc' THEN 'train'
+                WHEN h < 'e65' THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h
+      FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split keyed on md5(doc_id)
+    (operators/sampling.py): membership is a pure function of the key, so
+    it is stable across runs, engines, and repartitioning — unlike rand().
+    The oracle re-derives the same buckets by hex-string comparison
+    (0.8·4096 = bucket 3276 = 0xccc; +0.1 → 3685 = 0xe65)."""
+    from .operators.sampling import hash_split
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, F.col("doc_id"), train=0.8, valid=0.1)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "pipeline_stratified_sample",
+    """
+    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 4, 3) <
+          CASE lang WHEN 'en' THEN '800' WHEN 'es' THEN '400'
+                    WHEN 'de' THEN '400' WHEN 'fr' THEN '200'
+                    WHEN 'zh' THEN '200' ELSE '000' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_pipeline_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: per-language keep fractions
+    (en 50%, es/de 25%, fr/zh 12.5%) decided by md5 chars 4-6 — independent
+    of the split decision (chars 1-3), so sampling composes with splitting
+    without correlating. A pure scan-side WHERE: no shuffle, no rand()."""
+    from .operators.sampling import stratified_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        F.col("doc_id"),
+        {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.125, "zh": 0.125},
+        "lang",
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_vocab_topk",
+    """
+    SELECT token, count(*) AS freq
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 200
+    """,
+)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode letter/digit-run tokens → global term
+    frequencies → deterministic top-200 (count desc, token asc). The explode
+    happens map-side and partial aggregation collapses each partition's
+    token counts before the single shuffle — the scalable shape for
+    tokenizer-vocab jobs over a corpus."""
+    docs = _table(spark, sf_dir, "documents")
+    from .functions.text import letter_tokens
+
+    return (
+        docs.select(F.explode(letter_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH sample_docs AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 17 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM sample_docs
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM sample_docs),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-doc term frequency × inverse document
+    frequency over a deterministic doc sample, top-1 term per document.
+    The df table is token-keyed and joins back broadcast; the corpus size N
+    is a 1-row broadcast. Scores are rounded to 4 decimals *before* ranking
+    so cross-engine ln() ulp differences can't flip the tie-break order."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    from .functions.text import letter_tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(letter_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

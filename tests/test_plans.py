@@ -240,7 +240,12 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
     operator."""
     from ambient_sound_analysis_api_spark.registry import queries
 
-    one_row_broadcast = {"emb_cosine_topk", "agg_auto_interval", "tpch_q22_idle_rich"}
+    one_row_broadcast = {
+        "emb_cosine_topk",
+        "agg_auto_interval",
+        "tpch_q22_idle_rich",
+        "text_tfidf_topk",
+    }
     python_ok = {"mm_binary_meta", "mm_frame_sample"}
     problems = []
     for name, fn in queries().items():
