@@ -48,6 +48,11 @@ HEADLINE = [
     "text_rolling_fingerprint",
     "emb_cosine_topk",
     "mm_binary_meta",
+    "tpch_q7_volume_shipping",
+    "tpch_q16_supplier_cnt",
+    "win_lag_event_gap",
+    "text_vocab_topk",
+    "pipeline_train_test_split",
 ]
 
 
