@@ -1,0 +1,138 @@
+"""Acoustic feature extraction: PCM waveform → PSD frequency bands.
+
+The reference's *upstream* package turns hydrophone audio into PSD band
+products offline (reference ``docs/upstream-notes.md:78-86``: FFT → PSD
+bands, amplitude-summed broadband); the reference API itself never touches
+raw audio (``AGENTS.md:24-25``). This module closes that loop Spark-side
+with public DSP math only: a deterministic PCM synthesizer (no codec libs
+exist in this environment, so payloads are generated, not decoded) and an
+rFFT → 1/3-octave-band PSD operator over ``mapInPandas`` — Arrow-batched
+numpy, the vectorized shape real acoustic feature extraction takes at
+scale. A deployment swaps the synthesizer for a real ``binary``-payload
+decode; the banding operator is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 1/3-octave nominal band centers up to Nyquist of the default 16 kHz rate
+#: (reference docs/upstream-notes.md:143,153-158 lists the 63–8000 family).
+THIRD_OCTAVE_HZ = [
+    63.0, 80.0, 100.0, 125.0, 160.0, 200.0, 250.0, 315.0, 400.0, 500.0,
+    630.0, 800.0, 1000.0, 1250.0, 1600.0, 2000.0, 2500.0, 3150.0, 4000.0,
+    5000.0, 6300.0,
+]
+
+WAVEFORM_SCHEMA = "media_id long, sample_rate int, n_samples int, payload binary"
+PSD_SCHEMA = "media_id long, band_hz double, value double"
+
+
+def synth_waveforms(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    sample_rate: int = 16000,
+    seconds: float = 0.25,
+) -> DataFrame:
+    """Deterministic int16-PCM test waveforms, one per input id.
+
+    Each id gets a pure tone at a 1/3-octave center chosen by
+    ``id % len(THIRD_OCTAVE_HZ)`` plus a fixed -40 dB second tone — fully
+    reproducible (no RNG), so the downstream PSD is assertable. Synthesis
+    runs distributed in ``mapInPandas`` exactly where a payload *decode*
+    would run in production.
+    """
+    n = int(sample_rate * seconds)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                f0 = THIRD_OCTAVE_HZ[int(mid) % len(THIRD_OCTAVE_HZ)]
+                f1 = THIRD_OCTAVE_HZ[(int(mid) + 7) % len(THIRD_OCTAVE_HZ)]
+                wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.005 * np.sin(
+                    2 * np.pi * f1 * t
+                )
+                pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+                rows.append((int(mid), sample_rate, n, pcm.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "payload"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(_synth, WAVEFORM_SCHEMA)
+
+
+def psd_bands(
+    waveforms: DataFrame,
+    bands: list[float] | None = None,
+) -> DataFrame:
+    """PCM payloads → per-band PSD levels (dB) in the engine's canonical
+    long form ``(media_id, band_hz, value)``.
+
+    Per Arrow batch: decode int16 → float, one vectorized ``rfft`` over the
+    whole batch (stacked rows), integrate bin powers into 1/3-octave bands
+    (edges at center·2^(±1/6)), convert to dB. All-numpy SIMD inner loop —
+    Python is entered once per batch, not per row; the surrounding plan
+    (partitioning, pruning, downstream aggs) stays JVM-side.
+    """
+    centers = bands or THIRD_OCTAVE_HZ
+
+    def _psd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        lo = np.array(centers) / (2 ** (1 / 6))
+        hi = np.array(centers) * (2 ** (1 / 6))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            groups: dict[tuple[int, int], list[tuple[int, bytes]]] = {}
+            for mid, sr, ns, payload in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["n_samples"], pdf["payload"]
+            ):
+                groups.setdefault((int(sr), int(ns)), []).append((int(mid), payload))
+            out_ids, out_bands, out_vals = [], [], []
+            for (sr, ns), rows in groups.items():
+                X = np.stack(
+                    [np.frombuffer(p, dtype="<i2").astype(np.float64) / 32768.0
+                     for _, p in rows]
+                )
+                spec = np.fft.rfft(X, axis=1)
+                # one-sided power spectral density (Parseval-normalized)
+                psd = (np.abs(spec) ** 2) / (sr * ns)
+                psd[:, 1:-1] *= 2.0
+                freqs = np.fft.rfftfreq(ns, d=1.0 / sr)
+                for bi, (flo, fhi, fc) in enumerate(zip(lo, hi, centers)):
+                    if fhi > sr / 2:
+                        continue
+                    mask = (freqs >= flo) & (freqs < fhi)
+                    band_power = psd[:, mask].sum(axis=1) * (sr / ns)
+                    vals = 10.0 * np.log10(band_power + 1e-20)
+                    for (mid, _), v in zip(rows, vals):
+                        out_ids.append(mid)
+                        out_bands.append(float(fc))
+                        out_vals.append(float(v))
+            yield pd.DataFrame(
+                {"media_id": out_ids, "band_hz": out_bands, "value": out_vals}
+            )
+
+    return waveforms.mapInPandas(_psd, PSD_SCHEMA)
+
+
+def peak_band(psd: DataFrame) -> DataFrame:
+    """Loudest band per media item — ``max_by`` keeps the argmax JVM-side
+    (single grouped pass, no window/sort)."""
+    return (
+        psd.groupBy("media_id")
+        .agg(
+            F.max_by("band_hz", "value").alias("peak_band_hz"),
+            F.max("value").alias("peak_db"),
+        )
+        .orderBy("media_id")
+    )

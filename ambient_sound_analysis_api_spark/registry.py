@@ -2583,6 +2583,23 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm_audio_psd_peak", None)
+def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic pipeline end-to-end: deterministic PCM synthesis (stand-in
+    for payload decode) → Arrow-batched rFFT → 1/3-octave PSD long rows →
+    JVM-side per-media peak band (operators/audio.py). Reproduces the
+    reference *upstream's* FFT→PSD-band product shape (upstream-notes.md:
+    78-86) with public DSP math; rows-only check (no SQL FFT oracle), the
+    tone→band physics is unit-tested."""
+    from .operators import audio
+
+    ids = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    waves = audio.synth_waveforms(ids)
+    return audio.peak_band(audio.psd_bands(waves))
+
+
 # ---------------------------------------------------------------------------
 
 

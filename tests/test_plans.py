@@ -246,7 +246,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "tpch_q22_idle_rich",
         "text_tfidf_topk",
     }
-    python_ok = {"mm_binary_meta", "mm_frame_sample"}
+    python_ok = {"mm_binary_meta", "mm_frame_sample", "mm_audio_psd_peak"}
     problems = []
     for name, fn in queries().items():
         plan = explain_str(fn(spark, sf_dir), "simple")
