@@ -2583,6 +2583,128 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_json_props",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction: parse the ``props`` JSON column with
+    ``get_json_object`` and aggregate the extracted integers — the
+    semi-structured scalar-function surface (absent from the reference,
+    §2.8 has no JSON functions). The extraction is a Catalyst expression
+    (JVM JSON path evaluation), not a Python parse."""
+    ev = _events(spark, sf_dir, WINDOW_START, WINDOW_END)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "win_rank_family",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 4) AS prnk,
+           round(cume_dist() OVER w, 4) AS cdist
+    FROM orders
+    WHERE o_custkey % 200 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderpriority, rnk, o_orderkey
+    """,
+)
+def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (rank / dense_rank / percent_rank /
+    cume_dist) over one window spec — one sort serves all four functions
+    (single Window physical node). percent_rank/cume_dist are exact
+    rationals; round(…,4) guards the float formatting edge across
+    engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 200 == 0)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 4).alias("prnk"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "streaming_tumbling_mean_15m",
+    f"""
+    SELECT event_type AS hydrophone,
+           (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+      AND event_type = 'click' AND isfinite(value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute mean executed on REAL streaming machinery: file
+    source → ``trigger(availableNow)`` → memory sink (streaming/windows.py
+    ``run_available_now``), then oracle-checked against the same plain-SQL
+    bucket mean every batch query uses — streaming/batch parity as a gated
+    query, not just a unit test. Decimal-exact mean keeps the hash stable
+    across engines AND across micro-batch accumulation order."""
+    from .functions.scalars import decimal_mean
+    from .streaming.windows import run_available_now
+
+    src = _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END).filter(
+        (F.col("hydrophone") == "click") & is_finite(F.col("value"))
+    )
+
+    def agg_stream(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                "hydrophone",
+                F.window("ts", "15 minutes").alias("w"),
+            )
+            .agg(decimal_mean(F.col("value")).alias("mean_value"))
+            .select(
+                "hydrophone",
+                F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                "mean_value",
+            )
+        )
+
+    return run_available_now(spark, src, agg_stream).orderBy(
+        "hydrophone", "bucket_s"
+    )
+
+
 @register("mm_audio_psd_peak", None)
 def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic pipeline end-to-end: deterministic PCM synthesis (stand-in

@@ -45,3 +45,41 @@ def streaming_resample_mean(
         F.col("w.start").alias("bucket_ts"),
         "mean_value",
     )
+
+
+_RUN_COUNTER = 0
+
+
+def run_available_now(spark, batch_df: DataFrame, transform, *, prefix: str = "stream_run"):
+    """Execute ``transform(stream)`` as a REAL Structured-Streaming query
+    over ``batch_df``'s rows and return the final result as a batch
+    DataFrame.
+
+    The batch rows are staged to a temp Parquet directory, read back with
+    ``readStream`` (file source), run with ``trigger(availableNow=True)``
+    (process-everything-then-stop — the bounded-backfill trigger) into a
+    memory sink in complete mode, and the sink's table is returned. This is
+    how the engine proves streaming/batch parity on real streaming
+    machinery rather than on a batch re-interpretation of the same plan;
+    in production the same ``transform`` attaches to a live file/Kafka
+    source unchanged.
+    """
+    import tempfile
+
+    global _RUN_COUNTER
+    _RUN_COUNTER += 1
+    name = f"{prefix}_{_RUN_COUNTER}"
+    src_dir = tempfile.mkdtemp(prefix=f"{name}_src_")
+    batch_df.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

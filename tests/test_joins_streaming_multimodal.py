@@ -124,3 +124,41 @@ def test_sample_frames_one_to_many(spark):
     assert sorted(r["frame_idx"] for r in by_id[7]) == [0, 2, 4, 6, 8]
     assert all(r["n_bytes"] == 4 for r in by_id[7])
     assert 8 not in by_id  # payload shorter than one frame → no rows
+
+
+def test_run_available_now_matches_batch_agg(spark, sf_dir):
+    """run_available_now executes the transform on real streaming machinery;
+    the final memory-sink table must equal the same aggregation run as a
+    plain batch plan over the same rows."""
+    from ambient_sound_analysis_api_spark.registry import (
+        WINDOW_END,
+        WINDOW_START,
+        _broadband_view,
+    )
+    from ambient_sound_analysis_api_spark.streaming.windows import run_available_now
+
+    src = _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END).filter(
+        F.col("hydrophone") == "view"
+    )
+
+    def agg_stream(stream):
+        return (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy("hydrophone", F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("hydrophone", F.col("w.start").alias("bucket_ts"), "n")
+        )
+
+    streamed = sorted(
+        tuple(r) for r in run_available_now(spark, src, agg_stream).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in src.groupBy(
+            "hydrophone", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select("hydrophone", F.col("w.start").alias("bucket_ts"), "n")
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
