@@ -2705,6 +2705,43 @@ def q_streaming_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "setop_not_in_null_aware",
+    """
+    SELECT c_nationkey, count(*) AS n
+    FROM customer
+    WHERE nullif(c_custkey, 77) NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        AND o_totalprice > 300000)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_setop_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN anti-join — the three-valued-logic corner a plain
+    left-anti join gets WRONG: a NULL outer key (here injected via nullif)
+    must be excluded because `NULL NOT IN (...)` is UNKNOWN, and if the
+    subquery produced a NULL the whole predicate would reject every row.
+    Spark plans this as a null-aware broadcast anti join (NAAJ); expressed
+    through spark.sql because the DataFrame API has no NOT IN subquery
+    form."""
+    _table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n
+        FROM v_customer
+        WHERE nullif(c_custkey, 77) NOT IN (
+          SELECT o_custkey FROM v_orders
+          WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            AND o_totalprice > 300000)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
 @register("mm_audio_psd_peak", None)
 def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic pipeline end-to-end: deterministic PCM synthesis (stand-in

@@ -144,3 +144,25 @@ def test_q16_distinct_agg_no_extra_shuffle(spark, sf_dir):
     # broadcast part join + the distinct-agg exchange family; no SMJ needed
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_not_in_is_null_aware_anti_join(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_setop_not_in_null_aware
+
+    plan = explain_str(q_setop_not_in_null_aware(spark, sf_dir), "simple")
+    # trailing `true` on the LeftAnti broadcast join = isNullAwareAntiJoin
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_not_in_with_null_in_subquery_rejects_everything(spark, sf_dir):
+    """Three-valued logic: one NULL in the NOT IN subquery makes the
+    predicate UNKNOWN for every outer row -> empty result."""
+    _table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    n = spark.sql(
+        """
+        SELECT count(*) AS n FROM v_customer
+        WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM v_orders)
+        """
+    ).collect()[0].n
+    assert n == 0
