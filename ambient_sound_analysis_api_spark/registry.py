@@ -2742,6 +2742,63 @@ def q_setop_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_moving_avg_1h",
+    """
+    SELECT event_type AS hydrophone, event_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
+             / count(value) OVER w AS moving_avg
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+      AND isfinite(value)
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour moving average via a RANGE window frame over epoch
+    seconds — the *sliding* counterpart to the engine's tumbling resample
+    (reference A3 has only tumbling). RANGE (not ROWS) makes same-second
+    peers share a frame, so the result is deterministic under any tie
+    order; the decimal-exact running sum keeps it hash-stable across
+    engines. One shuffle on the partition key serves sort + frame."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import Window
+
+    ev = _events(
+        spark, sf_dir, _dt(2024, 1, 5), _dt(2024, 1, 6)
+    ).filter((F.col("event_type") == "error") & is_finite(F.col("value")))
+    sec = (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    base = ev.select(
+        F.col("event_type").alias("hydrophone"),
+        "event_id",
+        sec.alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("hydrophone")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(20,2)")
+    return (
+        base.select(
+            "hydrophone",
+            "event_id",
+            "sec",
+            (F.sum(dec).over(w).cast("double") / F.count("value").over(w)).alias(
+                "moving_avg"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
 @register("mm_audio_psd_peak", None)
 def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic pipeline end-to-end: deterministic PCM synthesis (stand-in

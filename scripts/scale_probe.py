@@ -1,0 +1,119 @@
+"""Scale probe: re-run selected registry plans on K×-replicated inputs.
+
+Builds a synthetic K× corpus in a temp dir (events replicated with shifted
+ids/timestamps; documents replicated with fresh doc_ids — an adversarial
+dup-heavy corpus, since every text gains K-1 exact copies), symlinks the
+untouched tables, then times each probed query at 1× and K×. The point is
+the *scaling exponent*, not the absolute numbers: a plan that is ~linear
+here has no hidden all-pairs/driver-side bottleneck to ambush a 1000×
+cluster run.
+
+Usage: python scripts/scale_probe.py [K] [query ...]
+Results land in stdout as one JSON line; methodology + measured numbers are
+recorded in NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ambient_sound_analysis_api_spark.registry import queries  # noqa: E402
+from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_QUERIES = [
+    "win_lag_event_gap",
+    "scalar_json_props",
+    "streaming_tumbling_mean_15m",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "pipeline_train_test_split",
+    "mm_audio_psd_peak",
+]
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_corpus(spark, k: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+    for t in TABLES:
+        src = f"{BASE}/{t}.parquet"
+        if t not in ("events", "documents"):
+            os.symlink(src, f"{out}/{t}.parquet")
+            continue
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = None
+    for i in range(k):
+        # shift ids so keys stay unique; nudge ts by i seconds so bucket
+        # densities grow K× instead of duplicating identical instants
+        shifted = ev.select(
+            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
+            (F.col("ts") + F.lit(i * 1_000_000_000)).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        reps = shifted if reps is None else reps.unionAll(shifted)
+    reps.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = None
+    for i in range(k):
+        shifted = docs.select(
+            (F.col("doc_id") + F.lit(i * n_doc)).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        reps = shifted if reps is None else reps.unionAll(shifted)
+    reps.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    n_ev_out = spark.read.parquet(f"{out}/events.parquet").count()
+    n_doc_out = spark.read.parquet(f"{out}/documents.parquet").count()
+    print(
+        f"# corpus {out}: events {n_ev_out:,} docs {n_doc_out:,}",
+        file=sys.stderr,
+    )
+    return out
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    best, n = float("inf"), 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    spark = get_spark("scale-probe")
+    big = build_corpus(spark, k)
+    qs = queries()
+    out = {"k": k, "base": BASE, "queries": {}}
+    for name in names:
+        t1, n1 = time_query(qs[name], spark, BASE)
+        tk, nk = time_query(qs[name], spark, big)
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        out["queries"][name] = {
+            "t_1x": round(t1, 2), "rows_1x": n1,
+            f"t_{k}x": round(tk, 2), f"rows_{k}x": nk,
+            "time_ratio": round(ratio, 1),
+        }
+        print(f"# {name}: {t1:.2f}s -> {tk:.2f}s ({ratio:.1f}x)", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

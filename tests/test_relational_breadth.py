@@ -166,3 +166,25 @@ def test_not_in_with_null_in_subquery_rejects_everything(spark, sf_dir):
         """
     ).collect()[0].n
     assert n == 0
+
+
+def test_moving_avg_range_frame_semantics(spark, sf_dir):
+    """Hand-check the RANGE frame: each row's moving_avg equals the plain
+    mean of values within [sec-3599, sec] for that hydrophone."""
+    from ambient_sound_analysis_api_spark.registry import q_ts_moving_avg, _events
+    from datetime import datetime
+
+    rows = q_ts_moving_avg(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        _events(spark, sf_dir, datetime(2024, 1, 5), datetime(2024, 1, 6))
+        .filter(F.col("event_type") == "error")
+        .select((F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"), "value")
+        .collect()
+    )
+    pts = sorted((r.sec, r.value) for r in ev)
+    import math
+
+    for r in rows[:50]:
+        vals = [v for s, v in pts if r.sec - 3599 <= s <= r.sec and math.isfinite(v)]
+        assert abs(r.moving_avg - sum(vals) / len(vals)) < 1e-6
