@@ -2799,6 +2799,84 @@ def q_ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate with
+    every predicate pushed to the Parquet reader — the minimal probe that
+    pushdown, codegen and partial aggregation are all engaged (no shuffle
+    beyond the single-row final agg)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "upsert_merge_customers",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey,
+             CAST(0.0 AS DOUBLE), 'NEW'
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE b.c_name END AS c_name,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+    FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format (operators/upsert.py):
+    a changes feed (balance corrections for every 7th customer + brand-new
+    rows) full-outer-joins the base with changes-wins precedence — the
+    relational core Delta/Iceberg MERGE executes underneath. Oracle is the
+    equivalent FULL OUTER JOIN + CASE."""
+    from .operators.upsert import merge_upsert
+
+    base = _table(spark, sf_dir, "customer")
+    corrections = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    inserts = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    changes = corrections.unionByName(inserts)
+    return merge_upsert(base, changes, ["c_custkey"]).orderBy("c_custkey")
+
+
 @register("mm_audio_psd_peak", None)
 def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic pipeline end-to-end: deterministic PCM synthesis (stand-in

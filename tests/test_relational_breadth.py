@@ -188,3 +188,40 @@ def test_moving_avg_range_frame_semantics(spark, sf_dir):
     for r in rows[:50]:
         vals = [v for s, v in pts if r.sec - 3599 <= s <= r.sec and math.isfinite(v)]
         assert abs(r.moving_avg - sum(vals) / len(vals)) < 1e-6
+
+
+def test_merge_upsert_semantics(spark):
+    from ambient_sound_analysis_api_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", None), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    out = {r.k: (r.name, r.v) for r in merge_upsert(base, changes, ["k"]).collect()}
+    assert out[1] == ("a", 10.0)          # base passthrough
+    assert out[2] == ("b2", None)         # changes win, even a NULL value
+    assert out[3] == ("c", 30.0)
+    assert out[4] == ("d", 40.0)          # insert
+    assert len(out) == 4
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+
+    from ambient_sound_analysis_api_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k int, name string")
+    changes = spark.createDataFrame([(1, 2.0)], "k int, other double")
+    with pytest.raises(ValueError):
+        merge_upsert(base, changes, ["k"])
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_tpch_q6
+
+    plan = explain_str(q_tpch_q6(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
