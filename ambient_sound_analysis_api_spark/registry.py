@@ -2894,6 +2894,31 @@ def q_mm_audio_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.peak_band(audio.psd_bands(waves))
 
 
+@register("mm_audio_spectrogram", None)
+def q_mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed spectrogram → per-(media, band) mean level: reproduces the
+    upstream PSD-timeseries product (time axis × 1/3-octave bands) and then
+    runs the engine's standard long-form vertical aggregation over it —
+    the full acoustic pipeline from samples to banded summary. Rows-only
+    (no SQL FFT oracle); framing math is unit-tested."""
+    from .operators import audio
+
+    ids = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    spec = audio.spectrogram(audio.synth_waveforms(ids))
+    return (
+        spec.groupBy("media_id", "band_hz")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.avg("value").alias("mean_db"),
+        )
+        .orderBy("media_id", "band_hz")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

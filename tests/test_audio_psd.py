@@ -85,3 +85,30 @@ def test_registry_audio_query_is_deterministic(spark, sf_dir):
     b = sorted(tuple(r) for r in q_mm_audio_psd(spark, sf_dir).collect())
     assert a == b
     assert len(a) > 0
+
+
+def test_spectrogram_framing_and_tone_tracking(spark):
+    """0.25s at 16 kHz with 1/16s frames -> 4 frames per media; the tone
+    band must be the per-frame argmax in every frame."""
+    from ambient_sound_analysis_api_spark.operators.audio import spectrogram
+
+    n = 6
+    waves = synth_waveforms(_ids(spark, n))
+    rows = spectrogram(waves).collect()
+    frames = {}
+    for r in rows:
+        frames.setdefault((r.media_id, r.frame_idx), []).append((r.value, r.band_hz))
+    media = {m for m, _ in frames}
+    assert media == set(range(n))
+    assert {f for _, f in frames} == {0, 1, 2, 3}
+    for (mid, _), pairs in frames.items():
+        peak = max(pairs)[1]
+        assert peak == THIRD_OCTAVE_HZ[mid % len(THIRD_OCTAVE_HZ)], mid
+
+
+def test_spectrogram_registry_query_shapes(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_mm_audio_spectrogram
+
+    rows = q_mm_audio_spectrogram(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_frames == 4 for r in rows)
