@@ -230,7 +230,12 @@ def token_ngram_hashes(col: Column, n: int) -> Column:
     """
     toks = tokens(F.lower(col))
     if n == 1:
-        return F.transform(toks, lambda t: F.xxhash64(t))
+        # guard blank docs: split('') yields [''], which would hash to a
+        # phantom unigram shingle that token_count/token_ngrams treat as
+        # absent — blank docs must not pair in unigram dedup paths
+        return F.when(
+            F.trim(col) == "", F.array().cast("array<long>")
+        ).otherwise(F.transform(toks, lambda t: F.xxhash64(t)))
     shifted = [toks.alias("t0")] + [
         F.slice(toks, k + 1, F.size(toks)).alias(f"t{k}") for k in range(1, n)
     ]

@@ -19,8 +19,10 @@ multiple fronts against the same Spark cluster / data root.
 from __future__ import annotations
 
 import json
+import os
 import threading
-from datetime import datetime
+import time
+from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -65,7 +67,42 @@ def _jsonable(obj):
     return obj
 
 
-def make_handler(engine: Engine):
+class TimingLog:
+    """S7 per-request timing sink (reference ``app/main.py:48-81``: timing
+    middleware logging latency + payload size to stdout and
+    ``logs/api-timing.log``).
+
+    One line per completed request: ISO-UTC timestamp, method, path, status,
+    wall milliseconds, response bytes, and the point/time count when the
+    route exposes one via its ``X-*-Count`` header.
+    """
+
+    def __init__(self, path: str | None = "logs/api-timing.log", echo: bool = True):
+        self.path = path
+        self.echo = echo
+        self._lock = threading.Lock()
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def record(
+        self, method: str, path: str, status: int, wall_ms: float,
+        n_bytes: int, points: int | None,
+    ) -> None:
+        stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+        line = (
+            f"{stamp} {method} {path} status={status} "
+            f"ms={wall_ms:.1f} bytes={n_bytes}"
+            + (f" points={points}" if points is not None else "")
+        )
+        with self._lock:
+            if self.echo:
+                print(line, flush=True)
+            if self.path:
+                with open(self.path, "a") as fh:
+                    fh.write(line + "\n")
+
+
+def make_handler(engine: Engine, timing: TimingLog | None = None):
     """Build the request-handler class bound to one Engine instance."""
 
     class Handler(BaseHTTPRequestHandler):
@@ -73,15 +110,35 @@ def make_handler(engine: Engine):
         def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
             url = urlparse(self.path)
             params = parse_qs(url.query)
+            t0 = time.perf_counter()
+            status, n_bytes, points = 200, 0, None
             try:
                 body, headers = self._dispatch(url.path, params)
             except RequestValidationError as exc:
-                self._send(400, {"detail": str(exc)})
-                return
+                status = 400
+                n_bytes = self._send(status, {"detail": str(exc)})
             except EngineError as exc:
-                self._send(502, {"detail": str(exc)})
-                return
-            self._send(200, body, headers)
+                status = 502
+                n_bytes = self._send(status, {"detail": str(exc)})
+            except Exception:  # noqa: BLE001 — a bug must surface as a
+                # structured 500 (the reference's FastAPI does the same),
+                # not a dropped connection
+                import traceback
+
+                traceback.print_exc()
+                status = 500
+                n_bytes = self._send(status, {"detail": "internal error"})
+            else:
+                for key in ("X-Point-Count", "X-Time-Count"):
+                    if key in headers:
+                        points = int(headers[key])
+                        break
+                n_bytes = self._send(status, body, headers)
+            if timing is not None:
+                timing.record(
+                    "GET", url.path, status,
+                    (time.perf_counter() - t0) * 1000.0, n_bytes, points,
+                )
 
         def _dispatch(self, path: str, p: dict):
             e = engine
@@ -168,7 +225,7 @@ def make_handler(engine: Engine):
                 return out, {}
             raise RequestValidationError(f"unknown route {path}")
 
-        def _send(self, status: int, body: dict, headers: dict | None = None) -> None:
+        def _send(self, status: int, body: dict, headers: dict | None = None) -> int:
             payload = json.dumps(_jsonable(body), default=str).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
@@ -177,6 +234,7 @@ def make_handler(engine: Engine):
                 self.send_header(k, str(v))
             self.end_headers()
             self.wfile.write(payload)
+            return len(payload)
 
         def log_message(self, fmt: str, *args) -> None:  # quiet test output
             pass
@@ -184,9 +242,13 @@ def make_handler(engine: Engine):
     return Handler
 
 
-def serve(engine: Engine, port: int = 0) -> ThreadingHTTPServer:
+def serve(
+    engine: Engine, port: int = 0, timing: TimingLog | None = None
+) -> ThreadingHTTPServer:
     """Start the API on a daemon thread; returns the server (``.server_port``
     for the bound port, ``.shutdown()`` to stop)."""
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(engine))
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(engine, timing=timing)
+    )
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd

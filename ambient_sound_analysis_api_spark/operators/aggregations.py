@@ -42,6 +42,18 @@ def resample_mean(
     Parity with pandas ``df.resample(rule).mean()`` as used at
     ``app/services/get_aggregations.py:97, 187, 254`` — calendar/epoch
     aligned buckets labeled by bucket start, NaN-skipping mean.
+
+    **Documented divergence (non-finite handling, mirrors the U1 note in the
+    module docstring):** non-finite *inputs* (±inf) are dropped before the
+    mean. The reference lets ±inf propagate through pandas ``mean`` and only
+    drops non-finite *outputs* at serialization (P6, ``README.md:138``), so
+    for a bucket containing one ``+inf`` among finite points the reference
+    drops the whole bucket while this engine returns the mean of the finite
+    points. Deliberate: an instrument glitch should cost one sample, not a
+    bucket — and bucket presence stays insensitive to a single bad point.
+    NaN behaves identically in both engines (skipped by pandas ``mean``,
+    excluded here by the same filter). Pinned by
+    ``tests/test_aggregations.py::test_resample_mean_inf_divergence``.
     """
     df = df.filter(is_finite(F.col(value_col)))
     group = [*(keys or []), time_bucket(F.col(ts_col), interval_s).alias("bucket_ts")]

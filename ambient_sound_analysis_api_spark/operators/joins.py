@@ -130,9 +130,21 @@ def salted_join(
     AQE's runtime skew-join split (``spark.sql.adaptive.skewJoin``) is the
     first line of defense and needs no code change; explicit salting remains
     the tool when AQE is off, when skew is known a priori, or for non-sort-
-    merge plans AQE won't split. Results are identical to the plain join for
-    any salt assignment — the salt only redistributes rows.
+    merge plans AQE won't split.
+
+    Only ``inner`` and ``left`` joins are supported: for those, results are
+    identical to the plain join for any salt assignment (the salt only
+    redistributes matching rows, and every left row carries exactly one
+    salt). A ``right``/``full_outer`` join over the salt-exploded right side
+    would emit each *unmatched* right row once per salt value — ``salt``
+    phantom copies — so those modes raise instead of silently corrupting.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "an outer join on the salt-replicated right side duplicates "
+            "unmatched right rows"
+        )
     salted_l = left.withColumn("_salt", (F.rand(42) * salt).cast("int"))
     salted_r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

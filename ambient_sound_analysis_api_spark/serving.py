@@ -19,6 +19,8 @@ Request memoization mirrors the reference's ``lru_cache`` layer
 
 from __future__ import annotations
 
+import copy
+import functools
 import math
 from datetime import datetime, timedelta
 from functools import lru_cache
@@ -32,6 +34,7 @@ from .operators import aggregations as agg
 from .operators import timeseries as ts_ops
 from .operators.planner import (
     INTERVALS,
+    MAX_AGGREGATION_POINTS,
     MAX_WINDOW_DAYS,
     check_point_cap,
     expected_point_count,
@@ -44,6 +47,26 @@ from .operators.validation import integrity_probe, validate_request
 from .sources.catalog import build_catalog
 
 _ISO = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def _memoized(fn, maxsize: int):
+    """``lru_cache`` that hands each caller a deep copy of the cached payload.
+
+    A raw ``lru_cache`` returns the *same* dict object to every caller; a
+    consumer that mutates its response (e.g. appends to ``out['points']``)
+    would silently poison the cache for all later identical requests. The
+    cached object stays private; ``cache_info``/``cache_clear`` are
+    re-exported for tests and operational cache busting.
+    """
+    cached = lru_cache(maxsize=maxsize)(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return copy.deepcopy(cached(*args, **kwargs))
+
+    wrapper.cache_info = cached.cache_info
+    wrapper.cache_clear = cached.cache_clear
+    return wrapper
 
 
 def _norm_slug(name: str) -> str:
@@ -72,16 +95,14 @@ class Engine:
         # memoized request entry points (reference lru_cache sizes,
         # app/services/get_options.py:54, get_timeseries.py:233,287,
         # get_aggregations.py:310-548)
-        self.options = lru_cache(maxsize=16)(self._options)
-        self.broadband_timeseries = lru_cache(maxsize=128)(self._broadband_timeseries)
-        self.psd_timeseries = lru_cache(maxsize=128)(self._psd_timeseries)
-        self.broadband_aggregation = lru_cache(maxsize=64)(self._broadband_aggregation)
-        self.band_aggregation = lru_cache(maxsize=64)(self._band_aggregation)
-        self.psd_heatmap = lru_cache(maxsize=64)(self._psd_heatmap)
-        self.daily_summary = lru_cache(maxsize=64)(self._daily_summary)
-        self.daily_broadband_summary = lru_cache(maxsize=64)(
-            self._daily_broadband_summary
-        )
+        self.options = _memoized(self._options, 16)
+        self.broadband_timeseries = _memoized(self._broadband_timeseries, 128)
+        self.psd_timeseries = _memoized(self._psd_timeseries, 128)
+        self.broadband_aggregation = _memoized(self._broadband_aggregation, 64)
+        self.band_aggregation = _memoized(self._band_aggregation, 64)
+        self.psd_heatmap = _memoized(self._psd_heatmap, 64)
+        self.daily_summary = _memoized(self._daily_summary, 64)
+        self.daily_broadband_summary = _memoized(self._daily_broadband_summary, 64)
 
     # ------------------------------------------------------------------ scans
 
@@ -124,6 +145,43 @@ class Engine:
             & (F.lit(end) >= F.col("first_start"))
         ).collect()
         return int(sum(r["file_count"] for r in rows))
+
+    # ----------------------------------------------------------- cap preflight
+
+    def _precollect_point_cap(
+        self,
+        bucketed: DataFrame,
+        start: datetime,
+        end: datetime,
+        interval_s: int,
+        what: str,
+        time_col: str | None = None,
+    ) -> None:
+        """Enforce the 2,000-point cap BEFORE any ``.collect()``.
+
+        Two tiers, so the common (accepted) request costs zero extra jobs:
+
+        1. Arithmetic bound: a tumbling-window aggregation over
+           ``[start, end)`` can produce at most
+           ``ceil(window/interval) + 1`` aligned buckets (the +1 covers a
+           start that is not bucket-aligned). If that bound already fits the
+           cap, the collect is provably bounded — skip the probe.
+        2. Exact DF-side count: when the bound exceeds the cap the *actual*
+           bucket count may still be small (sparse archives), so reject only
+           on a real count — a scalar aggregate job that never materializes
+           rows on the driver. This replaces the reference's
+           collect-then-check (``app/services/get_aggregations.py:506-510``),
+           whose failure mode at scale is materializing millions of buckets
+           driver-side only to raise.
+
+        ``time_col`` counts distinct bucket timestamps instead of rows for
+        long-form results that carry one row per (bucket, band) cell.
+        """
+        bound = expected_point_count(start, end, interval_s) + 1
+        if bound <= MAX_AGGREGATION_POINTS:
+            return
+        probe = bucketed.select(time_col).distinct() if time_col else bucketed
+        check_point_cap(probe.count(), what)
 
     # ---------------------------------------------------------------- options
 
@@ -278,9 +336,12 @@ class Engine:
                 start, end,
             )
         scan = self._scan("broadband", None, delta_t, slug, start, end)
+        bucketed = agg.resample_mean(scan, INTERVALS[interval])
+        self._precollect_point_cap(
+            bucketed, start, end, INTERVALS[interval], "broadband aggregation"
+        )
         buckets = (
-            agg.resample_mean(scan, INTERVALS[interval])
-            .select(
+            bucketed.select(
                 F.date_format("bucket_ts", _ISO).alias("t"), "mean_value"
             )
             .orderBy("t")
@@ -330,9 +391,12 @@ class Engine:
             raise RequestValidationError(
                 f"no PSD bands in range [{band_low}, {band_high}]"
             )
+        bucketed = agg.band_mean(scan, INTERVALS[interval], band_low, band_high)
+        self._precollect_point_cap(
+            bucketed, start, end, INTERVALS[interval], "band aggregation"
+        )
         buckets = (
-            agg.band_mean(scan, INTERVALS[interval], band_low, band_high)
-            .select(F.date_format("bucket_ts", _ISO).alias("t"), "mean_value")
+            bucketed.select(F.date_format("bucket_ts", _ISO).alias("t"), "mean_value")
             .orderBy("t")
             .collect()
         )
@@ -376,10 +440,12 @@ class Engine:
                 delta_t, start, end,
             )
         scan = self._scan(freq_type, freq_value, delta_t, slug, start, end)
-        cells = (
-            agg.resample_mean(scan, INTERVALS[interval], keys=["band_hz"])
-            .collect()
+        cell_df = agg.resample_mean(scan, INTERVALS[interval], keys=["band_hz"])
+        self._precollect_point_cap(
+            cell_df, start, end, INTERVALS[interval], "psd heatmap",
+            time_col="bucket_ts",
         )
+        cells = cell_df.collect()
         times = sorted({r["bucket_ts"] for r in cells})
         check_point_cap(len(times), "psd heatmap")
         bands = sorted({r["band_hz"] for r in cells})

@@ -17,7 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from ambient_sound_analysis_api_spark.http_api import serve  # noqa: E402
+from ambient_sound_analysis_api_spark.http_api import TimingLog, serve  # noqa: E402
 from ambient_sound_analysis_api_spark.serving import Engine  # noqa: E402
 from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
 from ambient_sound_analysis_api_spark.sources.domain import (  # noqa: E402
@@ -36,7 +36,11 @@ def main() -> None:
     if not os.path.exists(f"{args.root}/data"):
         print(f"materializing domain from {args.sf_dir} -> {args.root}")
         materialize_domain(spark, args.sf_dir, args.root)
-    httpd = serve(Engine(spark, args.root), port=args.port)
+    httpd = serve(
+        Engine(spark, args.root),
+        port=args.port,
+        timing=TimingLog(os.path.join(REPO, "logs", "api-timing.log")),
+    )
     print(f"serving on http://127.0.0.1:{httpd.server_port}  (Ctrl-C to stop)")
     try:
         import time

@@ -77,6 +77,31 @@ def test_resample_skips_nonfinite(spark):
     assert out[0]["mean_value"] == 15.0
 
 
+def test_resample_mean_inf_divergence(spark):
+    """Pins the documented divergence from the reference (resample_mean
+    docstring): a bucket containing ±inf among finite points yields the mean
+    of its FINITE points here, whereas the reference (inf propagates through
+    pandas mean, output dropped as non-finite at serialization) drops the
+    whole bucket. A bucket that is all-non-finite produces no row at all."""
+    rows = [
+        # bucket 0: finite + inf → mean of finite survivors
+        (START, 10.0),
+        (START + timedelta(seconds=1), float("inf")),
+        (START + timedelta(seconds=2), 20.0),
+        # bucket 1: -inf only → filtered to empty, no output row
+        (START + timedelta(seconds=60), float("-inf")),
+        # bucket 2: NaN + finite → identical in both engines (NaN skipped)
+        (START + timedelta(seconds=120), float("nan")),
+        (START + timedelta(seconds=121), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["bucket_ts"]: r["mean_value"] for r in resample_mean(df, 60).collect()}
+    assert out == {
+        START: 15.0,  # reference would drop this bucket entirely
+        START + timedelta(seconds=120): 7.0,
+    }
+
+
 def test_band_mean_filters_range(spark):
     rows = [
         (START, 63.0, 10.0),

@@ -9,18 +9,23 @@ import urllib.request
 
 import pytest
 
-from ambient_sound_analysis_api_spark.http_api import serve
+from ambient_sound_analysis_api_spark.http_api import TimingLog, serve
 from ambient_sound_analysis_api_spark.serving import Engine
 from ambient_sound_analysis_api_spark.sources.domain import materialize_domain
 
 WS, WE = "2024-01-05T00:00:00", "2024-01-12T00:00:00"
+
+_TIMING_PATH: list[str] = []
 
 
 @pytest.fixture(scope="module")
 def api(spark, sf_dir, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("http_domain"))
     materialize_domain(spark, sf_dir, root)
-    httpd = serve(Engine(spark, root))
+    log_path = str(tmp_path_factory.mktemp("logs") / "api-timing.log")
+    _TIMING_PATH.clear()
+    _TIMING_PATH.append(log_path)
+    httpd = serve(Engine(spark, root), timing=TimingLog(log_path, echo=False))
     yield f"http://127.0.0.1:{httpd.server_port}"
     httpd.shutdown()
 
@@ -88,6 +93,37 @@ def test_band_aggregation_endpoint(api):
     )
     assert body["band_low"] == 100.0 and body["band_high"] == 1000.0
     assert len(body["points"]) == int(headers["X-Point-Count"]) > 0
+
+
+def test_timing_log_line_per_request(api):
+    """S7: every completed request (success or error) appends one timing
+    line with wall-time and payload size (reference ``app/main.py:48-81``)."""
+    path = _TIMING_PATH[0]
+    before = sum(1 for _ in open(path)) if __import__("os").path.exists(path) else 0
+    _get(f"{api}/timeseries/broadband?hydrophone=click&start={WS}&end={WE}")
+    with pytest.raises(urllib.error.HTTPError):
+        _get(f"{api}/nope")
+    lines = open(path).read().splitlines()
+    assert len(lines) == before + 2
+    ok_line, err_line = lines[-2], lines[-1]
+    assert "GET /timeseries/broadband" in ok_line
+    assert "status=200" in ok_line and "ms=" in ok_line and "bytes=" in ok_line
+    assert "points=" in ok_line  # X-Point-Count surfaced into the log
+    assert "GET /nope" in err_line and "status=400" in err_line
+
+
+def test_engine_bug_maps_to_500(api):
+    """An unexpected exception inside the Engine must surface as a
+    structured 500 JSON body, not a dropped connection (ADVICE r1)."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        # num_days overflows datetime arithmetic (OverflowError — neither a
+        # RequestValidationError nor an EngineError), i.e. a genuine bug path
+        _get(
+            f"{api}/aggregations/daily-summary?hydrophone=view"
+            "&start_date=2024-01-05T00:00:00&num_days=99999999999"
+        )
+    assert exc.value.code == 500
+    assert json.loads(exc.value.read())["detail"] == "internal error"
 
 
 def test_daily_summary_endpoints(api):

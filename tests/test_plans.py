@@ -185,6 +185,13 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = o.join(c, ["o_custkey"]).groupBy("c_mktsegment").count()
     salted = salted_join(o, c, ["o_custkey"], salt=4).groupBy("c_mktsegment").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer modes would emit `salt` phantom copies of unmatched right rows —
+    # they must refuse instead of silently corrupting (ADVICE r1)
+    import pytest
+
+    for bad in ("right", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(o, c, ["o_custkey"], how=bad)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):

@@ -55,6 +55,21 @@ def test_ngrams_short_input_empty(spark):
     assert r["c0"] == []
 
 
+def test_unigram_hashes_blank_doc_empty(spark):
+    """n=1 must not hash split('') == [''] into a phantom shingle — blank
+    docs would otherwise pair with each other in unigram dedup paths
+    (ADVICE r1)."""
+    from ambient_sound_analysis_api_spark.functions.text import (
+        token_ngram_hashes,
+    )
+
+    for blank in ("", "   "):
+        r = _vals(spark, blank, token_ngram_hashes(F.col("text"), 1))
+        assert r["c0"] == []
+    r = _vals(spark, "one two", token_ngram_hashes(F.col("text"), 1))
+    assert len(r["c0"]) == 2
+
+
 def test_lang_and_quality(spark):
     r = _vals(
         spark,
