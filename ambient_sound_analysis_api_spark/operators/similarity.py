@@ -131,6 +131,79 @@ def lsh_bucket(
     return emb.withColumn(bucket_col, bucket)
 
 
+def plane_table(spark, planes: list[list[float]]) -> DataFrame:
+    """Hyperplanes as a tiny DataFrame ``(plane_id int, plane array<double>)``
+    — the persistable form of the LSH configuration."""
+    rows = [(i, [float(v) for v in p]) for i, p in enumerate(planes)]
+    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
+
+
+def write_plane_table(spark, path: str, planes: list[list[float]]) -> None:
+    """Persist the hyperplane set as a one-file Parquet table. The planes
+    ARE the index definition: every producer/consumer that buckets vectors
+    must read the same table, so it lives next to the data, not in code."""
+    plane_table(spark, planes).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def lsh_bucket_table(
+    emb: DataFrame,
+    planes_df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """``lsh_bucket`` with the planes coming from a (persisted) table instead
+    of plan literals — the fully data-driven form.
+
+    The tiny plane table is packed into ONE row (``collect_list`` of
+    ``(plane_id, plane)`` structs, sorted for determinism) and broadcast onto
+    every embedding row — a 1-row broadcast join, no shuffle of ``emb`` and
+    no row blowup. The bucket is then a JVM ``aggregate`` fold over the
+    packed planes: bit ``i`` set iff ``dot(vec, plane_i) >= 0``. Identical
+    bucket ids to ``lsh_bucket`` for the same planes (unit-tested).
+    """
+    packed = planes_df.agg(
+        F.sort_array(F.collect_list(F.struct("plane_id", "plane"))).alias("_planes")
+    )
+    bucket = F.aggregate(
+        F.col("_planes"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            dot(F.col(vec_col), p["plane"]) >= 0,
+            F.pow(F.lit(2.0), p["plane_id"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn(bucket_col, bucket)
+        .drop("_planes")
+    )
+
+
+def lsh_topk_table(
+    emb: DataFrame,
+    query_id: int,
+    planes_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_topk`` over a persisted plane table (see ``lsh_bucket_table``)."""
+    bucketed = lsh_bucket_table(emb, planes_df, vec_col=vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qbucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("lsh_bucket") == F.col("_qbucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_id: int,

@@ -16,7 +16,7 @@ containing matched keys rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,54 @@ def merge_upsert(base: DataFrame, changes: DataFrame, keys: list[str]) -> DataFr
             F.when(matched, F.col(f"__c_{x}")).otherwise(F.col(f"__b_{x}")).alias(x)
         )
     return joined.select(*cols)
+
+
+def merge_write(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE ``changes`` INTO the Parquet table at ``path``, in place.
+
+    The Delta/Iceberg-shaped write path on plain Parquet: the relational
+    merge (``merge_upsert``) plus a rewrite that touches only what changed.
+
+    With ``partition_col`` the table is partitioned on disk and the rewrite
+    is *partition-pruned*: only partitions that appear in ``changes`` are
+    re-merged and re-written, via Spark's dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``, a per-write option — no session
+    conf mutation). Untouched partitions keep their original files — at
+    100 TB a merge of one day's corrections rewrites one day, not the table.
+    ``partition_col`` must be stable per key (part of the key, or derived
+    from it): if a key's partition value changed between base and changes,
+    the stale copy in the old partition would survive — the same contract
+    Hive-style dynamic-overwrite MERGEs have.
+
+    Without ``partition_col`` the whole table rewrites (unavoidable on a
+    format without file-level deletes).
+
+    Spark refuses a plan that reads and overwrites the same path, so the
+    merged result is pinned with ``localCheckpoint`` first — materializing
+    only the re-merged subset (the touched partitions), not the table.
+    """
+    base = spark.read.parquet(path)
+    if set(base.columns) != set(changes.columns):
+        raise ValueError("merge_write requires identical schemas")
+    if partition_col is None:
+        merged = merge_upsert(base, changes, keys).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+        return
+    touched = [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]
+    sub = base.filter(F.col(partition_col).isin(touched))
+    # keep the partition column last, matching partitioned-write layout
+    merged = merge_upsert(sub, changes, keys).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -43,7 +43,9 @@ HEADLINE = [
     "pivot_daily_event_counts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    # Arrow/numpy-kernel variant of the blocked cosine dedup — the at-scale
+    # default; the JVM-fold twin keeps the SQL oracle (pair-equality tested)
+    "dedup_embedding_cosine_arrow",
     "dedup_clusters",
     "text_rolling_fingerprint",
     "emb_cosine_topk",

@@ -120,6 +120,37 @@ def test_lsh_bucket_deterministic(vecs):
     assert b[0] != b[3]
 
 
+def test_lsh_plane_table_matches_literal_buckets(vecs, spark, tmp_path):
+    """The persisted-plane-table bucketing (broadcast 1-row packed planes,
+    JVM fold) must assign the identical bucket ids as the plane-literal
+    form, and survive a write→read round trip."""
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        lsh_bucket_table,
+        write_plane_table,
+    )
+
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    path = str(tmp_path / "planes")
+    write_plane_table(spark, path, planes)
+    planes_df = spark.read.parquet(path)
+    lit = {r["vec_id"]: r["lsh_bucket"] for r in lsh_bucket(vecs, planes).collect()}
+    tab = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in lsh_bucket_table(vecs, planes_df).collect()
+    }
+    assert lit == tab
+
+
+def test_sim_lsh_hyperplane_stable_across_runs(spark, sf_dir):
+    """Rows-only driver check contract: two runs of the registry query
+    (plane table written once, then read back) give identical rows."""
+    from ambient_sound_analysis_api_spark.registry import q_sim_lsh_hyperplane
+
+    a = [tuple(r) for r in q_sim_lsh_hyperplane(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_sim_lsh_hyperplane(spark, sf_dir).collect()]
+    assert a == b and len(a) == 5
+
+
 def test_ngram_jaccard_max_shingle_df_drops_boilerplate(spark):
     # every doc shares the same boilerplate prefix; only 1&2 share real
     # content. With the df cap, the boilerplate-only pair (1,3) disappears
