@@ -53,30 +53,26 @@ def build_corpus(spark, k: int) -> str:
             os.symlink(src, f"{out}/{t}.parquet")
             continue
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # K-way replication as ONE broadcast crossJoin with range(K) — a K-way
+    # unionAll would build a K-leaf plan (pathological at K=100)
+    rep = F.broadcast(spark.range(k).withColumnRenamed("id", "_i"))
+
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    reps = None
-    for i in range(k):
-        # shift ids so keys stay unique; nudge ts by i seconds so bucket
-        # densities grow K× instead of duplicating identical instants
-        shifted = ev.select(
-            (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
-            (F.col("ts") + F.lit(i * 1_000_000_000)).alias("ts"),
-            "user_id", "event_type", "value", "props",
-        )
-        reps = shifted if reps is None else reps.unionAll(shifted)
-    reps.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    # shift ids so keys stay unique; nudge ts by i seconds so bucket
+    # densities grow K× instead of duplicating identical instants
+    ev.crossJoin(rep).select(
+        (F.col("event_id") + F.col("_i") * F.lit(n_ev)).alias("event_id"),
+        (F.col("ts") + F.col("_i") * F.lit(1_000_000_000)).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    reps = None
-    for i in range(k):
-        shifted = docs.select(
-            (F.col("doc_id") + F.lit(i * n_doc)).alias("doc_id"),
-            "text", "lang", "source", "n_chars",
-        )
-        reps = shifted if reps is None else reps.unionAll(shifted)
-    reps.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("_i") * F.lit(n_doc)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     n_ev_out = spark.read.parquet(f"{out}/events.parquet").count()
     n_doc_out = spark.read.parquet(f"{out}/documents.parquet").count()
     print(
