@@ -133,27 +133,52 @@ def char_ngrams(col: Column, n: int) -> Column:
     )
 
 
-def token_ngrams(col: Column, n: int) -> Column:
-    """Token n-gram shingles (space-joined) → array<string>.
+def array_ngrams(arr: Column, n: int) -> Column:
+    """n-gram shingles (space-joined) of any array<string> column.
 
-    Built by zipping ``n`` shifted copies of the token array instead of
-    indexing inside a ``transform`` lambda: expressions referenced from
-    inside a higher-order-function lambda are re-evaluated **per element**,
-    which would re-run the tokenizing regexp O(tokens) times per row. With
-    the zip, the lambda touches only its own struct element.
+    Built by zipping ``n`` shifted copies of the array instead of indexing
+    inside a ``transform`` lambda: expressions referenced from inside a
+    higher-order-function lambda are re-evaluated **per element**, so the
+    caller should pass a pre-projected plain column when ``arr`` is an
+    expensive expression. With the zip, the lambda touches only its own
+    struct element.
     """
-    toks = tokens(normalize_text(col))
     if n == 1:
-        return toks
-    shifted = [toks.alias("t0")] + [
-        F.slice(toks, k + 1, F.size(toks)).alias(f"t{k}") for k in range(1, n)
+        return arr
+    shifted = [arr.alias("t0")] + [
+        F.slice(arr, k + 1, F.size(arr)).alias(f"t{k}") for k in range(1, n)
     ]
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    count = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.slice(F.arrays_zip(*shifted), 1, count),
         lambda x: F.concat_ws(" ", *[x[f"t{k}"] for k in range(n)]),
     )
     return F.when(count == 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Token n-gram shingles of the normalized text → array<string>
+    (``array_ngrams`` over the whitespace tokens)."""
+    return array_ngrams(tokens(normalize_text(col)), n)
+
+
+def dup_segment_fraction(col: Column, sep: str = "\n") -> Column:
+    """Gopher-style duplicate-line fraction: the share of non-blank segments
+    (lines by default) that are repeats of an earlier segment —
+    ``1 - distinct/total``. One of the MassiveText repetition filters; docs
+    dominated by repeated lines (boilerplate, scraped menus) score high and
+    get dropped. Pure array expressions (split → trim-filter →
+    array_distinct), no shuffle, no Python.
+    """
+    segs = F.filter(
+        F.transform(F.split(col, sep), lambda t: F.trim(t)),
+        lambda s: s != "",
+    )
+    n = F.size(segs)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(segs)) / n.cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 # Karp-Rabin polynomial rolling-hash parameters. Base 31 over codepoints,

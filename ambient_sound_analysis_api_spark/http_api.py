@@ -26,8 +26,21 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from . import models
 from .errors import EngineError, RequestValidationError
 from .serving import Engine
+
+# route → response model (see models.SCHEMAS)
+ROUTE_MODELS = {
+    "/options": "options",
+    "/timeseries/broadband": "broadband_timeseries",
+    "/timeseries/psd": "psd_timeseries",
+    "/aggregations/broadband": "broadband_aggregation",
+    "/aggregations/band": "band_aggregation",
+    "/aggregations/psd": "psd_heatmap",
+    "/aggregations/daily-summary": "daily_summary",
+    "/aggregations/daily-broadband-summary": "daily_broadband_summary",
+}
 
 
 def _parse_ts(value: str) -> datetime:
@@ -102,8 +115,18 @@ class TimingLog:
                     fh.write(line + "\n")
 
 
-def make_handler(engine: Engine, timing: TimingLog | None = None):
-    """Build the request-handler class bound to one Engine instance."""
+def make_handler(
+    engine: Engine,
+    timing: TimingLog | None = None,
+    validate_responses: bool = False,
+):
+    """Build the request-handler class bound to one Engine instance.
+
+    ``validate_responses`` runs every successful payload through its typed
+    response model (``models.SCHEMAS``) before serialization — the
+    reference's Pydantic response_model discipline; drift becomes a 500
+    instead of a silently malformed body.
+    """
 
     class Handler(BaseHTTPRequestHandler):
         # route → (engine method name, param spec); spec = (name, cast, default)
@@ -114,6 +137,10 @@ def make_handler(engine: Engine, timing: TimingLog | None = None):
             status, n_bytes, points = 200, 0, None
             try:
                 body, headers = self._dispatch(url.path, params)
+                if validate_responses and url.path in ROUTE_MODELS:
+                    # drift from the typed model → ResponseSchemaError →
+                    # the catch-all 500 below, not a malformed 200 body
+                    models.validate(ROUTE_MODELS[url.path], body)
             except RequestValidationError as exc:
                 status = 400
                 n_bytes = self._send(status, {"detail": str(exc)})
@@ -243,12 +270,16 @@ def make_handler(engine: Engine, timing: TimingLog | None = None):
 
 
 def serve(
-    engine: Engine, port: int = 0, timing: TimingLog | None = None
+    engine: Engine,
+    port: int = 0,
+    timing: TimingLog | None = None,
+    validate_responses: bool = False,
 ) -> ThreadingHTTPServer:
     """Start the API on a daemon thread; returns the server (``.server_port``
     for the bound port, ``.shutdown()`` to stop)."""
     httpd = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(engine, timing=timing)
+        ("127.0.0.1", port),
+        make_handler(engine, timing=timing, validate_responses=validate_responses),
     )
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd

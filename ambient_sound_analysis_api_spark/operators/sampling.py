@@ -59,6 +59,38 @@ def hash_split(
     return df.withColumn(split_col, label)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    source_col: str,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Downsample to a target *source mixture* — the dataset-mixing step of
+    a training pipeline (e.g. 50% web, 20% books, …).
+
+    ``weights`` are the desired mixture proportions (caller-normalized);
+    ``budget`` is the total row target. Per source the keep fraction is
+    ``min(1, budget·w / n)`` — a source with fewer rows than its target
+    keeps everything (the mixture is then approximate, never oversampled:
+    deterministic sampling cannot replicate rows). Sources absent from
+    ``weights`` are dropped.
+
+    Observed per-source counts come from ONE aggregate job collecting one
+    row per source (bounded by the source vocabulary, not the data).
+    Membership is then the same pure md5-bucket predicate as
+    :func:`stratified_sample` — repeatable across runs, engines, and
+    partitionings, and auditable with plain SQL.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    fractions = {}
+    for s, w in weights.items():
+        n = counts.get(s, 0)
+        if n > 0:
+            fractions[s] = min(1.0, (budget * w) / n)
+    return stratified_sample(df, key, fractions, source_col)
+
+
 def stratified_sample(
     df: DataFrame,
     key: Column,

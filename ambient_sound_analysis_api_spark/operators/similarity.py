@@ -204,6 +204,56 @@ def lsh_topk_table(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query_id: int,
+    planes_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket PLUS its ``p``
+    Hamming-distance-1 neighbor buckets (one sign bit flipped each).
+
+    The standard recall fix for hyperplane LSH (Lv et al., VLDB 2007): a
+    near neighbor that lands just across ONE hyperplane — the dominant miss
+    mode, since crossing probability scales with angle — is recovered by
+    flipping that bit. Read cost grows from ``1/2^p`` to ``(p+1)/2^p`` of
+    the table; recall typically jumps far more than the read factor.
+
+    Physically: the 1-row query expands to ``p+1`` probe-bucket rows
+    (explode), broadcast onto the bucketed scan as an equi-join — each
+    candidate still matches exactly one probe bucket, so no dedup is
+    needed and no nested-loop join appears.
+    """
+    n_planes = planes_df.count()
+    bucketed = lsh_bucket_table(emb, planes_df, vec_col=vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qb")
+    )
+    probes = q.select(
+        "_qvec",
+        F.explode(
+            F.array(
+                F.col("_qb"),
+                *[
+                    F.col("_qb").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("_pb"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), F.col("lsh_bucket") == F.col("_pb"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_id: int,

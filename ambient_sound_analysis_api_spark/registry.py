@@ -1935,6 +1935,17 @@ def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_table(emb, 0, _lsh_plane_table(spark), k=5)
 
 
+@register("sim_lsh_multiprobe", None)
+def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): the query bucket plus its 6
+    Hamming-1 neighbors — 7/64 of the table read instead of 1/64, recovering
+    neighbors that fell just across one hyperplane. Recall ≥ single-probe by
+    construction (superset of candidates); rows-only driver check (no SQL
+    oracle for the hash family)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
+
+
 # ---------------------------------------------------------------------------
 # 8. relational breadth — adapted TPC-H + window/grouping surface
 #
@@ -2638,6 +2649,137 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_mixture_sample",
+    """
+    WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    cuts AS (
+      SELECT n.source,
+             CAST(floor(least(1.0, (60 * w.w) / n.n) * 4096) AS INT) AS cut
+      FROM n
+      JOIN (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                                  ('src2', 0.2), ('src3', 0.1)) AS t(source, w)) w
+        ON n.source = w.source
+    )
+    SELECT d.source, count(*) AS n_sampled, sum(d.n_chars) AS total_chars
+    FROM documents d
+    JOIN cuts ON d.source = cuts.source
+    WHERE cuts.cut >= 4096
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 3) < printf('%03x', cuts.cut)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q_pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: deterministically downsample to a target *source
+    mixture* (40/30/20/10 over four sources, 60-doc budget; all other
+    sources dropped) — the weighting step every multi-source training
+    pipeline runs before tokenization. Per-source keep fractions are derived
+    from ONE count aggregate (`min(1, budget·w/n)`), membership is the pure
+    md5-bucket predicate (`operators/sampling.py`), so the sample is stable
+    across runs/engines/partitionings; the oracle re-derives the identical
+    cuts in SQL."""
+    from .operators.sampling import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    sampled = mixture_sample(
+        docs,
+        F.col("doc_id"),
+        "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget=60,
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+      FROM t
+    ),
+    bi_stats AS (
+      SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_share
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]) AS g
+      FROM t
+    ),
+    tri_stats AS (
+      SELECT doc_id,
+             1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup_trigram_frac
+      FROM tri GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(top_bigram_share, 0.0) AS top_bigram_share,
+           coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+    FROM t
+    LEFT JOIN bi_stats USING (doc_id)
+    LEFT JOIN tri_stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters (Rae et al. 2021, the
+    published quality-filter suite for LLM training corpora): per document,
+    the share of bigram instances taken by the single most frequent bigram
+    (``top_bigram_share``) and the fraction of trigram instances that are
+    repeats (``dup_trigram_frac``). Docs dominated by repeated phrases —
+    boilerplate, keyword stuffing, template spam — score high and get
+    filtered before training.
+
+    Shape at 100 TB: explode → two-level partial aggregation (map-side
+    combine collapses each partition's (doc, gram) counts before the
+    shuffle), left-joined back to the doc spine so gram-less (short) docs
+    keep a 0.0 row. Ratios are exact-integer divisions done once in double —
+    bit-identical across engines."""
+    from .functions.text import array_ngrams, letter_tokens
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", letter_tokens(F.col("text")).alias("toks")
+    )
+    bi = docs.select("doc_id", F.explode(array_ngrams(F.col("toks"), 2)).alias("g"))
+    bi_stats = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_share")
+        )
+    )
+    tri = docs.select("doc_id", F.explode(array_ngrams(F.col("toks"), 3)).alias("g"))
+    tri_stats = tri.groupBy("doc_id").agg(
+        (
+            F.lit(1.0) - F.countDistinct("g") / F.count("*").cast("double")
+        ).alias("dup_trigram_frac")
+    )
+    return (
+        docs.select("doc_id")
+        .join(bi_stats, "doc_id", "left")
+        .join(tri_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "scalar_json_props",
     f"""
     SELECT event_type,
@@ -3031,13 +3173,12 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_daily_broadband",
     "agg_auto_interval",
     "psd_wide_matrix",
-    "ts_gap_fill",
     # -- LLM-pipeline flagships --------------------------------------------
+    # (ts_gap_fill / dedup_minhash_lsh / dedup_simhash_hamming are r01-green
+    # and unchanged; their window slots go to the round-2 additions below)
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_arrow",
     "dedup_clusters",
@@ -3049,4 +3190,8 @@ _DRIVER_PRIORITY: list[str] = [
     "sim_lsh_hyperplane",
     "mm_binary_meta",
     "mm_frame_sample",
+    # -- round-2 additions -------------------------------------------------
+    "text_repetition_signals",
+    "pipeline_mixture_sample",
+    "sim_lsh_multiprobe",
 ]

@@ -403,7 +403,7 @@ class Engine:
         check_point_cap(len(buckets), "band aggregation")
         return {
             "hydrophone": slug, "interval": interval,
-            "band_low": band_low, "band_high": band_high,
+            "band_low": float(band_low), "band_high": float(band_high),
             "points": [
                 (r["t"], float(r["mean_value"]))
                 for r in buckets

@@ -151,6 +151,50 @@ def test_sim_lsh_hyperplane_stable_across_runs(spark, sf_dir):
     assert a == b and len(a) == 5
 
 
+def test_multiprobe_recovers_one_bit_miss(spark, tmp_path):
+    """A true near neighbor that fell just across ONE hyperplane is missed
+    by single-probe LSH but recovered by Hamming-1 multi-probe."""
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        lsh_topk_multiprobe,
+        lsh_topk_table,
+        write_plane_table,
+    )
+
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    path = str(tmp_path / "planes")
+    write_plane_table(spark, path, planes)
+    planes_df = spark.read.parquet(path)
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.1, 0.0]),    # query → bucket 0b11
+            (1, [1.0, -0.1, 0.0]),   # true nearest, one sign bit off → 0b01
+            (2, [0.1, 1.0, 0.0]),    # same bucket as query, far vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    single = [r["vec_id"] for r in lsh_topk_table(vecs, 0, planes_df, k=1).collect()]
+    multi = [
+        r["vec_id"] for r in lsh_topk_multiprobe(vecs, 0, planes_df, k=1).collect()
+    ]
+    assert single == [2]   # the one-bit miss: true neighbor invisible
+    assert multi == [1]    # recovered by probing the Hamming-1 bucket
+
+
+def test_multiprobe_recall_superset(spark, sf_dir):
+    """On the real embeddings table multi-probe candidates are a superset of
+    single-probe, so its top-k cosine floor can only improve."""
+    from ambient_sound_analysis_api_spark.registry import (
+        q_sim_lsh_hyperplane,
+        q_sim_lsh_multiprobe,
+    )
+
+    single = {r["vec_id"]: r["cosine_sim"]
+              for r in q_sim_lsh_hyperplane(spark, sf_dir).collect()}
+    multi = {r["vec_id"]: r["cosine_sim"]
+             for r in q_sim_lsh_multiprobe(spark, sf_dir).collect()}
+    assert min(multi.values()) >= min(single.values())
+
+
 def test_ngram_jaccard_max_shingle_df_drops_boilerplate(spark):
     # every doc shares the same boilerplate prefix; only 1&2 share real
     # content. With the df cap, the boilerplate-only pair (1,3) disappears

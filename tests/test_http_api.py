@@ -25,7 +25,13 @@ def api(spark, sf_dir, tmp_path_factory):
     log_path = str(tmp_path_factory.mktemp("logs") / "api-timing.log")
     _TIMING_PATH.clear()
     _TIMING_PATH.append(log_path)
-    httpd = serve(Engine(spark, root), timing=TimingLog(log_path, echo=False))
+    # validate_responses: every successful payload must match its typed
+    # response model (models.SCHEMAS) or the request 500s
+    httpd = serve(
+        Engine(spark, root),
+        timing=TimingLog(log_path, echo=False),
+        validate_responses=True,
+    )
     yield f"http://127.0.0.1:{httpd.server_port}"
     httpd.shutdown()
 
@@ -98,12 +104,23 @@ def test_band_aggregation_endpoint(api):
 def test_timing_log_line_per_request(api):
     """S7: every completed request (success or error) appends one timing
     line with wall-time and payload size (reference ``app/main.py:48-81``)."""
+    import os
+    import time
+
     path = _TIMING_PATH[0]
-    before = sum(1 for _ in open(path)) if __import__("os").path.exists(path) else 0
+    before = sum(1 for _ in open(path)) if os.path.exists(path) else 0
     _get(f"{api}/timeseries/broadband?hydrophone=click&start={WS}&end={WE}")
     with pytest.raises(urllib.error.HTTPError):
         _get(f"{api}/nope")
-    lines = open(path).read().splitlines()
+    # the timing line is written after the response is flushed to the
+    # client, so poll briefly instead of racing the server thread
+    deadline = time.monotonic() + 10.0
+    lines: list[str] = []
+    while time.monotonic() < deadline:
+        lines = open(path).read().splitlines() if os.path.exists(path) else []
+        if len(lines) >= before + 2:
+            break
+        time.sleep(0.05)
     assert len(lines) == before + 2
     ok_line, err_line = lines[-2], lines[-1]
     assert "GET /timeseries/broadband" in ok_line

@@ -65,6 +65,41 @@ def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
     assert none == 0
 
 
+def test_mixture_sample_hits_target_proportions(spark):
+    """mixture_sample keeps ~budget·w rows per source, keeps everything from
+    an undersized source (never oversamples), drops unweighted sources, and
+    is run-to-run deterministic."""
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(10_000 + i, "books") for i in range(1000)]
+        + [(20_000 + i, "tiny") for i in range(20)]     # under its target
+        + [(30_000 + i, "junk") for i in range(500)]    # unweighted
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 0.5, "books": 0.4, "tiny": 0.1}
+    out = mixture_sample(df, F.col("doc_id"), "source", weights, budget=1000)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "junk" not in counts
+    assert counts["tiny"] == 20                      # kept whole, not replicated
+    assert abs(counts["web"] - 500) < 75             # ~budget·w, hash noise
+    assert abs(counts["books"] - 400) < 75
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df, F.col("doc_id"), "source", weights, budget=1000
+        ).collect()
+    )
+    assert a == b
+
+
 def test_sample_and_split_buckets_are_independent(spark, sf_dir):
     """Chars 1-3 and 4-6 of the md5 must not correlate: the sampled subset's
     split fractions should match the global split fractions."""

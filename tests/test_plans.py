@@ -252,8 +252,15 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "agg_auto_interval",
         "tpch_q22_idle_rich",
         "text_tfidf_topk",
+        "sim_lsh_hyperplane",  # packed plane table: 1-row broadcast join
+        "sim_lsh_multiprobe",  # same packed-plane 1-row broadcast, ×2 scans
     }
-    python_ok = {"mm_binary_meta", "mm_frame_sample", "mm_audio_psd_peak"}
+    python_ok = {
+        "mm_binary_meta",
+        "mm_frame_sample",
+        "mm_audio_psd_peak",
+        "dedup_embedding_cosine_arrow",  # the Arrow kernel IS the operator
+    }
     problems = []
     for name, fn in queries().items():
         plan = explain_str(fn(spark, sf_dir), "simple")

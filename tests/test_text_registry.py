@@ -70,6 +70,53 @@ def test_unigram_hashes_blank_doc_empty(spark):
     assert len(r["c0"]) == 2
 
 
+def test_dup_segment_fraction(spark):
+    """Gopher duplicate-line fraction: repeats / total non-blank lines."""
+    from ambient_sound_analysis_api_spark.functions.text import (
+        dup_segment_fraction,
+    )
+
+    cases = {
+        "a\nb\nc": 0.0,                  # all distinct
+        "a\na\na\nb": 0.5,               # 2 repeats of 4 lines
+        "x\n\n  \nx": 0.5,               # blank lines ignored
+        "": 0.0,
+    }
+    for text, want in cases.items():
+        r = _vals(spark, text, dup_segment_fraction(F.col("text")))
+        assert r["c0"] == pytest.approx(want), text
+
+
+def test_repetition_signals_detect_stuffing(spark):
+    """A synthetic keyword-stuffed doc must out-score a varied doc on both
+    repetition signals."""
+    from ambient_sound_analysis_api_spark.functions.text import (
+        array_ngrams,
+        letter_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills buy cheap pills buy cheap pills buy cheap"),
+            (2, "the quick brown fox jumps over one lazy dog near a river"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", letter_tokens(F.col("text")).alias("toks"))
+    tri = toks.select(
+        "doc_id", F.explode(array_ngrams(F.col("toks"), 3)).alias("g")
+    )
+    frac = {
+        r["doc_id"]: r["dup"]
+        for r in tri.groupBy("doc_id")
+        .agg(
+            (1.0 - F.countDistinct("g") / F.count("*").cast("double")).alias("dup")
+        )
+        .collect()
+    }
+    assert frac[1] > 0.6 > frac[2] == 0.0
+
+
 def test_lang_and_quality(spark):
     r = _vals(
         spark,
