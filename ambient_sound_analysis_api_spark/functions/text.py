@@ -181,6 +181,19 @@ def dup_segment_fraction(col: Column, sep: str = "\n") -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def mean_token_length(arr: Column) -> Column:
+    """Mean character length of an array<string> of tokens (0.0 when
+    empty) — the Gopher "mean word length" quality signal. Integer sum /
+    integer count, divided once in double: bit-identical across engines.
+    """
+    total = F.aggregate(
+        F.transform(arr, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(
+        F.size(arr) > 0, total / F.size(arr).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 # Karp-Rabin polynomial rolling-hash parameters. Base 31 over codepoints,
 # modulus 2^31-1: accumulator stays < 2^31 so `acc*31 + code` fits a BIGINT
 # on every engine — the property that makes the hash cross-engine exact.

@@ -2780,6 +2780,128 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mean_word_len
+      FROM t
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+      FROM t
+    ),
+    bs AS (
+      SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_share
+      FROM (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     FOR i IN range(1, len(toks) - 1)]) AS g
+      FROM t
+    ),
+    ts AS (
+      SELECT doc_id,
+             1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup_trigram_frac
+      FROM tri GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT s.doc_id, s.n_tok, s.mean_word_len,
+             coalesce(bs.top_bigram_share, 0.0) AS top_bigram_share,
+             coalesce(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac
+      FROM s LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+    )
+    SELECT doc_id, n_tok, mean_word_len, top_bigram_share, dup_trigram_frac,
+           (n_tok >= 25 AND mean_word_len >= 4.0 AND mean_word_len <= 5.0
+            AND top_bigram_share <= 0.06 AND dup_trigram_frac <= 0.10) AS keep,
+           CASE WHEN n_tok < 25 THEN 'too_short'
+                WHEN mean_word_len < 4.0 OR mean_word_len > 5.0 THEN 'word_len'
+                WHEN top_bigram_share > 0.06 THEN 'bigram_dominance'
+                WHEN dup_trigram_frac > 0.10 THEN 'trigram_repetition'
+                ELSE NULL END AS reject_reason
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule corpus filter (Rae et al. 2021 §A1.1): every
+    document gets a keep/drop verdict from ordered rules — minimum token
+    count, mean-word-length band, top-bigram dominance, duplicate-trigram
+    fraction — plus the first failing rule as ``reject_reason``. This is the
+    decision step the individual signal queries (``text_stats``,
+    ``text_repetition_signals``) feed in a real training pipeline.
+
+    Shape at 100 TB: one scan computes the per-doc scalar signals
+    (tokenize → higher-order aggregate, no shuffle); the two n-gram signals
+    reuse the explode → two-level partial-agg shape; a left join back to the
+    doc spine keeps gram-less docs. All thresholds compare exact
+    integer-division doubles — bit-identical across engines, so the oracle
+    re-evaluates the identical rules."""
+    from .functions.text import array_ngrams, letter_tokens, mean_token_length
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", letter_tokens(F.col("text")).alias("toks")
+    )
+    sig = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        mean_token_length(F.col("toks")).alias("mean_word_len"),
+    )
+    bi = docs.select("doc_id", F.explode(array_ngrams(F.col("toks"), 2)).alias("g"))
+    bs = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_share"))
+    )
+    tri = docs.select("doc_id", F.explode(array_ngrams(F.col("toks"), 3)).alias("g"))
+    ts = tri.groupBy("doc_id").agg(
+        (F.lit(1.0) - F.countDistinct("g") / F.count("*").cast("double")).alias(
+            "dup_trigram_frac"
+        )
+    )
+    n_tok, mwl = F.col("n_tok"), F.col("mean_word_len")
+    tbs, dtf = F.col("top_bigram_share"), F.col("dup_trigram_frac")
+    return (
+        sig.join(bs, "doc_id", "left")
+        .join(ts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "mean_word_len",
+            F.coalesce(tbs, F.lit(0.0)).alias("top_bigram_share"),
+            F.coalesce(dtf, F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+        .select(
+            "*",
+            (
+                (n_tok >= 25)
+                & (mwl >= 4.0)
+                & (mwl <= 5.0)
+                & (tbs <= 0.06)
+                & (dtf <= 0.10)
+            ).alias("keep"),
+            F.when(n_tok < 25, "too_short")
+            .when((mwl < 4.0) | (mwl > 5.0), "word_len")
+            .when(tbs > 0.06, "bigram_dominance")
+            .when(dtf > 0.10, "trigram_repetition")
+            .alias("reject_reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "scalar_json_props",
     f"""
     SELECT event_type,
@@ -3177,7 +3299,8 @@ _DRIVER_PRIORITY: list[str] = [
     # (ts_gap_fill / dedup_minhash_lsh / dedup_simhash_hamming are r01-green
     # and unchanged; their window slots go to the round-2 additions below)
     "dedup_exact",
-    "dedup_fingerprint",
+    # (dedup_fingerprint is r01-green and unchanged — same hash-groupBy
+    # shape as dedup_exact; its slot goes to pipeline_quality_filter)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_arrow",
@@ -3194,4 +3317,5 @@ _DRIVER_PRIORITY: list[str] = [
     "text_repetition_signals",
     "pipeline_mixture_sample",
     "sim_lsh_multiprobe",
+    "pipeline_quality_filter",
 ]

@@ -149,3 +149,34 @@ def test_registry_contract():
     assert set(oracles) <= set(qs)
     # engine-internal hash ops are intentionally rows-only
     assert "dedup_minhash_lsh" in qs and "dedup_minhash_lsh" not in oracles
+
+
+def test_mean_token_length(spark):
+    from ambient_sound_analysis_api_spark.functions.text import (
+        letter_tokens,
+        mean_token_length,
+    )
+
+    cases = {
+        "ab cd ef": 2.0,
+        "a bcd": 2.0,       # (1+3)/2
+        "": 0.0,
+    }
+    for text, want in cases.items():
+        r = _vals(spark, text, mean_token_length(letter_tokens(F.col("text"))))
+        assert r["c0"] == pytest.approx(want), text
+
+
+def test_quality_filter_rule_order_and_reasons(spark, sf_dir):
+    """First-failing-rule semantics: a doc that is BOTH too short and
+    repetition-heavy reports 'too_short'; keep ⟺ reject_reason is NULL."""
+    from ambient_sound_analysis_api_spark.registry import q_pipeline_quality_filter
+
+    out = q_pipeline_quality_filter(spark, sf_dir).collect()
+    assert len(out) > 0
+    reasons = {r["reject_reason"] for r in out}
+    assert None in reasons and "too_short" in reasons  # filter really splits
+    for r in out:
+        assert r["keep"] == (r["reject_reason"] is None)
+        if r["n_tok"] < 25:
+            assert r["reject_reason"] == "too_short"
