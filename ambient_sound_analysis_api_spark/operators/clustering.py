@@ -1,0 +1,162 @@
+"""Deterministic k-means over embedding columns + semantic dedup.
+
+SemDeDup (Abbas et al. 2023) prunes training corpora by clustering
+embeddings and dropping near-duplicates *within* clusters — the cluster
+assignment is exactly the block key that keeps the pairwise comparison from
+going O(n²). The reference engine has no clustering surface; this module is
+part of the LLM-pipeline extension charter (SURVEY.md §7.7).
+
+Spark-first decomposition of Lloyd's algorithm:
+
+- **assign** — per-row argmin over k broadcast centroid literals, each
+  distance a JVM ``zip_with``/``aggregate`` fold (codegen, no Python, no
+  shuffle). Ties break to the lowest centroid index via
+  ``array_position``'s first-match semantics.
+- **update** — ``posexplode`` the vectors and aggregate per (cluster, dim)
+  with :func:`decimal_mean`: decimal sums are ORDER-INDEPENDENT, so the
+  centroids — and therefore every downstream assignment — are bit-identical
+  across runs, partitionings, and cluster sizes. A double ``avg`` here
+  would make the whole fit nondeterministic at the last ulp, which is
+  exactly where argmin ties flip.
+- the only driver-side state is the k×dim centroid table (bounded by model
+  size, not data size) — the same footprint a 1000-executor run would have.
+
+Each iteration is one scan + one (cluster, dim)-keyed partial aggregation;
+``n_iter`` is fixed (no convergence collect), so the job graph is static.
+At 100 TB you'd persist the input once and raise ``n_iter``; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import decimal_mean
+
+
+def _sqdist_to(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array column to a literal centroid —
+    a sequential JVM fold (deterministic summation order)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Add the argmin-centroid assignment column (0-based).
+
+    One distance fold per centroid per row, all inside whole-stage codegen;
+    ``array_position`` returns the FIRST minimum, so distance ties resolve
+    to the lowest centroid index deterministically.
+    """
+    dists = F.array(*[_sqdist_to(F.col(vec_col), c) for c in centroids])
+    out = emb.withColumn("_dists", dists).withColumn(
+        out_col,
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).cast(
+            "int"
+        ),
+    )
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.array_min(F.col("_dists")))
+    return out.drop("_dists")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fit k-means with deterministic seeding: the initial centroids are the
+    vectors of the k smallest ids (k-means++ would need a random stream; a
+    data-derived seed keeps the whole fit reproducible across engines and
+    runs, which the driver's stability check requires).
+
+    Returns the centroid table as plain Python lists (k × dim — model-sized,
+    never data-sized). A cluster that receives no points keeps its previous
+    centroid (standard Lloyd's degenerate-cluster handling).
+    """
+    init = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, centroids, vec_col=vec_col)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(decimal_mean(F.col("x"), scale=12, precision=32).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in stats:
+            if r["pos"] == 0:
+                new[r["cluster"]] = [0.0] * dim
+        for r in stats:
+            new[r["cluster"]][r["pos"]] = float(r["m"])
+        centroids = new
+    return centroids
+
+
+def kmeans_predict(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist) assignment table for a fitted model."""
+    return assign_clusters(
+        emb, centroids, vec_col=vec_col, dist_col="sq_dist"
+    ).select(id_col, "cluster", "sq_dist")
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = False,
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, then emit near-duplicate pairs
+    *within* clusters only.
+
+    The fitted assignment becomes the block key of
+    :func:`..dedup.embedding_near_pairs`, so candidate generation is an
+    equi-join on the cluster id — each executor compares only within-cluster
+    pairs and the cross-cluster O(n²) never materializes. This is the
+    data-driven replacement for that operator's precomputed ``label``
+    column: at 100 TB the pipeline is fit (model-sized driver state) →
+    assign (one scan) → blocked pair join (shuffles on cluster id).
+    """
+    from .dedup import embedding_near_pairs
+
+    centroids = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col, out_col="_kcluster")
+    return embedding_near_pairs(
+        assigned,
+        threshold=threshold,
+        block_col="_kcluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        arrow=arrow,
+    )

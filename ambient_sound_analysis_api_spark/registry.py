@@ -1946,6 +1946,48 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
 
 
+@register("emb_kmeans_profile", None)
+def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 4 Lloyd's iterations, lowest-id seeding)
+    over the embeddings, profiled per cluster: size and exact decimal mean
+    of the squared distance to the centroid. Decimal-sum centroid updates
+    make the fit bit-identical across runs/partitionings (rows-only driver
+    check: no SQL oracle for an iterative fit — the stability IS the
+    check). ``operators/clustering.py``."""
+    from .functions.scalars import decimal_mean as _dec_mean
+    from .operators.clustering import kmeans_fit, kmeans_predict
+
+    emb = _table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=4)
+    pred = kmeans_predict(emb, centroids)
+    return (
+        pred.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dec_mean(F.col("sq_dist"), scale=12, precision=32), 6).alias(
+                "mean_sq_dist"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("dedup_semantic_kmeans", None)
+def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings (k=8,
+    deterministic fit), then emit near-duplicate pairs within clusters only
+    — the data-driven version of ``dedup_embedding_cosine``, whose block
+    key is a precomputed label. Candidates come from an equi-join on the
+    fitted cluster id, so cross-cluster O(n²) never materializes. Rows-only
+    driver check (iterative fit has no SQL oracle); pair semantics are
+    unit-tested against the label-blocked oracle-green operator."""
+    from .operators.clustering import semantic_dedup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, k=8, n_iter=4, threshold=0.3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # 8. relational breadth — adapted TPC-H + window/grouping surface
 #
@@ -3305,9 +3347,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_arrow",
     "dedup_clusters",
-    "text_stats",
+    # (text_stats / text_rolling_fingerprint are r01-green and unchanged;
+    # their slots go to the round-2 k-means clustering queries)
     "text_lang_quality",
-    "text_rolling_fingerprint",
     "emb_cosine_topk",
     "emb_ann_ivf",
     "sim_lsh_hyperplane",
@@ -3318,4 +3360,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_mixture_sample",
     "sim_lsh_multiprobe",
     "pipeline_quality_filter",
+    "emb_kmeans_profile",
+    "dedup_semantic_kmeans",
 ]
