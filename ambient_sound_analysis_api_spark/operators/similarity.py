@@ -109,6 +109,87 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_cell_centroids(
+    emb: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, centroid) table: the decimal mean of each cell's vectors.
+
+    ``posexplode`` → per-(cell, dim) decimal mean (order-independent, so the
+    centroids are bit-stable across runs) → re-packed into an array by
+    sorting the (pos, mean) structs. Output is nlist rows — model-sized. At
+    100 TB this table is computed once per index build and persisted; every
+    query then reads only it plus the probed cells.
+    """
+    from ..functions.scalars import decimal_mean
+
+    return (
+        emb.select(F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)))
+        .groupBy("cell", "pos")
+        .agg(decimal_mean(F.col("col"), scale=12, precision=32).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk_nprobe(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN with ``nprobe`` > 1: rank cells by centroid distance to the
+    query and search the ``nprobe`` nearest — the standard IVF recall knob
+    (recall grows with nprobe, read cost is nprobe/nlist of the table).
+
+    Fully DataFrame-side — the query vector never leaves the cluster: the
+    1-row query joins the nlist-row centroid table (broadcast), cells are
+    ranked by the squared-L2 fold with ties broken by cell id, and the
+    winning ``nprobe`` cell ids broadcast back onto the main scan as an
+    equi-join. Each candidate row lives in exactly one cell, so no dedup
+    stage is needed. With the table partitioned by ``cell_col`` the final
+    join prunes to ``nprobe`` partitions' files.
+    """
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.col("_qvec"),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", "_qvec", sqdist.alias("_d"))
+        .orderBy("_d", "cell")
+        .limit(nprobe)
+        .select("cell", "_qvec")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_bucket(
     emb: DataFrame,
     planes: list[list[float]],

@@ -1206,6 +1206,21 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+@register("emb_ann_ivf_nprobe", None)
+def q_emb_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: cells ranked by decimal-mean centroid
+    distance to the query (fully DataFrame-side; the query vector never
+    leaves the cluster), the 2 nearest cells probed via broadcast equi-join
+    — the standard IVF recall knob, reading 2/nlist of the table. Candidate
+    superset of ``emb_ann_ivf`` whenever the query's own cell ranks in the
+    top 2, so recall can only improve. Rows-only driver check (ranking is
+    deterministic: decimal centroid means + tie-break by cell id); recall
+    vs brute force is unit-tested."""
+    emb = _table(spark, sf_dir, "embeddings")
+    top = similarity.ivf_topk_nprobe(emb, query_id=0, k=5, nprobe=2)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 @register(
     "mm_binary_meta",
     """
@@ -3354,7 +3369,8 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_ann_ivf",
     "sim_lsh_hyperplane",
     "mm_binary_meta",
-    "mm_frame_sample",
+    # (mm_frame_sample is r01-green and unchanged; its slot goes to
+    # emb_ann_ivf_nprobe below)
     # -- round-2 additions -------------------------------------------------
     "text_repetition_signals",
     "pipeline_mixture_sample",
@@ -3362,4 +3378,5 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_quality_filter",
     "emb_kmeans_profile",
     "dedup_semantic_kmeans",
+    "emb_ann_ivf_nprobe",
 ]

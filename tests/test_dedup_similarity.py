@@ -234,3 +234,46 @@ def test_hamming_bucket_cap_skips_giant_clusters(spark):
     # the 15 identical-cluster pairs are dropped by the cap
     assert all(a >= 10 for a, _ in capped)
     assert any(a < 10 for a, _ in full)
+
+
+def test_ivf_nprobe_widens_search(vecs):
+    """nprobe=2 probes the query cell plus the next-nearest cell: the
+    candidate set strictly contains the nprobe=1 (own-cell) candidates."""
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        ivf_topk_nprobe,
+    )
+
+    top = ivf_topk_nprobe(vecs, 0, k=4, nprobe=2).collect()
+    got = [r["vec_id"] for r in top]
+    assert got == [1, 4, 2, 3]  # both cells searched, cosine-ordered
+    single = {r["vec_id"] for r in ivf_topk(vecs, 0, k=4).collect()}
+    assert single < set(got)
+
+
+def test_ivf_nprobe_recall_vs_brute_force(spark, sf_dir):
+    """On the real embeddings, nprobe=2 top-k overlap with exact brute
+    force is at least the nprobe=1 overlap (more cells, never fewer)."""
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        cosine_topk_by_id,
+        ivf_topk_nprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {r["vec_id"] for r in cosine_topk_by_id(emb, 0, k=10).collect()}
+    p1 = {r["vec_id"] for r in ivf_topk(emb, 0, k=10).collect()}
+    p2 = {r["vec_id"] for r in ivf_topk_nprobe(emb, 0, k=10, nprobe=2).collect()}
+    assert len(p2 & exact) >= len(p1 & exact)
+
+
+def test_ivf_cell_centroids_stable(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        ivf_cell_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r["cell"]: r["centroid"] for r in ivf_cell_centroids(emb).collect()}
+    b = {
+        r["cell"]: r["centroid"]
+        for r in ivf_cell_centroids(emb.repartition(7)).collect()
+    }
+    assert a == b and len(a) == 10  # bit-identical across partitionings

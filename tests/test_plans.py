@@ -254,6 +254,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "text_tfidf_topk",
         "sim_lsh_hyperplane",  # packed plane table: 1-row broadcast join
         "sim_lsh_multiprobe",  # same packed-plane 1-row broadcast, ×2 scans
+        "emb_ann_ivf_nprobe",  # 1-row query × nlist-row centroid ranking
     }
     python_ok = {
         "mm_binary_meta",
