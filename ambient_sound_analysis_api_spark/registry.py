@@ -3081,6 +3081,85 @@ def q_streaming_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_mean_15m_5m",
+    f"""
+    SELECT event_type AS hydrophone,
+           (epoch_us(ts) // 300000000) * 300 - off AS bucket_s,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM events, unnest([0, 300, 600]) AS t(off)
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+      AND event_type = 'click' AND isfinite(value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 15-minute/5-minute mean on REAL streaming
+    machinery: every event lands in exactly 3 overlapping windows whose
+    starts are ``floor_5m(ts) - {{0, 5m, 10m}}`` — which is precisely the
+    oracle's unnest-of-offsets formulation, so the streaming window
+    assignment is hash-checked against plain SQL. Decimal-exact means keep
+    the values stable across micro-batch accumulation order."""
+    from .functions.scalars import decimal_mean
+    from .streaming.windows import run_available_now, streaming_sliding_mean
+
+    src = _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END).filter(
+        (F.col("hydrophone") == "click") & is_finite(F.col("value"))
+    )
+
+    def agg_stream(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                "hydrophone",
+                F.window("ts", "15 minutes", "5 minutes").alias("w"),
+            )
+            .agg(decimal_mean(F.col("value")).alias("mean_value"))
+            .select(
+                "hydrophone",
+                F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                "mean_value",
+            )
+        )
+
+    return run_available_now(spark, src, agg_stream).orderBy(
+        "hydrophone", "bucket_s"
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    f"""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+    ORDER BY user_id, event_type
+    """,
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on real
+    streaming machinery: first event per (user_id, event_type) key, state
+    expired by the 10-minute watermark — the unbounded-feed analog of the
+    batch hash-groupBy dedup. Only the key columns are emitted (which
+    non-key row survives depends on arrival order), making the result
+    order-independent and hash-checkable against ``SELECT DISTINCT``."""
+    from .streaming.windows import run_available_now, streaming_dedup
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit(WINDOW_START)) & (F.col("ts") < F.lit(WINDOW_END))
+    )
+    src = ev.select("user_id", "event_type", "ts")
+
+    def dedup_stream(stream: DataFrame) -> DataFrame:
+        return streaming_dedup(stream, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+
+    out = run_available_now(spark, src, dedup_stream, output_mode="append")
+    return out.orderBy("user_id", "event_type")
+
+
+@register(
     "setop_not_in_null_aware",
     """
     SELECT c_nationkey, count(*) AS n
@@ -3355,9 +3434,9 @@ _DRIVER_PRIORITY: list[str] = [
     # -- LLM-pipeline flagships --------------------------------------------
     # (ts_gap_fill / dedup_minhash_lsh / dedup_simhash_hamming are r01-green
     # and unchanged; their window slots go to the round-2 additions below)
-    "dedup_exact",
-    # (dedup_fingerprint is r01-green and unchanged — same hash-groupBy
-    # shape as dedup_exact; its slot goes to pipeline_quality_filter)
+    # (dedup_exact / dedup_fingerprint are r01-green and unchanged — the
+    # same hash-groupBy shape; their slots go to pipeline_quality_filter
+    # and the streaming round-2 queries below)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_arrow",
@@ -3365,7 +3444,8 @@ _DRIVER_PRIORITY: list[str] = [
     # (text_stats / text_rolling_fingerprint are r01-green and unchanged;
     # their slots go to the round-2 k-means clustering queries)
     "text_lang_quality",
-    "emb_cosine_topk",
+    # (emb_cosine_topk is r01-green and unchanged; its slot goes to
+    # streaming_dedup_events below)
     "emb_ann_ivf",
     "sim_lsh_hyperplane",
     "mm_binary_meta",
@@ -3379,4 +3459,6 @@ _DRIVER_PRIORITY: list[str] = [
     "emb_kmeans_profile",
     "dedup_semantic_kmeans",
     "emb_ann_ivf_nprobe",
+    "streaming_sliding_mean_15m_5m",
+    "streaming_dedup_events",
 ]

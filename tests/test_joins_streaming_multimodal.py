@@ -162,3 +162,68 @@ def test_run_available_now_matches_batch_agg(spark, sf_dir):
         .collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_sliding_mean_matches_batch_window(spark):
+    """Sliding-window streaming mean equals the batch F.window result: each
+    event in exactly interval/slide overlapping windows."""
+    from ambient_sound_analysis_api_spark.streaming.windows import (
+        run_available_now,
+        streaming_sliding_mean,
+    )
+
+    rows = [("h", T(s), float(s)) for s in range(0, 60, 7)]
+    src = spark.createDataFrame(rows, "hydrophone string, ts timestamp, value double")
+
+    def xform(stream):
+        return streaming_sliding_mean(
+            stream, interval_s=30, slide_s=10, keys=["hydrophone"]
+        )
+
+    got = {
+        (r["bucket_ts"], r["mean_value"])
+        for r in run_available_now(spark, src, xform).collect()
+    }
+    batch = {
+        (r["w"]["start"], r["mean_value"])
+        for r in src.groupBy(F.window("ts", "30 seconds", "10 seconds").alias("w"))
+        .agg(F.avg("value").alias("mean_value"))
+        .collect()
+    }
+    assert got == batch
+    # every event contributes to exactly 3 windows (30s / 10s slide)
+    n_events = len(rows)
+    total_count = sum(
+        r["n"]
+        for r in src.groupBy(F.window("ts", "30 seconds", "10 seconds"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert total_count == 3 * n_events
+
+
+def test_streaming_dedup_keeps_one_row_per_key(spark):
+    from ambient_sound_analysis_api_spark.streaming.windows import (
+        run_available_now,
+        streaming_dedup,
+    )
+
+    rows = [
+        (1, "a", T(1)),
+        (1, "a", T(2)),   # duplicate key
+        (1, "b", T(3)),
+        (2, "a", T(4)),
+        (2, "a", T(5)),   # duplicate key
+    ]
+    src = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    def xform(stream):
+        return streaming_dedup(stream, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in run_available_now(spark, src, xform, output_mode="append").collect()
+    )
+    assert got == [(1, "a"), (1, "b"), (2, "a")]
