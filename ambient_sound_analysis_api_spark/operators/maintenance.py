@@ -1,0 +1,124 @@
+"""Table-maintenance operators: small-file compaction for plain Parquet.
+
+Long-running ingestion (streaming sinks, frequent MERGEs, per-hour jobs)
+fragments a table into thousands of KB-sized files; at 100 TB the scan cost
+becomes dominated by file-open overhead and the driver's file-listing blows
+up long before the data does. Delta/Iceberg ship OPTIMIZE/rewrite_data_files
+for this; on plain Parquet the same bin-packing rewrite is a
+read → repartition → dynamic-overwrite cycle, which this module provides.
+
+Sizing uses the Hadoop ``FileSystem`` API (works unchanged on HDFS/S3A/GCS,
+not just ``file:``), and the rewrite materializes through
+``localCheckpoint`` first — Spark refuses a plan that reads and overwrites
+the same path (the same pin ``merge_write`` uses, ``upsert.py``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path``, via the JVM Hadoop
+    FileSystem — portable across local/HDFS/object-store URIs."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((p, int(st.getLen())))
+    return out
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Inspect a Parquet table and report what a compaction would do:
+    ``{"files": n, "bytes": b, "target_files": t}`` — ``target_files`` is
+    the bin-packed file count ``ceil(bytes / target_file_bytes)``."""
+    files = _list_parquet_files(spark, path)
+    total = sum(b for _, b in files)
+    return {
+        "files": len(files),
+        "bytes": total,
+        "target_files": max(1, math.ceil(total / target_file_bytes)),
+    }
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    partition_col: str | None = None,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Bin-pack the Parquet table at ``path`` into ~``target_file_bytes``
+    files, in place. Returns the before/after stats dict.
+
+    - **Unpartitioned**: one round-robin ``repartition(target_files)`` of
+      the whole table — even output sizes regardless of input skew.
+    - **Partitioned** (``partition_col``): only partitions holding more
+      than ``min_files_to_compact`` files are rewritten, via dynamic
+      partition overwrite — untouched partitions keep their original files
+      (at 100 TB you compact yesterday's hot partition, not the table).
+      Each rewritten partition is clustered to one task → one output file;
+      a partition larger than ``target_file_bytes`` stays a single file
+      per rewrite (split-table parquet keeps it scan-parallel), which is
+      the standard OPTIMIZE trade-off on formats without file-level
+      manifests.
+
+    No-op (returns stats with ``"rewritten": 0``) when the table is already
+    compact. Row content is preserved exactly; only file layout changes.
+    """
+    before = compaction_plan(spark, path, target_file_bytes)
+    df = spark.read.parquet(path)
+    if partition_col is None:
+        if before["files"] <= max(before["target_files"], min_files_to_compact - 1):
+            return {**before, "rewritten": 0}
+        pinned = df.repartition(before["target_files"]).localCheckpoint()
+        pinned.write.mode("overwrite").parquet(path)
+        after = compaction_plan(spark, path, target_file_bytes)
+        return {**before, "rewritten": before["files"], "files_after": after["files"]}
+
+    # partitioned: find partitions with too many files from the file listing
+    files = _list_parquet_files(spark, path)
+    by_part: dict[str, int] = {}
+    marker = f"/{partition_col}="
+    for p, _ in files:
+        if marker not in p:
+            raise ValueError(f"{p} is not partitioned by {partition_col}")
+        val = p.split(marker, 1)[1].split("/", 1)[0]
+        by_part[val] = by_part.get(val, 0) + 1
+    touched = sorted(v for v, n in by_part.items() if n > min_files_to_compact)
+    if not touched:
+        return {**before, "rewritten": 0}
+    sub = df.filter(F.col(partition_col).cast("string").isin(touched))
+    # one shuffle partition per table partition → one output file each
+    pinned = (
+        sub.repartition(len(touched), F.col(partition_col)).localCheckpoint()
+    )
+    (
+        pinned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    after = compaction_plan(spark, path, target_file_bytes)
+    return {
+        **before,
+        "rewritten": len(touched),
+        "files_after": after["files"],
+    }
