@@ -92,17 +92,16 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
-    shingles = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(
-                F.array_distinct(token_ngram_hashes(F.col(text_col), n))
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        # consumed three times (both join sides + sizes): materialize once
-        .persist()
-    )
+    # Cache the COMPACT per-doc shingle arrays (one row per doc), not the
+    # exploded table: both join sides re-explode from the cache (a narrow,
+    # cheap op), and the per-doc set size is F.size(arr) — no shuffle. The
+    # old shape cached the exploded table and ran a groupBy(id).count over
+    # it for sizes: a full extra shuffle of the largest intermediate.
+    arrs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
+    ).persist()
+    shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
 
     if max_shingle_df is not None:
         hot = (
@@ -112,8 +111,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
-
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+        # set sizes must reflect the reduced shingle universe
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    else:
+        sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
 
     a = shingles.alias("a")
     b = shingles.alias("b")
