@@ -2200,10 +2200,10 @@ def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_counts",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2538,7 +2538,7 @@ def q_agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT lang, n_chars,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS h
@@ -2571,7 +2571,8 @@ def q_pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_stratified_sample",
     """
-    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 4, 3) <
           CASE lang WHEN 'en' THEN '800' WHEN 'es' THEN '400'
@@ -2717,7 +2718,8 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ('src2', 0.2), ('src3', 0.1)) AS t(source, w)) w
         ON n.source = w.source
     )
-    SELECT d.source, count(*) AS n_sampled, sum(d.n_chars) AS total_chars
+    SELECT d.source, count(*) AS n_sampled,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
     JOIN cuts ON d.source = cuts.source
     WHERE cuts.cut >= 4096
@@ -2963,7 +2965,7 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -3,14 +3,15 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same sf directory, then compares row count, sorted-column schema,
 and an order-insensitive value hash (floats canonicalized via repr of the
-exact double). Exits nonzero on any mismatch.
+exact double). DuckDB results are fetched through pandas (``fetchdf``) to
+match the driver's canonicalizer — see ``oracle_compare.fetch_duckdb``.
+Exits nonzero on any mismatch.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -21,48 +22,17 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from ambient_sound_analysis_api_spark.oracle_compare import (  # noqa: E402
+    canon_value,
+    fetch_duckdb,
+    hash_rows,
+)
 from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def canon_value(v) -> str:
-    import datetime
-    import decimal
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return repr(float(v))
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
-def hash_rows(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(
-        "|".join(canon_value(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256()
-    for line in canon_rows:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
 
 
 def main() -> int:
@@ -101,9 +71,7 @@ def main() -> int:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            dcols, drows = fetch_duckdb(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
