@@ -178,31 +178,19 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-def _ordered_names() -> list[str]:
-    """Registry names with the driver-checked window curated.
-
-    The driver's per-round correctness gate checks the FIRST
-    ``DRIVER_CHECK_BUDGET`` entries of ``queries()`` in dict order
-    (observed round 1: exactly the first 50 of 71 got artifact rows).
-    ``_DRIVER_PRIORITY`` (defined at the end of the module, after all
-    registrations) pins which queries occupy that window; everything else
-    follows in registration order. Every query still runs in pytest and in
-    ``scripts/check_oracle.py`` regardless of position.
-    """
-    prio = [n for n in _DRIVER_PRIORITY if n in _SPECS]
-    rest = [n for n in _SPECS if n not in set(prio)]
-    return prio + rest
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _SPECS[name][0] for name in _ordered_names()}
+    """All registered queries, in plain registration (source) order.
+
+    The library's public order is NOT curated for any external checker —
+    verification-window selection, if a consumer needs one, belongs in that
+    consumer's adapter (see ``__spark_entry__.py``), not here.
+    """
+    return {name: spec[0] for name, spec in _SPECS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: _SPECS[name][1]
-        for name in _ordered_names()
-        if _SPECS[name][1] is not None
+        name: spec[1] for name, spec in _SPECS.items() if spec[1] is not None
     }
 
 
@@ -3382,85 +3370,3 @@ def flagship(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check: the reference's hardest
     path (global tumbling-window aggregation, SURVEY.md §3.2) at sf0.001."""
     return q_agg_bucket_mean_5m(spark, "/root/testdata/sf0.001")
-
-
-# ---------------------------------------------------------------------------
-# driver-checked window curation (see ``_ordered_names``)
-
-DRIVER_CHECK_BUDGET = 50
-
-# The first DRIVER_CHECK_BUDGET names here occupy the driver's per-round
-# correctness window. Round-2 curation: the 21 queries the round-1 artifact
-# missed (they were registered past position 50) come first so every registry
-# query has a driver-verified row across the r01+r02 artifacts; then the
-# round-2 fix (agg_approx_sketches, previously the one red row); then the
-# reference-parity and LLM-pipeline flagships that should stay green every
-# round. The remainder (all r01-green) follow in registration order.
-_DRIVER_PRIORITY: list[str] = [
-    # -- round-1 artifact gaps (driver checked only the first 50) ----------
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_priority_counts",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_rich",
-    "win_lag_event_gap",
-    "win_rank_family",
-    "win_ntile_balance",
-    "agg_cube_orders",
-    "pipeline_train_test_split",
-    "pipeline_stratified_sample",
-    "text_vocab_topk",
-    "text_tfidf_topk",
-    "scalar_json_props",
-    "streaming_tumbling_mean_15m",
-    "setop_not_in_null_aware",
-    "ts_moving_avg_1h",
-    "upsert_merge_customers",
-    "mm_audio_psd_peak",
-    "mm_audio_spectrogram",
-    # -- round-2 fix: was the only red row in CORRECTNESS_r01 --------------
-    "agg_approx_sketches",
-    # -- reference-parity flagships (SURVEY §2) ----------------------------
-    "ts_broadband_raw",
-    "ts_options_inventory",
-    "catalog_build",
-    "ts_coverage_semijoin",
-    "ts_expected_vs_actual",
-    "agg_bucket_mean_5m",
-    "agg_band_mean_1h",
-    "agg_daily_summary_tod",
-    "agg_daily_broadband",
-    "agg_auto_interval",
-    "psd_wide_matrix",
-    # -- LLM-pipeline flagships --------------------------------------------
-    # (ts_gap_fill / dedup_minhash_lsh / dedup_simhash_hamming are r01-green
-    # and unchanged; their window slots go to the round-2 additions below)
-    # (dedup_exact / dedup_fingerprint are r01-green and unchanged — the
-    # same hash-groupBy shape; their slots go to pipeline_quality_filter
-    # and the streaming round-2 queries below)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_arrow",
-    "dedup_clusters",
-    # (text_stats / text_rolling_fingerprint are r01-green and unchanged;
-    # their slots go to the round-2 k-means clustering queries)
-    "text_lang_quality",
-    # (emb_cosine_topk is r01-green and unchanged; its slot goes to
-    # streaming_dedup_events below)
-    "emb_ann_ivf",
-    "sim_lsh_hyperplane",
-    "mm_binary_meta",
-    # (mm_frame_sample is r01-green and unchanged; its slot goes to
-    # emb_ann_ivf_nprobe below)
-    # -- round-2 additions -------------------------------------------------
-    "text_repetition_signals",
-    "pipeline_mixture_sample",
-    "sim_lsh_multiprobe",
-    "pipeline_quality_filter",
-    "emb_kmeans_profile",
-    "dedup_semantic_kmeans",
-    "emb_ann_ivf_nprobe",
-    "streaming_sliding_mean_15m_5m",
-    "streaming_dedup_events",
-]
