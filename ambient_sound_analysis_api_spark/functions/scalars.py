@@ -70,7 +70,10 @@ def bucket_epoch(ts: Column, seconds: int) -> Column:
     ``app/services/get_aggregations.py:24-31``).
     """
     micros = seconds * MICROS_PER_SECOND
-    um = F.unix_micros(ts)
+    # Defensive: ``unix_micros`` requires TIMESTAMP; a TIMESTAMP_NTZ input
+    # (e.g. parquet written without UTC adjustment) is value-preserving to
+    # cast under the engine's pinned-UTC session TZ. No-op on TIMESTAMP.
+    um = F.unix_micros(ts.cast("timestamp"))
     # (um - um % micros) is an exact multiple of `micros`, so the double
     # division below is exact for any timestamp until year ~2255 (< 2^53 µs).
     return ((um - F.pmod(um, F.lit(micros))) / F.lit(micros)).cast("long") * F.lit(

@@ -90,15 +90,19 @@ def range_join_buckets(
     the buckets they span) turns it into an equi-join on bucket with a
     residual range predicate — the standard scalable range-join rewrite.
     """
+    # Defensive TIMESTAMP cast: unix_micros rejects TIMESTAMP_NTZ inputs;
+    # under the engine's pinned-UTC session TZ the cast is value-preserving
+    # and a no-op on plain TIMESTAMP columns.
+    _us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     lb = left.withColumn(
-        "_bucket", (F.unix_micros(F.col(left_ts)) / F.lit(bucket_s * 1_000_000)).cast("long")
+        "_bucket", (_us(left_ts) / F.lit(bucket_s * 1_000_000)).cast("long")
     )
     rb = right.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(right_start)) / F.lit(bucket_s * 1_000_000)).cast("long"),
-                (F.unix_micros(F.col(right_end)) / F.lit(bucket_s * 1_000_000)).cast("long"),
+                (_us(right_start) / F.lit(bucket_s * 1_000_000)).cast("long"),
+                (_us(right_end) / F.lit(bucket_s * 1_000_000)).cast("long"),
             )
         ),
     )

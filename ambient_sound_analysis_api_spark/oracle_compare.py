@@ -64,6 +64,22 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def fetch_spark_pandas(sdf) -> tuple[list[str], list[tuple]]:
+    """Fetch a Spark DataFrame result the way the driver hashes it.
+
+    The driver routes BOTH sides through pandas, not just DuckDB — proven by
+    round-3's green ``catalog_build`` row: Spark's int-with-null ``delta_f``
+    column only equals DuckDB's (``3.0``) after pandas upcasts both to
+    float64. A ``collect()``-based local gate renders ``3`` vs ``3.0`` and
+    flags a false mismatch (and, dually, NULL-vs-NaN in float columns that
+    pandas collapses to NaN on both sides).
+    """
+    pdf = sdf.toPandas()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def fetch_duckdb(con, sql: str) -> tuple[list[str], list[tuple]]:
     """Run ``sql`` on a DuckDB connection and fetch via pandas.
 

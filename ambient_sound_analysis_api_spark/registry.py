@@ -98,17 +98,24 @@ def _events(
 
         return int(dt.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000_000
 
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype in ("bigint", "long"):
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(_ns(start)))
         if end is not None:
             df = df.filter(F.col("ts") < F.lit(_ns(end)))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
+        # Filter on the raw scan column first (pushdown-eligible), then
+        # normalize TIMESTAMP_NTZ → TIMESTAMP. With the session TZ pinned
+        # UTC the cast is value-preserving, and every downstream
+        # ``unix_micros`` / window call requires plain TIMESTAMP.
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(start))
         if end is not None:
             df = df.filter(F.col("ts") < F.lit(end))
+        if ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,8 +38,12 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover
         pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Session TZ is pinned UTC, so NTZ → TIMESTAMP is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,6 +25,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from ambient_sound_analysis_api_spark.oracle_compare import (  # noqa: E402
     canon_value,
     fetch_duckdb,
+    fetch_spark_pandas,
     hash_rows,
 )
 from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
@@ -58,8 +59,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = fetch_spark_pandas(sdf)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")

@@ -108,25 +108,37 @@ def test_timing_log_line_per_request(api):
     import time
 
     path = _TIMING_PATH[0]
-    before = sum(1 for _ in open(path)) if os.path.exists(path) else 0
+    # Timing lines are written after the response is flushed to the client,
+    # so a previous test's line may still be in flight — wait for the file
+    # to go quiet before taking the baseline, then search only the appended
+    # region (never positional tail indexing).
+    def _lines() -> list[str]:
+        return open(path).read().splitlines() if os.path.exists(path) else []
+
+    stable_since, prev = time.monotonic(), _lines()
+    while time.monotonic() - stable_since < 0.5:
+        cur = _lines()
+        if cur != prev:
+            prev, stable_since = cur, time.monotonic()
+        time.sleep(0.05)
+    before = len(prev)
     _get(f"{api}/timeseries/broadband?hydrophone=click&start={WS}&end={WE}")
     with pytest.raises(urllib.error.HTTPError):
         _get(f"{api}/nope")
-    # the timing line is written after the response is flushed to the
-    # client, so poll briefly instead of racing the server thread
     deadline = time.monotonic() + 10.0
-    lines: list[str] = []
+    new: list[str] = []
     while time.monotonic() < deadline:
-        lines = open(path).read().splitlines() if os.path.exists(path) else []
-        if len(lines) >= before + 2:
+        new = _lines()[before:]
+        if len(new) >= 2:
             break
         time.sleep(0.05)
-    assert len(lines) == before + 2
-    ok_line, err_line = lines[-2], lines[-1]
-    assert "GET /timeseries/broadband" in ok_line
+    ok_lines = [l for l in new if "GET /timeseries/broadband" in l]
+    err_lines = [l for l in new if "GET /nope" in l]
+    assert len(ok_lines) == 1 and len(err_lines) == 1
+    ok_line, err_line = ok_lines[0], err_lines[0]
     assert "status=200" in ok_line and "ms=" in ok_line and "bytes=" in ok_line
     assert "points=" in ok_line  # X-Point-Count surfaced into the log
-    assert "GET /nope" in err_line and "status=400" in err_line
+    assert "status=400" in err_line
 
 
 def test_engine_bug_maps_to_500(api):

@@ -1,32 +1,24 @@
-"""Registry ordering invariants for the driver's correctness window.
+"""Registry ordering invariants.
 
-The driver's per-round gate checks the FIRST ``DRIVER_CHECK_BUDGET``
-entries of ``__spark_entry__.queries()`` in dict order (observed round 1:
-exactly the first 50 of 71 registered queries received artifact rows).
-These tests pin the curation so a refactor can't silently push a query out
-of the checked window.
+``queries()`` exposes plain, uncurated source-registration order (the
+``@_register`` decorator appends to ``_SPECS`` in module-definition order),
+and ``oracle_sql()`` is a subset of it in the same order. These tests pin
+that contract so a refactor can't silently reorder or orphan an entry.
 """
 
 from __future__ import annotations
 
-import json
-import pathlib
-
 from ambient_sound_analysis_api_spark import registry
 
-_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+def test_queries_match_registration_order():
+    assert list(registry.queries()) == list(registry._SPECS)
 
 
-def test_priority_names_all_registered():
-    missing = [n for n in registry._DRIVER_PRIORITY if n not in registry._SPECS]
-    assert missing == []
-
-
-def test_priority_fills_driver_window_exactly():
-    assert len(registry._DRIVER_PRIORITY) == registry.DRIVER_CHECK_BUDGET
-    assert len(set(registry._DRIVER_PRIORITY)) == registry.DRIVER_CHECK_BUDGET
+def test_query_names_unique_and_nonempty():
     names = list(registry.queries())
-    assert names[: registry.DRIVER_CHECK_BUDGET] == registry._DRIVER_PRIORITY
+    assert len(names) == len(set(names))
+    assert all(names)
 
 
 def test_queries_and_oracles_consistent():
@@ -39,11 +31,7 @@ def test_queries_and_oracles_consistent():
     assert keys == sorted(keys, key=order.__getitem__)
 
 
-def test_every_query_driver_covered_across_rounds():
-    """Union of the r01 artifact and the current first-50 window covers the
-    whole registry — every query gets a driver-verified row in some round."""
-    r01_path = _REPO / "CORRECTNESS_r01.json"
-    checked_r01 = set(json.loads(r01_path.read_text()))
-    window = set(list(registry.queries())[: registry.DRIVER_CHECK_BUDGET])
-    uncovered = [n for n in registry.queries() if n not in checked_r01 | window]
-    assert uncovered == []
+def test_flagship_is_registered():
+    """The driver smoke-entry must map to a registered query so correctness
+    evidence covers the same code path the smoke check runs."""
+    assert "agg_bucket_mean_5m" in registry.queries()
