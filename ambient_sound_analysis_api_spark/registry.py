@@ -1201,16 +1201,55 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
-@register("emb_ann_ivf_nprobe", None)
+@register(
+    "emb_ann_ivf_nprobe",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qdim AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+                    generate_subscripts(qe, 1) AS i FROM q),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    cd AS (
+      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    probes AS (SELECT label FROM cd ORDER BY d, label LIMIT 2),
+    ex AS (
+      SELECT e.vec_id, unnest(e.embedding) AS a,
+             generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e JOIN probes p USING (label)
+      WHERE e.vec_id <> 0
+    ),
+    s AS (
+      SELECT vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ex JOIN (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i
+                    FROM q) qx USING (i)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM s
+    ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+    LIMIT 5
+    """,
+)
 def q_emb_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=2: cells ranked by decimal-mean centroid
     distance to the query (fully DataFrame-side; the query vector never
     leaves the cluster), the 2 nearest cells probed via broadcast equi-join
     — the standard IVF recall knob, reading 2/nlist of the table. Candidate
     superset of ``emb_ann_ivf`` whenever the query's own cell ranks in the
-    top 2, so recall can only improve. Rows-only driver check (ranking is
-    deterministic: decimal centroid means + tie-break by cell id); recall
-    vs brute force is unit-tested."""
+    top 2, so recall can only improve. The oracle replays the whole pipe —
+    decimal centroid means, tie-broken cell ranking, in-cell brute force —
+    in SQL; recall vs brute force is additionally unit-tested."""
     emb = _table(spark, sf_dir, "embeddings")
     top = similarity.ivf_topk_nprobe(emb, query_id=0, k=5, nprobe=2)
     return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
@@ -1715,9 +1754,11 @@ def q_setop_intersect_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.join(y97, "o_custkey", "left_semi").orderBy("o_custkey")
 
 
-@register(
-    "dedup_embedding_cosine",
-    """
+# Shared oracle for label-blocked cosine near-dup pairs: the JVM-fold and
+# Arrow-kernel paths emit identical 4dp-rounded values (equality is also
+# unit-pinned in tests/test_extended_relational.py), so both registry
+# entries carry this SQL.
+_EMB_COSINE_PAIRS_SQL = """
     WITH p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.embedding AS va, b.embedding AS vb
@@ -1736,8 +1777,10 @@ def q_setop_intersect_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM x
     WHERE round(dp / (sqrt(na2) * sqrt(nb2)), 4) >= 0.3
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("dedup_embedding_cosine", _EMB_COSINE_PAIRS_SQL)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by the coarse ``label``
     cell so the O(n²) all-pairs never materializes (the k-means/LSH-blocked
@@ -1747,15 +1790,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_embedding_cosine_arrow", None)
+@register("dedup_embedding_cosine_arrow", _EMB_COSINE_PAIRS_SQL)
 def q_dedup_embedding_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same blocked near-duplicate operator scored by the Arrow-batched
     numpy kernel — the at-scale default (SIMD over whole candidate batches;
     ~1.5× faster at 64 dims, widening with dimensionality) and the headline
-    bench entry. Pair-for-pair equality with the JVM-fold path is pinned by
-    ``tests/test_extended_relational.py``; the JVM entry above keeps the SQL
-    oracle because its sequential fold is the bit-exact shape DuckDB
-    replicates, so this one is rows-only by design."""
+    bench entry. The numpy batch kernel emits the same 4dp-rounded values
+    as the JVM sequential fold (equality pinned by
+    ``tests/test_extended_relational.py``), so it carries the identical SQL
+    oracle as the JVM entry above."""
     return dedup.embedding_near_pairs(
         _table(spark, sf_dir, "embeddings"), threshold=0.3, arrow=True
     ).orderBy("id_a", "id_b")
@@ -1956,14 +1999,85 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
 
 
-@register("emb_kmeans_profile", None)
+def _kmeans_ctes(n_iter: int = 4, k: int = 8) -> str:
+    """DuckDB CTE chain replicating ``operators.clustering.kmeans_fit``
+    exactly: lowest-id seeding, per-iteration argmin assignment (ties to
+    the lowest cluster index) and DECIMAL(32,12) order-independent centroid
+    means, unrolled over the fixed ``n_iter`` Lloyd's iterations. The final
+    CTE pair is ``c{n_iter}d`` (fitted centroid dims) and ``af`` (the
+    predict-pass assignment with its squared distance), which the callers
+    aggregate. Iterative fits are usually 'no SQL oracle' material — a
+    fixed iteration count makes them plain chained CTEs instead."""
+    parts = [f"""
+    edim AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    c0d AS (
+      SELECT c.cluster, e.i, e.x AS m
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+            FROM embeddings ORDER BY vec_id LIMIT {k}) c
+      JOIN edim e USING (vec_id)
+    )"""]
+    for j in range(1, n_iter + 1):
+        parts.append(f""",
+    d{j} AS (
+      SELECT e.vec_id, c.cluster, sum((e.x - c.m) * (e.x - c.m)) AS d
+      FROM edim e JOIN c{j - 1}d c USING (i)
+      GROUP BY e.vec_id, c.cluster
+    ),
+    a{j} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d{j}) t WHERE rn = 1
+    ),
+    u{j} AS (
+      SELECT a.cluster, e.i,
+             CAST(sum(CAST(e.x AS DECIMAL(32,12))) AS DOUBLE) / count(e.x) AS m
+      FROM a{j} a JOIN edim e USING (vec_id)
+      GROUP BY a.cluster, e.i
+    ),
+    c{j}d AS (
+      SELECT c.cluster, c.i, COALESCE(u.m, c.m) AS m
+      FROM c{j - 1}d c LEFT JOIN u{j} u ON u.cluster = c.cluster AND u.i = c.i
+    )""")
+    parts.append(f""",
+    df AS (
+      SELECT e.vec_id, c.cluster, sum((e.x - c.m) * (e.x - c.m)) AS d
+      FROM edim e JOIN c{n_iter}d c USING (i)
+      GROUP BY e.vec_id, c.cluster
+    ),
+    af AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM df) t WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_kmeans_profile",
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT cluster, count(*) AS n,
+           round(CAST(sum(CAST(d AS DECIMAL(32,12))) AS DOUBLE) / count(d), 6)
+             AS mean_sq_dist
+    FROM af
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
 def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=8, 4 Lloyd's iterations, lowest-id seeding)
     over the embeddings, profiled per cluster: size and exact decimal mean
     of the squared distance to the centroid. Decimal-sum centroid updates
-    make the fit bit-identical across runs/partitionings (rows-only driver
-    check: no SQL oracle for an iterative fit — the stability IS the
-    check). ``operators/clustering.py``."""
+    make the fit bit-identical across runs/partitionings, and the fixed
+    iteration count makes the whole fit SQL-expressible — the oracle
+    unrolls Lloyd's as chained CTEs (``_kmeans_ctes``).
+    ``operators/clustering.py``."""
     from .functions.scalars import decimal_mean as _dec_mean
     from .operators.clustering import kmeans_fit, kmeans_predict
 
@@ -1982,15 +2096,41 @@ def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic_kmeans", None)
+@register(
+    "dedup_semantic_kmeans",
+    f"""
+    WITH {_kmeans_ctes()},
+    ea AS (
+      SELECT e.vec_id, e.embedding, f.cluster
+      FROM embeddings e JOIN af f USING (vec_id)
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM ea a JOIN ea b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    x AS (
+      SELECT id_a, id_b,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT id_a, id_b, unnest(va) AS ua, unnest(vb) AS ub FROM p)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM x
+    WHERE round(dp / (sqrt(na2) * sqrt(nb2)), 4) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embeddings (k=8,
     deterministic fit), then emit near-duplicate pairs within clusters only
     — the data-driven version of ``dedup_embedding_cosine``, whose block
     key is a precomputed label. Candidates come from an equi-join on the
-    fitted cluster id, so cross-cluster O(n²) never materializes. Rows-only
-    driver check (iterative fit has no SQL oracle); pair semantics are
-    unit-tested against the label-blocked oracle-green operator."""
+    fitted cluster id, so cross-cluster O(n²) never materializes. The
+    oracle replays the deterministic fit via the unrolled Lloyd's CTE chain
+    (``_kmeans_ctes``) and the same blocked pair join."""
     from .operators.clustering import semantic_dedup_pairs
 
     emb = _table(spark, sf_dir, "embeddings")
