@@ -1,0 +1,87 @@
+"""Crash-safe table rewrites for plain Parquet: staging dir + atomic swap.
+
+``mode("overwrite")`` to the path being rewritten deletes the table before
+the new files land — a mid-write failure (OOM, preemption, kill -9) loses
+the data. Delta/Iceberg solve this with manifests; on plain Parquet the
+portable equivalent is the classic staging protocol:
+
+1. write the full result to a sibling ``<path>.__staging__.<token>`` dir
+   (the read plan streams from the original files — no ``localCheckpoint``
+   pin needed, since source and sink paths now differ);
+2. swap directories via filesystem ``rename`` — atomic on POSIX and HDFS
+   (on S3A, rename is copy+delete; there you'd front this with a real
+   table format, which is exactly what those formats exist for).
+
+A crash before the swap leaves the original table untouched (staging is
+garbage to be collected); a crash between the two renames of a swap leaves
+the old table at ``<path>.__old__.<token>`` and/or the new one staged —
+both fully readable, nothing lost. Per-partition swaps give the same
+guarantee partition-by-partition, like Hive dynamic overwrite but without
+its delete-first window.
+
+All filesystem calls go through the JVM Hadoop ``FileSystem`` API, so the
+protocol works unchanged on ``file:``/HDFS/GCS URIs.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import SparkSession
+
+# Hive's sentinel dir name for a NULL partition value.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def staging_path(path: str) -> str:
+    """Unique sibling staging dir for a rewrite of ``path``."""
+    return f"{path}.__staging__.{uuid.uuid4().hex[:12]}"
+
+
+def swap_in(spark: SparkSession, staging: str, path: str) -> None:
+    """Replace ``path`` with ``staging`` via two renames.
+
+    Crash-safety: the original is renamed aside (never deleted) before the
+    staged result takes its place; only after the staged rename succeeds is
+    the old copy deleted. Any interruption leaves at least one complete,
+    readable copy on disk under a well-known name.
+    """
+    jvm = spark._jvm
+    fs, dst = _fs_and_path(spark, path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}.__old__.{uuid.uuid4().hex[:12]}")
+    had_dst = fs.exists(dst)
+    if had_dst and not fs.rename(dst, old):
+        raise IOError(f"rename {dst} -> {old} failed")
+    if not fs.rename(src, dst):
+        # roll the original back into place before failing
+        if had_dst:
+            fs.rename(old, dst)
+        raise IOError(f"rename {src} -> {dst} failed")
+    if had_dst:
+        fs.delete(old, True)
+
+
+def cleanup_staging(spark: SparkSession, staging: str) -> None:
+    fs, p = _fs_and_path(spark, staging)
+    fs.delete(p, True)
+
+
+def unescape_partition_value(dirval: str) -> str | None:
+    """Decode a Hive-escaped partition *directory* value back to the column
+    value: ``%XX`` sequences percent-decode, and the Hive NULL sentinel maps
+    to ``None``. (Spark escapes ``/:%#?`` etc. on write via
+    ``ExternalCatalogUtils.escapePathName``; ``%`` itself becomes ``%25``,
+    so percent-decoding is an exact inverse.)"""
+    if dirval == HIVE_DEFAULT_PARTITION:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(dirval)

@@ -8,9 +8,11 @@ for this; on plain Parquet the same bin-packing rewrite is a
 read → repartition → dynamic-overwrite cycle, which this module provides.
 
 Sizing uses the Hadoop ``FileSystem`` API (works unchanged on HDFS/S3A/GCS,
-not just ``file:``), and the rewrite materializes through
-``localCheckpoint`` first — Spark refuses a plan that reads and overwrites
-the same path (the same pin ``merge_write`` uses, ``upsert.py``).
+not just ``file:``), and the rewrite is crash-safe: it stages to a sibling
+directory and atomically renames into place (``operators.atomic_swap``) —
+a failure at any point leaves the original table readable, and staging to
+a different path also sidesteps Spark's read/overwrite-same-path refusal
+without a ``localCheckpoint`` materialization.
 """
 
 from __future__ import annotations
@@ -83,17 +85,27 @@ def compact_parquet(
     No-op (returns stats with ``"rewritten": 0``) when the table is already
     compact. Row content is preserved exactly; only file layout changes.
     """
+    from . import atomic_swap as aswap
+
     before = compaction_plan(spark, path, target_file_bytes)
     df = spark.read.parquet(path)
     if partition_col is None:
         if before["files"] <= max(before["target_files"], min_files_to_compact - 1):
             return {**before, "rewritten": 0}
-        pinned = df.repartition(before["target_files"]).localCheckpoint()
-        pinned.write.mode("overwrite").parquet(path)
+        staging = aswap.staging_path(path)
+        try:
+            df.repartition(before["target_files"]).write.parquet(staging)
+            aswap.swap_in(spark, staging, path)
+        finally:
+            aswap.cleanup_staging(spark, staging)
         after = compaction_plan(spark, path, target_file_bytes)
         return {**before, "rewritten": before["files"], "files_after": after["files"]}
 
-    # partitioned: find partitions with too many files from the file listing
+    # partitioned: find partitions with too many files from the file listing.
+    # Directory values are Hive-escaped (%XX for special chars, the
+    # __HIVE_DEFAULT_PARTITION__ sentinel for NULL) — decode them back to
+    # column values for the filter; the swap below reuses the escaped dir
+    # names verbatim, so escaped and NULL partitions compact like any other.
     files = _list_parquet_files(spark, path)
     by_part: dict[str, int] = {}
     marker = f"/{partition_col}="
@@ -105,17 +117,29 @@ def compact_parquet(
     touched = sorted(v for v, n in by_part.items() if n > min_files_to_compact)
     if not touched:
         return {**before, "rewritten": 0}
-    sub = df.filter(F.col(partition_col).cast("string").isin(touched))
-    # one shuffle partition per table partition → one output file each
-    pinned = (
-        sub.repartition(len(touched), F.col(partition_col)).localCheckpoint()
+    values = [aswap.unescape_partition_value(v) for v in touched]
+    cond = F.col(partition_col).cast("string").isin(
+        [v for v in values if v is not None]
     )
-    (
-        pinned.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    if any(v is None for v in values):
+        cond = cond | F.col(partition_col).isNull()
+    sub = df.filter(cond)
+    staging = aswap.staging_path(path)
+    try:
+        # one shuffle partition per table partition → one output file each
+        (
+            sub.repartition(len(touched), F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .parquet(staging)
+        )
+        for dirval in touched:
+            aswap.swap_in(
+                spark,
+                f"{staging}/{partition_col}={dirval}",
+                f"{path}/{partition_col}={dirval}",
+            )
+    finally:
+        aswap.cleanup_staging(spark, staging)
     after = compaction_plan(spark, path, target_file_bytes)
     return {
         **before,

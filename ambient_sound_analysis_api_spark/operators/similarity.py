@@ -245,13 +245,16 @@ def lsh_bucket_table(
     packed = planes_df.agg(
         F.sort_array(F.collect_list(F.struct("plane_id", "plane"))).alias("_planes")
     )
+    # bit weight = 1 << plane_id as a pure integer shift (the SQL builtin
+    # accepts a column shift amount; the Python wrapper doesn't) — no
+    # double-precision round trip in the bucket id.
     bucket = F.aggregate(
         F.col("_planes"),
         F.lit(0).cast("long"),
         lambda acc, p: acc
         + F.when(
             dot(F.col(vec_col), p["plane"]) >= 0,
-            F.pow(F.lit(2.0), p["plane_id"]).cast("long"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), p["plane_id"]),
         ).otherwise(F.lit(0).cast("long")),
     )
     return (

@@ -59,45 +59,67 @@ def merge_write(
     keys: list[str],
     partition_col: str | None = None,
 ) -> None:
-    """MERGE ``changes`` INTO the Parquet table at ``path``, in place.
+    """MERGE ``changes`` INTO the Parquet table at ``path``, crash-safely.
 
     The Delta/Iceberg-shaped write path on plain Parquet: the relational
-    merge (``merge_upsert``) plus a rewrite that touches only what changed.
+    merge (``merge_upsert``) plus a rewrite that touches only what changed,
+    executed via the staging-dir + atomic-rename protocol
+    (``operators.atomic_swap``) — a failure at ANY point leaves the
+    original table readable (the old in-place ``overwrite`` deleted the
+    table before the new files landed).
 
     With ``partition_col`` the table is partitioned on disk and the rewrite
     is *partition-pruned*: only partitions that appear in ``changes`` are
-    re-merged and re-written, via Spark's dynamic partition overwrite
-    (``partitionOverwriteMode=dynamic``, a per-write option — no session
-    conf mutation). Untouched partitions keep their original files — at
-    100 TB a merge of one day's corrections rewrites one day, not the table.
+    re-merged, staged, and swapped in one directory-rename each — at
+    100 TB a merge of one day's corrections rewrites one day, not the
+    table, and each partition is old-or-new complete at every instant.
     ``partition_col`` must be stable per key (part of the key, or derived
     from it): if a key's partition value changed between base and changes,
     the stale copy in the old partition would survive — the same contract
     Hive-style dynamic-overwrite MERGEs have.
 
     Without ``partition_col`` the whole table rewrites (unavoidable on a
-    format without file-level deletes).
+    format without file-level deletes), still old-or-new atomically.
 
-    Spark refuses a plan that reads and overwrites the same path, so the
-    merged result is pinned with ``localCheckpoint`` first — materializing
-    only the re-merged subset (the touched partitions), not the table.
+    Because the staged write targets a *different* path than the scan,
+    Spark's read/overwrite-same-path refusal never triggers and no
+    ``localCheckpoint`` pin (extra materialization) is needed.
     """
+    from . import atomic_swap as aswap
+
     base = spark.read.parquet(path)
     if set(base.columns) != set(changes.columns):
         raise ValueError("merge_write requires identical schemas")
-    if partition_col is None:
-        merged = merge_upsert(base, changes, keys).localCheckpoint()
-        merged.write.mode("overwrite").parquet(path)
-        return
-    touched = [
-        r[0] for r in changes.select(partition_col).distinct().collect()
-    ]
-    sub = base.filter(F.col(partition_col).isin(touched))
-    # keep the partition column last, matching partitioned-write layout
-    merged = merge_upsert(sub, changes, keys).localCheckpoint()
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    staging = aswap.staging_path(path)
+    try:
+        if partition_col is None:
+            merged = merge_upsert(base, changes, keys)
+            merged.write.parquet(staging)
+            aswap.swap_in(spark, staging, path)
+            return
+        touched = [
+            r[0] for r in changes.select(partition_col).distinct().collect()
+        ]
+        sub = base.filter(F.col(partition_col).isin(touched))
+        # keep the partition column last, matching partitioned-write layout
+        merged = merge_upsert(sub, changes, keys)
+        merged.write.partitionBy(partition_col).parquet(staging)
+        _swap_partitions(spark, staging, path, partition_col)
+    finally:
+        aswap.cleanup_staging(spark, staging)
+
+
+def _swap_partitions(
+    spark: SparkSession, staging: str, path: str, partition_col: str
+) -> None:
+    """Swap every ``partition_col=...`` dir written under ``staging`` into
+    ``path``, one atomic rename per partition (new partitions just move)."""
+    from . import atomic_swap as aswap
+
+    fs, sroot = aswap._fs_and_path(spark, staging)
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(sroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        aswap.swap_in(spark, str(st.getPath().toString()), f"{path}/{name}")

@@ -1967,12 +1967,38 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
     """The hyperplane set as a *persisted* Parquet table (write-once,
     content-deterministic): the LSH index definition lives next to the data,
     and every producer/consumer broadcast-joins the same table instead of
-    compiling plane literals into each plan."""
-    import os
+    compiling plane literals into each plan.
 
-    path = "/tmp/ambient_lsh_planes_v1.parquet"
+    The path is per-user (uid-suffixed, ``SPARK_GRAFT_LSH_DIR`` overrides
+    the base dir) and publication is race-safe: the table is written to a
+    unique staging dir and atomically ``rename``d into place — concurrent
+    processes can't observe a half-written table, and the loser of a
+    publish race just reads the winner's copy. A leftover dir without
+    ``_SUCCESS`` (a pre-rename crash artifact) is swept and replaced.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = os.environ.get("SPARK_GRAFT_LSH_DIR", tempfile.gettempdir())
+    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        similarity.write_plane_table(spark, path, _lsh_planes())
+        staging = f"{path}.__staging__.{uuid.uuid4().hex[:12]}"
+        similarity.write_plane_table(spark, staging, _lsh_planes())
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # another process published first — use theirs
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                # crash artifact at `path`: replace it
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 

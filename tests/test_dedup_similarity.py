@@ -277,3 +277,32 @@ def test_ivf_cell_centroids_stable(spark, sf_dir):
         for r in ivf_cell_centroids(emb.repartition(7)).collect()
     }
     assert a == b and len(a) == 10  # bit-identical across partitionings
+
+
+def test_plane_table_publication_race_safe(spark, tmp_path, monkeypatch):
+    """_lsh_plane_table publishes via staging + atomic rename into a
+    per-user path under SPARK_GRAFT_LSH_DIR: a crash artifact (dir without
+    _SUCCESS) is swept and replaced, and no staging garbage survives."""
+    import os
+
+    from ambient_sound_analysis_api_spark.registry import _lsh_plane_table
+
+    base = str(tmp_path / "lshbase")
+    os.makedirs(base)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
+    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+
+    # simulate a pre-rename crash artifact: dir exists, no _SUCCESS
+    os.makedirs(path)
+    with open(os.path.join(path, "part-junk.parquet"), "w") as fh:
+        fh.write("garbage")
+
+    df = _lsh_plane_table(spark)
+    assert df.count() > 0
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    leftovers = [p for p in os.listdir(base) if "__staging__" in p]
+    assert leftovers == []
+    # second call reuses the published table (no rewrite)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    _lsh_plane_table(spark).count()
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
