@@ -7,7 +7,12 @@ exact double). DuckDB results are fetched through pandas (``fetchdf``) to
 match the driver's canonicalizer — see ``oracle_compare.fetch_duckdb``.
 Exits nonzero on any mismatch.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-query artifact in the driver's
+CORRECTNESS format (rows/schema/hash match booleans + row counts), so each
+round can commit reproducible full-registry evidence (LOCAL_ORACLE_r*.json)
+covering queries outside the driver's check window.
 """
 
 from __future__ import annotations
@@ -37,8 +42,14 @@ TABLES = [
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -63,18 +74,33 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {e}"[:500],
+            }
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows "
                   f"({time.time() - t0:.1f}s)")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             dcols, drows = fetch_duckdb(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb error: {e}"[:500],
+            }
             continue
 
         problems = []
@@ -101,6 +127,21 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"ok    {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(problems)[:500] if problems else None,
+        }
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+        print(f"wrote {json_out}")
 
     print()
     if failures:
