@@ -114,3 +114,34 @@ def stratified_sample(
         ]
     )
     return df.filter(b < F.coalesce(cut[F.col(stratum_col)], F.lit(0)))
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap the number of rows kept per ``group_col`` at ``cap``,
+    deterministically — the per-domain/per-source cap every crawl-derived
+    corpus applies so one giant domain can't dominate the mixture.
+
+    Which rows survive is decided by md5-rank within the group (stable
+    across runs, engines, and partitionings — same contract as
+    ``hash_split``), with the id as the tie-break. One window shuffle on
+    the group key; at 100 TB the rank never materializes more than the
+    group's rows on one executor because ``row_number`` streams the sorted
+    partition.
+
+    Returns the surviving rows with the rank column dropped.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

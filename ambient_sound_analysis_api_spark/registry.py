@@ -3536,6 +3536,176 @@ def q_mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_decontaminate",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS sh
+      FROM t WHERE len(toks) >= 8
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+    b AS (SELECT doc_id AS bench_id, shingle FROM e WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM tr JOIN b USING (shingle)
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """,
+)
+def q_pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): every 20th
+    doc plays the held-out benchmark; training docs sharing any token
+    8-gram with it are flagged with shared-shingle and benchmark-doc
+    counts. One shingle equi-join (benchmark side broadcast) — the GPT-3
+    appendix-C hygiene pass as a single declarative plan."""
+    from .operators.contamination import contamination_report
+
+    docs = _table(spark, sf_dir, "documents")
+    return contamination_report(
+        docs, bench_pred=F.col("doc_id") % 20 == 0, n=8
+    ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_source_cap",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE rn <= 30) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 30) AS BIGINT) AS n_dropped,
+           CAST(sum(n_chars) FILTER (WHERE rn <= 30) AS BIGINT) AS kept_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q_pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py::source_cap): at most
+    30 docs survive per source, chosen by md5-rank (deterministic across
+    engines/partitionings — never rand()). The per-domain cap every
+    crawl-derived corpus applies so one giant domain can't dominate; report
+    is kept/dropped/char counts per source."""
+    from .operators.sampling import source_cap
+
+    docs = _table(spark, sf_dir, "documents")
+    kept = source_cap(docs, cap=30, group_col="source", id_col="doc_id")
+    k = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    tot = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (
+        tot.join(k, "source")
+        .select(
+            "source",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "kept_chars",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS (SELECT pos, max(abs(x)) AS scale FROM ex GROUP BY pos),
+    q AS (
+      SELECT e.pos, s.scale,
+             abs(e.x - CASE WHEN s.scale > 0
+                            THEN round(e.x * 127.0 / s.scale) * s.scale / 127.0
+                            ELSE 0.0 END) AS err
+      FROM ex e JOIN sc s USING (pos)
+    )
+    SELECT pos, round(max(scale), 6) AS scale,
+           round(CAST(sum(CAST(err * err AS DECIMAL(32,12))) AS DOUBLE)
+                 / count(err), 9) AS mse,
+           round(max(err), 6) AS max_abs_err
+    FROM q GROUP BY pos ORDER BY pos
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit
+    (operators/quantize.py): scales from a max-|x| pass, reconstruction
+    error stats from a second pass with the scales broadcast back — the
+    4×-compression prep step for a quantized ANN serving index, with
+    order-independent decimal error sums so the report is engine-stable."""
+    from .operators.quantize import quantize_int8_report
+
+    return quantize_int8_report(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_quality_deciles",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS p_ratio,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      FROM documents
+    ),
+    qx AS (
+      SELECT doc_id, lang,
+             (least(n_tok / 50.0, 1.0)
+              + least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5.0, 1.0)
+              + (1.0 - least(p_ratio * 4.0, 1.0))) / 3.0 AS q
+      FROM s
+    ),
+    d AS (
+      SELECT lang, q,
+             ntile(10) OVER (PARTITION BY lang ORDER BY q, doc_id) AS decile
+      FROM qx
+    )
+    SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+    FROM d GROUP BY lang, decile ORDER BY lang, decile
+    """,
+)
+def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score deciles per language (ntile window over the composite
+    C4/Gopher-style score): the filter-calibration view a pipeline uses to
+    pick a drop threshold — 'cut the bottom decile' needs the decile
+    boundaries per language first. One window shuffle on lang, then a
+    grouped rollup; doc_id tie-break makes the decile edges deterministic."""
+    from pyspark.sql import Window
+
+    d = _table(spark, sf_dir, "documents")
+    sel = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q"), F.col("doc_id"))
+    dec = sel.withColumn("decile", F.ntile(10).over(w))
+    return (
+        dec.groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -55,6 +55,10 @@ HEADLINE = [
     "win_lag_event_gap",
     "text_vocab_topk",
     "pipeline_train_test_split",
+    # round-4 additions: shingle-join decontamination and the per-dim
+    # double-aggregation quantization audit — both shuffle-bearing
+    "pipeline_decontaminate",
+    "emb_quantize_int8",
 ]
 
 

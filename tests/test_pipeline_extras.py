@@ -1,0 +1,107 @@
+"""Unit tests for the round-4 pipeline additions: benchmark
+decontamination, per-source caps, int8 quantization audit, and quality
+deciles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.contamination import (
+    contamination_report,
+)
+from ambient_sound_analysis_api_spark.operators.quantize import (
+    quantize_int8_report,
+)
+from ambient_sound_analysis_api_spark.operators.sampling import source_cap
+
+
+def test_contamination_flags_known_overlap(spark):
+    """A train doc embedding a benchmark 3-gram verbatim is flagged; a
+    disjoint doc is not; the benchmark doc itself never appears."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),            # benchmark (id % 2 == 0 → pred)
+            (1, "x y alpha beta gamma z"),            # contains bench 3-gram
+            (3, "totally different words here"),      # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_report(
+        docs, bench_pred=F.col("doc_id") % 2 == 0, n=3
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1}
+    # doc 1 shares 'alpha beta gamma' and 'beta gamma delta'? no — doc 1 has
+    # 'alpha beta gamma' only (no delta): exactly 1 shared shingle, 1 bench doc
+    assert by_id[1].n_shared == 1 and by_id[1].n_bench_docs == 1
+
+
+def test_contamination_counts_multiple_bench_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three"),
+            (2, "one two three four"),
+            (5, "zzz one two three qqq"),  # hits shingles in BOTH bench docs
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_report(
+        docs, bench_pred=F.col("doc_id") % 2 == 0, n=3
+    ).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 5 and out[0].n_bench_docs == 2
+
+
+def test_source_cap_enforces_cap_deterministically(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_cap(df, cap=5, group_col="source", id_col="doc_id")
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic winner set across runs and partitionings
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in source_cap(
+            df.repartition(7), cap=5, group_col="source", id_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_source_cap_keeps_small_groups_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    kept = source_cap(df, cap=10, group_col="source", id_col="doc_id")
+    assert kept.count() == 3
+
+
+def test_quantize_int8_exact_on_known_vectors(spark):
+    """Hand-checkable case: dim0 values ±1.0/0.5, dim1 constant zero."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.pos: r for r in quantize_int8_report(df).collect()}
+    assert rows[0].scale == 1.0
+    # x=±1.0 → q=±127 → dq=±1.0 exactly; x=0.5 → q=round(63.5)=64 → dq=64/127
+    err_half = abs(0.5 - 64.0 / 127.0)
+    assert abs(rows[0].max_abs_err - round(err_half, 6)) < 1e-12
+    # zero-scale dimension: dq=0, no error
+    assert rows[1].scale == 0.0 and rows[1].mse == 0.0 and rows[1].max_abs_err == 0.0
+
+
+def test_quality_deciles_cover_all_docs(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_text_quality_deciles
+
+    out = q_text_quality_deciles(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == docs
+    # decile boundaries are monotone within each lang
+    from itertools import groupby
+
+    for lang, grp in groupby(out, key=lambda r: r.lang):
+        grp = list(grp)
+        assert [r.decile for r in grp] == sorted(r.decile for r in grp)
+        for a, b in zip(grp, grp[1:]):
+            assert a.min_q <= a.max_q <= b.min_q + 1e-9
