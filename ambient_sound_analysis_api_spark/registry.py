@@ -3706,6 +3706,54 @@ def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_DEC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly per-supplier revenue view, then
+    the supplier(s) hitting the global max — the scalar-subquery-on-a-view
+    shape. One grouped pass builds revenue0 (decimal-exact sums, so the
+    max comparison is engine-stable); the global max is a 1-row broadcast
+    back onto it, and the supplier dimension joins broadcast — no second
+    scan of lineitem, no shuffle of the dim."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("_mx"))
+    sup = _table(spark, sf_dir, "supplier")
+    return (
+        revenue0.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(sup),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
