@@ -49,7 +49,7 @@ def build_corpus(spark, k: int) -> str:
     out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
     for t in TABLES:
         src = f"{BASE}/{t}.parquet"
-        if t not in ("events", "documents"):
+        if t not in ("events", "documents", "embeddings"):
             os.symlink(src, f"{out}/{t}.parquet")
             continue
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,12 +60,28 @@ def build_corpus(spark, k: int) -> str:
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
     # shift ids so keys stay unique; nudge ts by i seconds so bucket
-    # densities grow K× instead of duplicating identical instants
+    # densities grow K× instead of duplicating identical instants.
+    # ts arrives as nanos-long (legacy encoding) or TIMESTAMP_NTZ (current
+    # driver encoding) — handle both.
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ts_shift = F.col("ts") + F.col("_i") * F.lit(1_000_000_000)
+    else:
+        ts_shift = F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("_i") * F.lit(1_000_000)
+        )
     ev.crossJoin(rep).select(
         (F.col("event_id") + F.col("_i") * F.lit(n_ev)).alias("event_id"),
-        (F.col("ts") + F.col("_i") * F.lit(1_000_000_000)).alias("ts"),
+        ts_shift.alias("ts"),
         "user_id", "event_type", "value", "props",
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("_i") * F.lit(n_vec)).alias("vec_id"),
+        "embedding", "label",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
