@@ -3707,6 +3707,71 @@ def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_sequence_pack",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    b AS (
+      -- // is floor division: CAST(double AS BIGINT) would ROUND in DuckDB
+      SELECT shard, CAST((cum - n_tok) // 512 AS BIGINT) AS bin, n_tok
+      FROM c
+    )
+    SELECT shard, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM b GROUP BY shard, bin
+    ORDER BY shard, bin
+    """,
+)
+def q_pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign docs to fixed-budget (512-token)
+    bins by running token count — the pre-tokenization packing pass every
+    LM training pipeline runs so short documents don't waste context
+    window. Packing is inherently sequential, so it shards first
+    (``doc_id % 16``) and packs within shards — exactly how real pipelines
+    parallelize it (one packer per worker); the running sum is a window
+    ROWS frame per shard, one shuffle total, no single-partition
+    bottleneck. Bin id = start-offset // budget (greedy contiguous
+    packing, deterministic by doc_id order)."""
+    from pyspark.sql import Window
+
+    d = _table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    b = c.select(
+        "shard",
+        ((F.col("cum") - F.col("n_tok")) / F.lit(512)).cast("long").alias("bin"),
+        "n_tok",
+    )
+    return (
+        b.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+@register(
     "tpch_q15_top_supplier",
     f"""
     WITH revenue0 AS (

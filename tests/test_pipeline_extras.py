@@ -105,3 +105,22 @@ def test_quality_deciles_cover_all_docs(spark, sf_dir):
         assert [r.decile for r in grp] == sorted(r.decile for r in grp)
         for a, b in zip(grp, grp[1:]):
             assert a.min_q <= a.max_q <= b.min_q + 1e-9
+
+
+def test_sequence_pack_conserves_tokens_and_orders_bins(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_sequence_pack,
+        q_text_stats,
+    )
+
+    packed = q_pipeline_sequence_pack(spark, sf_dir).collect()
+    stats = q_text_stats(spark, sf_dir).collect()
+    # token conservation: every doc's tokens land in exactly one bin
+    assert sum(r.total_tokens for r in packed) == sum(r.n_tokens for r in stats)
+    assert sum(r.n_docs for r in packed) == len(stats)
+    # bins are contiguous from 0 within each shard
+    from itertools import groupby
+
+    for shard, grp in groupby(packed, key=lambda r: r.shard):
+        bins = [r.bin for r in grp]
+        assert bins[0] == 0 and bins == sorted(bins)
