@@ -43,11 +43,15 @@ def contamination_report(
     counts match the string form modulo 64-bit collisions, the established
     convention of the near-dup family (``dedup.ngram_jaccard_pairs``).
     """
+    # Persist the COMPACT per-doc shingle arrays: both join branches below
+    # re-explode from this cache, so the corpus is tokenized/hashed ONCE
+    # instead of once per branch (the same pattern as
+    # ``dedup.ngram_jaccard_pairs`` — shingling is the dominant cost).
     arrs = df.select(
         F.col(id_col).alias("id"),
         bench_pred.alias("_is_bench"),
         F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
-    )
+    ).persist()
     exploded = arrs.select(
         "id", "_is_bench", F.explode(F.col("_arr")).alias("shingle")
     )
