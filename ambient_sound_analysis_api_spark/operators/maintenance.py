@@ -125,6 +125,7 @@ def compact_parquet(
         cond = cond | F.col(partition_col).isNull()
     sub = df.filter(cond)
     staging = aswap.staging_path(path)
+    swapped = 0
     try:
         # one shuffle partition per table partition → one output file each
         (
@@ -132,17 +133,28 @@ def compact_parquet(
             .write.partitionBy(partition_col)
             .parquet(staging)
         )
-        for dirval in touched:
+        # Swap only the partition dirs the staged write actually produced
+        # (never blind-rename from the `touched` list): if the decoded dir
+        # value didn't round-trip through the column filter — e.g. the
+        # partition column's inferred type renders values differently than
+        # the dir names an external writer used — the staged dir is simply
+        # absent and that partition degrades to an untouched no-op, instead
+        # of a live partition being renamed aside for a missing source.
+        fs, sroot = aswap._fs_and_path(spark, staging)
+        prefix = f"{partition_col}="
+        for st in fs.listStatus(sroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
             aswap.swap_in(
-                spark,
-                f"{staging}/{partition_col}={dirval}",
-                f"{path}/{partition_col}={dirval}",
+                spark, str(st.getPath().toString()), f"{path}/{name}"
             )
+            swapped += 1
     finally:
         aswap.cleanup_staging(spark, staging)
     after = compaction_plan(spark, path, target_file_bytes)
     return {
         **before,
-        "rewritten": len(touched),
+        "rewritten": swapped,
         "files_after": after["files"],
     }

@@ -100,7 +100,17 @@ def merge_write(
         touched = [
             r[0] for r in changes.select(partition_col).distinct().collect()
         ]
-        sub = base.filter(F.col(partition_col).isin(touched))
+        # NULL partition values need an explicit isNull branch: isin() never
+        # matches NULL (three-valued logic), so without it the base's NULL
+        # partition would be EXCLUDED from the re-merge while the staged
+        # NULL-partition dir still swaps in — silently deleting base rows.
+        non_null = [v for v in touched if v is not None]
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in touched):
+            cond = cond | F.col(partition_col).isNull()
+        sub = base.filter(cond)
         # keep the partition column last, matching partitioned-write layout
         merged = merge_upsert(sub, changes, keys)
         merged.write.partitionBy(partition_col).parquet(staging)

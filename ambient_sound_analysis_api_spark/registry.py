@@ -1067,7 +1067,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
            CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                     x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS BIGINT) AS stop_hits,
            CASE WHEN length(text) > 0
@@ -1097,7 +1098,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id,
              regexp_split_to_array(lower(text), '\s+') AS toks,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
              CASE WHEN length(text) > 0
                   THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
                   ELSE 0.0 END AS p_ratio
@@ -1971,34 +1973,74 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
 
     The path is per-user (uid-suffixed, ``SPARK_GRAFT_LSH_DIR`` overrides
     the base dir) and publication is race-safe: the table is written to a
-    unique staging dir and atomically ``rename``d into place — concurrent
-    processes can't observe a half-written table, and the loser of a
-    publish race just reads the winner's copy. A leftover dir without
-    ``_SUCCESS`` (a pre-rename crash artifact) is swept and replaced.
+    unique staging dir and atomically ``rename``d into place under an
+    ``O_EXCL`` lockfile, so concurrent processes can't observe a
+    half-written table and a crash artifact (dir without ``_SUCCESS``) is
+    swept only by the lock holder — never while another process is mid-
+    publish. Losers wait for the winner's ``_SUCCESS``; a lockfile older
+    than 60s is treated as stale (its holder died pre-publish).
     """
     import os
     import shutil
     import tempfile
+    import time
     import uuid
 
     base = os.environ.get("SPARK_GRAFT_LSH_DIR", tempfile.gettempdir())
     path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        staging = f"{path}.__staging__.{uuid.uuid4().hex[:12]}"
-        similarity.write_plane_table(spark, staging, _lsh_planes())
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(success):
+        return spark.read.parquet(path)
+
+    staging = f"{path}.__staging__.{uuid.uuid4().hex[:12]}"
+    similarity.write_plane_table(spark, staging, _lsh_planes())
+    lockfile = f"{path}.lock"
+    while True:
         try:
-            os.rename(staging, path)
-        except OSError:
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
-                # another process published first — use theirs
-                shutil.rmtree(staging, ignore_errors=True)
-            else:
-                # crash artifact at `path`: replace it
-                shutil.rmtree(path, ignore_errors=True)
+            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return _publish_plane_table(spark, staging, path, success, lockfile)
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lockfile) > 60.0
+            except OSError:  # lock vanished between open and stat
+                stale = False
+            if stale:
+                # its holder died pre-publish: break it and retry the
+                # O_EXCL acquisition (only one breaker wins the re-create)
                 try:
-                    os.rename(staging, path)
+                    os.unlink(lockfile)
                 except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
+                    pass
+                continue
+            # another process is publishing — wait for its _SUCCESS
+            shutil.rmtree(staging, ignore_errors=True)
+            for _ in range(200):
+                if os.path.exists(success):
+                    return spark.read.parquet(path)
+                time.sleep(0.05)
+            raise TimeoutError(f"waiting for plane table publish at {path}")
+
+
+def _publish_plane_table(
+    spark: SparkSession, staging: str, path: str, success: str, lockfile: str
+) -> DataFrame:
+    """Holding (or having just re-created) the lockfile: sweep any
+    pre-publish crash artifact and rename the staged table into place."""
+    import os
+    import shutil
+
+    try:
+        if not os.path.exists(success):
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(staging, path)
+        else:  # someone published while we were writing staging
+            shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        try:
+            os.unlink(lockfile)
+        except OSError:
+            pass
     return spark.read.parquet(path)
 
 
@@ -3656,7 +3698,8 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH s AS (
       SELECT doc_id, lang,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
              CASE WHEN length(text) > 0
                   THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
                   ELSE 0.0 END AS p_ratio,
@@ -3711,7 +3754,8 @@ def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, doc_id % 16 AS shard,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
       FROM documents
     ),
     c AS (

@@ -77,10 +77,14 @@ def main() -> None:
         fn = qs[name]
         # best-of-2: the second run measures the plan (codegen cached, parquet
         # footers read) rather than one-time session costs or transient
-        # machine load; result caching is NOT involved — every run re-executes
-        # the full scan+shuffle pipeline.
+        # machine load. clearCache() before each run evicts any .persist()
+        # the previous invocation left behind (the shingle-array caches in
+        # the jaccard/decontaminate operators plan-match across invocations
+        # otherwise), so every timed run re-executes the full
+        # scan+shuffle pipeline cold.
         best, n = float("inf"), 0
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

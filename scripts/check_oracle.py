@@ -44,9 +44,14 @@ TABLES = [
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]",
+                  file=sys.stderr)
+            return 2
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}

@@ -110,9 +110,6 @@ def test_merge_write_partitioned_swap_failure_partitionwise(
         raise IOError("injected")
 
     monkeypatch.setattr(atomic_swap, "swap_in", failing_swap)
-    from ambient_sound_analysis_api_spark.operators import upsert
-
-    monkeypatch.setattr(upsert, "_swap_partitions", upsert._swap_partitions)
     with pytest.raises(IOError):
         merge_write(spark, path, changes, ["k"], partition_col="day")
     # nothing swapped → base rows fully intact
@@ -181,3 +178,20 @@ def test_unescape_partition_value():
         atomic_swap.unescape_partition_value(atomic_swap.HIVE_DEFAULT_PARTITION)
         is None
     )
+
+
+def test_merge_write_null_partition_preserves_base_rows(spark, tmp_path):
+    """Changes touching the NULL partition must re-merge it, not replace it:
+    isin() never matches NULL, so without an explicit isNull branch the
+    staged NULL-partition dir would swap in containing only the changes
+    rows — silently deleting the base's other NULL-partition rows."""
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(10, None, "a"), (11, None, "b"), (12, "d1", "c")],
+        "k int, day string, v string",
+    )
+    base.write.partitionBy("day").parquet(path)
+    changes = spark.createDataFrame([(10, None, "A")], "k int, day string, v string")
+    merge_write(spark, path, changes, ["k"], partition_col="day")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(10, "A"), (11, "b"), (12, "c")}  # 11 survives, 12 untouched
