@@ -3863,6 +3863,78 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization on REAL streaming machinery: the same 6h
+    ``session_window`` aggregation as the batch ``session_window_users``,
+    executed file-source → watermark → ``trigger(availableNow)`` → memory
+    sink, hash-checked against the identical gaps-and-islands oracle —
+    streaming/batch parity for STATEFUL session state, not just tumbling
+    windows. Append mode only emits sessions the event-time watermark has
+    passed, so the replay appends one far-future sentinel row for a dummy
+    user — the standard flush pattern for bounded backfills — which pushes
+    the global watermark beyond every real session (the sentinel's own
+    session stays open and is filtered out)."""
+    from datetime import timedelta
+
+    from .streaming.windows import run_available_now
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-value driver fetch
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(days=365))], "user_id long, ts timestamp"
+    )
+    src = ev.unionByName(sentinel)
+
+    def tr(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 second")
+            .groupBy("user_id", F.session_window("ts", "6 hours"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+
+    out = run_available_now(spark, src, tr, output_mode="append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
