@@ -38,15 +38,25 @@ def connected_components(
 
     Returns ``(node_col, cluster_id)`` — singleton nodes keep their own id.
     """
-    # materialize the symmetric edge set ONCE: every iteration joins against
+    # Materialize the symmetric edge set ONCE: every iteration joins against
     # it, and without this the full upstream edge-generation pipeline (e.g.
-    # the Jaccard shingle join) would re-execute per round. persist (not
-    # checkpoint): it caches the data AND keeps plan statistics, so the
-    # per-round join can still broadcast a small edge set.
+    # the Jaccard shingle join) would re-execute per round. Both orientations
+    # come from a SINGLE pass over `edges` (explode of a 2-element array) —
+    # a union of two selects would execute the upstream pipeline twice, since
+    # Spark does not share common subplans across union branches. No
+    # `distinct`: the consumer is a min-aggregate, which is duplicate-
+    # tolerant, so deduplicating the edge list would be a pure extra shuffle.
+    # persist (not checkpoint): it caches the data AND keeps plan statistics.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist()
     )
     labels = nodes.select(
@@ -59,6 +69,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # The changed flag rides the propagation join (a label only changes
+        # when a strictly smaller neighbor label arrives), so convergence is
+        # read off the already-checkpointed frame with a shuffle-free
+        # filter+isEmpty — not a separate join job per iteration, which at
+        # cluster scale would be a full extra job launch per round.
         new_labels = (
             labels.join(neighbor_min, "u", "left_outer")
             .select(
@@ -66,17 +81,15 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
+                F.coalesce(
+                    F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter(F.col("chg")).isEmpty()
+        labels = new_labels.drop("chg")
+        if converged:
             break
+    sym.unpersist()
     return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
