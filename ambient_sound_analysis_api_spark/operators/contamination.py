@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import token_ngram_hashes
+from .caching import tracked_persist
 
 
 def contamination_report(
@@ -51,7 +52,11 @@ def contamination_report(
         F.col(id_col).alias("id"),
         bench_pred.alias("_is_bench"),
         F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
-    ).persist()
+    )
+    # Tracked persist: callers release via ``operators.caching.release_caches``
+    # once results are materialized (a long-lived session would otherwise
+    # accumulate one corpus-sized cache entry per invocation).
+    arrs = tracked_persist(arrs)
     exploded = arrs.select(
         "id", "_is_bench", F.explode(F.col("_arr")).alias("shingle")
     )

@@ -26,6 +26,7 @@ from ..functions.text import (
     token_ngrams,
     tokens,
 )
+from .caching import tracked_persist
 
 
 def exact_dedup(
@@ -100,7 +101,8 @@ def ngram_jaccard_pairs(
     arrs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
-    ).persist()
+    )
+    arrs = tracked_persist(arrs)  # released via operators.caching.release_caches
     shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
 
     if max_shingle_df is not None:
@@ -195,7 +197,7 @@ def minhash_lsh_pairs(
     # expensive stage and is consumed by banding plus both sides of the
     # estimate join: materialize once. The table is one small row per doc
     # (id + k longs), so it broadcasts.
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    sigs = tracked_persist(minhash_signatures(df, num_hashes, n, text_col, id_col))
 
     banded = sigs.select(
         "id",
@@ -317,7 +319,7 @@ def hamming_near_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.band_idx", "b.band_val")
-    banded = banded.persist()  # reused by both self-join sides
+    banded = tracked_persist(banded)  # reused by both self-join sides
     if max_bucket_size is not None:
         big = (
             banded.groupBy("band_idx", "band_val")

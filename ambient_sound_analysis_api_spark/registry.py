@@ -2006,12 +2006,19 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
             except OSError:  # lock vanished between open and stat
                 stale = False
             if stale:
-                # its holder died pre-publish: break it and retry the
-                # O_EXCL acquisition (only one breaker wins the re-create)
+                # its holder died pre-publish: break it by RENAMING the
+                # lockfile (atomic — exactly one breaker's rename succeeds)
+                # and retry the O_EXCL acquisition. A bare unlink here
+                # races: two waiters can both judge the lock stale, and
+                # the second unlink would remove the lock a first breaker
+                # had just re-created via O_EXCL, admitting two concurrent
+                # publishers.
                 try:
-                    os.unlink(lockfile)
+                    broken = f"{lockfile}.stale.{uuid.uuid4().hex[:8]}"
+                    os.rename(lockfile, broken)
+                    os.unlink(broken)
                 except OSError:
-                    pass
+                    pass  # lost the break race — re-check the fresh lock
                 continue
             # another process is publishing — wait for its _SUCCESS
             shutil.rmtree(staging, ignore_errors=True)
@@ -3905,6 +3912,14 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # 1-value driver fetch
+    if max_ts is None:
+        # empty events table: no sessions, and no sentinel to build — match
+        # the batch session_window_users, which naturally returns 0 rows
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start_us long, session_end_us long, "
+            "n_events long",
+        )
     sentinel = spark.createDataFrame(
         [(-1, max_ts + timedelta(days=365))], "user_id long, ts timestamp"
     )

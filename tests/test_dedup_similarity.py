@@ -306,3 +306,28 @@ def test_plane_table_publication_race_safe(spark, tmp_path, monkeypatch):
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     _lsh_plane_table(spark).count()
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_plane_table_stale_lock_broken_by_rename(spark, tmp_path, monkeypatch):
+    """A lockfile older than the 60s staleness bound is broken (via atomic
+    rename, so two racing breakers can't double-unlink) and publication
+    proceeds; the stale lock does not survive."""
+    import os
+
+    from ambient_sound_analysis_api_spark.registry import _lsh_plane_table
+
+    base = str(tmp_path / "lshstale")
+    os.makedirs(base)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
+    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    lockfile = f"{path}.lock"
+    with open(lockfile, "w") as fh:
+        fh.write("")
+    old = 120.0
+    os.utime(lockfile, (os.path.getmtime(lockfile) - old,) * 2)
+
+    df = _lsh_plane_table(spark)
+    assert df.count() > 0
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(lockfile)
+    assert [p for p in os.listdir(base) if ".stale." in p] == []

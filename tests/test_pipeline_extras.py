@@ -124,3 +124,25 @@ def test_sequence_pack_conserves_tokens_and_orders_bins(spark, sf_dir):
     for shard, grp in groupby(packed, key=lambda r: r.shard):
         bins = [r.bin for r in grp]
         assert bins[0] == 0 and bins == sorted(bins)
+
+
+def test_tracked_persist_released_by_release_caches(spark):
+    """Operator-internal persists (contamination/dedup shingle caches) are
+    tracked and freed by operators.caching.release_caches, so long-lived
+    sessions don't accumulate corpus-sized cache entries per invocation."""
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+
+    release_caches()  # drain anything earlier tests left behind
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", True),
+         (2, "alpha beta gamma delta epsilon", False),
+         (3, "zeta eta theta iota", False)],
+        "doc_id long, text string, is_bench boolean",
+    )
+    rep = contamination_report(docs, F.col("is_bench"), n=3)
+    assert rep.count() >= 1  # materialize through the tracked cache
+    freed = release_caches()
+    assert freed >= 1
+    assert release_caches() == 0  # idempotent: registry drained

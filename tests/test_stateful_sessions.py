@@ -175,3 +175,24 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r["event_id"] for r in spark.sql("select * from dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_streaming_session_windows_empty_events(spark, tmp_path, sf_dir):
+    """An empty events table short-circuits to an empty result (matching the
+    batch session_window_users) instead of raising on the None max-ts when
+    building the watermark-flush sentinel."""
+    from ambient_sound_analysis_api_spark.registry import (
+        q_streaming_session_windows,
+    )
+
+    empty_sf = str(tmp_path / "sf_empty")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(0)
+        .write.parquet(f"{empty_sf}/events.parquet")
+    )
+    out = q_streaming_session_windows(spark, empty_sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "session_start_us", "session_end_us", "n_events",
+    ]
