@@ -27,6 +27,12 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from ambient_sound_analysis_api_spark.golden import (  # noqa: E402
+    GOLDEN_QUERIES,
+    check_golden,
+    load_golden,
+    record_golden,
+)
 from ambient_sound_analysis_api_spark.oracle_compare import (  # noqa: E402
     canon_value,
     fetch_duckdb,
@@ -34,6 +40,10 @@ from ambient_sound_analysis_api_spark.oracle_compare import (  # noqa: E402
     hash_rows,
 )
 from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
+from ambient_sound_analysis_api_spark.sketch_bounds import (  # noqa: E402
+    BOUNDS_QUERIES,
+    bounds_problems,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -44,10 +54,15 @@ TABLES = [
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
+    update_golden = False
+    if "--update-golden" in args:
+        update_golden = True
+        args.remove("--update-golden")
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
-            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]",
+            print("usage: check_oracle.py [--json OUT.json] "
+                  "[--update-golden] [sf_dir] [query ...]",
                   file=sys.stderr)
             return 2
         json_out = args[i + 1]
@@ -86,15 +101,66 @@ def main() -> int:
             }
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows "
-                  f"({time.time() - t0:.1f}s)")
             if len(srows) == 0:
-                failures.append((name, "rows-only query returned 0 rows"))
-            results[name] = {
+                failures.append((name, "no-oracle query returned 0 rows"))
+            entry = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
                 "spark_rows": len(srows), "oracle_rows": None,
                 "err": "no_oracle",
             }
+            if name in BOUNDS_QUERIES:
+                probs = bounds_problems(con, scols, srows)
+                if probs:
+                    failures.append((name, "; ".join(probs)))
+                    print(f"FAIL  {name}: " + "; ".join(probs))
+                    entry.update(err="; ".join(probs)[:500],
+                                 checked_by="bounds_vs_exact")
+                else:
+                    print(f"ok    {name}: {len(srows)} rows, estimates "
+                          f"within published error bounds of exact "
+                          f"({time.time() - t0:.1f}s)")
+                    entry.update(rows_match=True, err=None,
+                                 checked_by="bounds_vs_exact")
+            elif name in GOLDEN_QUERIES:
+                if update_golden:
+                    path = record_golden(name, sf_dir, scols, srows)
+                    print(f"golden-updated  {name}: {len(srows)} rows -> "
+                          f"{os.path.relpath(path, REPO)}")
+                    entry.update(err="golden_updated")
+                else:
+                    golden = load_golden(name, sf_dir)
+                    if golden is None:
+                        print(f"rows-only  {name}: {len(srows)} rows "
+                              f"(no golden at this sf) "
+                              f"({time.time() - t0:.1f}s)")
+                        entry.update(err="no_golden_at_sf")
+                    else:
+                        status, probs = check_golden(
+                            golden, sf_dir, scols, srows
+                        )
+                        if status == "ok":
+                            print(f"ok    {name}: {len(srows)} rows == "
+                                  f"committed golden "
+                                  f"({time.time() - t0:.1f}s)")
+                            entry.update(
+                                rows_match=True, schema_match=True,
+                                hash_match=True, err=None,
+                                checked_by="golden_exact",
+                            )
+                        elif status == "stale":
+                            print(f"WARN  {name}: golden inputs stale — "
+                                  f"testdata regenerated since recording; "
+                                  f"rows-only ({len(srows)} rows)")
+                            entry.update(err="golden_stale_inputs")
+                        else:
+                            failures.append((name, "; ".join(probs)))
+                            print(f"FAIL  {name}: " + "; ".join(probs))
+                            entry.update(err="; ".join(probs)[:500],
+                                         checked_by="golden_exact")
+            else:
+                print(f"rows-only  {name}: {len(srows)} rows "
+                      f"({time.time() - t0:.1f}s)")
+            results[name] = entry
             continue
         try:
             dcols, drows = fetch_duckdb(con, oracles[name])
