@@ -1,0 +1,103 @@
+"""Ingest-quirk regression tests for ``sources.ingest.melt_wide_psd``.
+
+Two documented archive pathologies (``/root/reference/docs/upstream-notes.md``):
+
+- the wrong-prefix ``sandbox 12oct`` archives whose band columns come out
+  labeled ``0..101`` (upstream-notes.md:55) — consecutive small integers,
+  not frequency centers;
+- band-set drift across files of one product (upstream-notes.md:55 /
+  SURVEY.md §1.3), which surfaces through Spark's ``mergeSchema`` as a
+  union-of-columns wide frame with nulls where a file lacked a band.
+
+Chosen behavior, pinned here: **normalize, don't reject** — any column whose
+label parses as a number melts to a ``band_hz`` row (mirroring the
+reference's own float-conversion membership test,
+``app/services/get_aggregations.py:70-75``); drift becomes long-form rows
+with null values, a *data* difference rather than a *schema* difference.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.sources.ingest import melt_wide_psd
+
+
+def _wide(spark, ts, cols_vals: dict[str, float]):
+    cols = ", ".join(f"`{c}` double" for c in cols_vals)
+    return spark.createDataFrame(
+        [tuple([ts] + list(cols_vals.values()))], f"ts timestamp, {cols}"
+    )
+
+
+def test_melt_wrong_prefix_0_to_101_labels(spark):
+    """The documented pathological column set 0..101 melts: every label is
+    numeric, so all 102 columns become band rows with band_hz 0.0..101.0 —
+    garbage labels survive VISIBLY as implausible frequencies instead of
+    being silently dropped (triage happens downstream, with the data)."""
+    from datetime import datetime
+
+    labels = {str(i): float(100 + i) for i in range(102)}
+    wide = _wide(spark, datetime(2024, 1, 1), labels)
+    out = melt_wide_psd(wide, "sandbox", 1, "octave_bands", 12)
+    rows = out.orderBy("band_hz").collect()
+    assert len(rows) == 102
+    assert [r["band_hz"] for r in rows] == [float(i) for i in range(102)]
+    assert rows[0]["value"] == 100.0 and rows[101]["value"] == 201.0
+    assert {(r["hydrophone"], r["freq_type"], r["delta_f"]) for r in rows} == {
+        ("sandbox", "octave_bands", 12)
+    }
+
+
+def test_melt_skips_non_numeric_labels_only(spark):
+    """Mixed frames keep numeric labels and skip the rest — the reference's
+    float-conversion membership test, not a whitelist."""
+    from datetime import datetime
+
+    wide = _wide(
+        spark, datetime(2024, 1, 1),
+        {"63": 1.0, "80.5": 2.0, "notaband": 3.0, "Unnamed: 0": 4.0},
+    )
+    out = melt_wide_psd(wide, "h", 1, "octave_bands", 3)
+    got = {r["band_hz"]: r["value"] for r in out.collect()}
+    assert got == {63.0: 1.0, 80.5: 2.0}
+
+
+def test_melt_all_non_numeric_raises(spark):
+    from datetime import datetime
+
+    wide = _wide(spark, datetime(2024, 1, 1), {"a": 1.0, "b": 2.0})
+    with pytest.raises(ValueError, match="no numeric band columns"):
+        melt_wide_psd(wide, "h", 1, "octave_bands", 3)
+
+
+def test_band_set_drift_across_files_mergeschema(spark, tmp_path):
+    """Two archive files of one product with different band sets: the
+    mergeSchema read yields the union of band columns (absent → null), and
+    the melt emits the union per timestamp with null values where a file
+    lacked the band — rows are never dropped, set drift is data not schema."""
+    from datetime import datetime
+
+    root = str(tmp_path / "drift")
+    f1 = _wide(spark, datetime(2024, 1, 1), {"63": 1.0, "80": 2.0})
+    f2 = _wide(spark, datetime(2024, 2, 1), {"63": 3.0, "100": 4.0})
+    f1.write.parquet(f"{root}/m=1")
+    f2.write.parquet(f"{root}/m=2")
+
+    wide = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/m=1", f"{root}/m=2"
+    )
+    assert {"63", "80", "100"} <= set(wide.columns)
+
+    out = melt_wide_psd(wide, "h", 1, "octave_bands", 3)
+    jan = {
+        r["band_hz"]: r["value"]
+        for r in out.filter(F.month("ts") == 1).collect()
+    }
+    feb = {
+        r["band_hz"]: r["value"]
+        for r in out.filter(F.month("ts") == 2).collect()
+    }
+    assert jan == {63.0: 1.0, 80.0: 2.0, 100.0: None}
+    assert feb == {63.0: 3.0, 80.0: None, 100.0: 4.0}
