@@ -65,6 +65,7 @@ def mixture_sample(
     source_col: str,
     weights: dict[str, float],
     budget: int,
+    max_sources: int = 10_000,
 ) -> DataFrame:
     """Downsample to a target *source mixture* — the dataset-mixing step of
     a training pipeline (e.g. 50% web, 20% books, …).
@@ -81,8 +82,20 @@ def mixture_sample(
     Membership is then the same pure md5-bucket predicate as
     :func:`stratified_sample` — repeatable across runs, engines, and
     partitionings, and auditable with plain SQL.
+
+    ``max_sources`` guards the driver-side collect: a mis-keyed call (e.g.
+    passing a document-id column as ``source_col``) would otherwise pull a
+    row per distinct value onto the driver. The fetch is capped at
+    ``max_sources + 1`` rows and overflow raises instead of OOMing.
     """
-    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    head = df.groupBy(source_col).count().limit(max_sources + 1).collect()
+    if len(head) > max_sources:
+        raise ValueError(
+            f"mixture_sample: {source_col!r} has more than {max_sources} "
+            "distinct values — not a source-vocabulary column (raise "
+            "max_sources only if this cardinality is intended)"
+        )
+    counts = {r[0]: r[1] for r in head}
     fractions = {}
     for s, w in weights.items():
         n = counts.get(s, 0)

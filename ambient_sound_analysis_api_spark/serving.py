@@ -82,15 +82,22 @@ class Engine:
     """Analytics engine over a materialized domain root
     (see ``sources.domain.materialize_domain`` for the layout)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, key_lister=None):
         self.spark = spark
         self.root = root
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Archive-key source is pluggable (sources/listing.py): default is
+        # the staged parquet listing; production passes a
+        # PaginatedKeyLister(s3_pager(client, bucket)) — the reference's
+        # boto3 listing boundary (get_options.py:103) as a constructor
+        # argument, not a rewrite.
+        if key_lister is None:
+            from .sources.listing import ParquetKeyLister
+
+            key_lister = ParquetKeyLister(f"{root}/archive_keys.parquet")
         # catalog: tiny (one row per product), cached and reused by every
         # preflight validation (reference C4/C5)
-        self._catalog = build_catalog(
-            spark.read.parquet(f"{root}/archive_keys.parquet")
-        ).cache()
+        self._catalog = build_catalog(key_lister.list_keys(spark)).cache()
         self._catalog.count()  # materialize once
         # memoized request entry points (reference lru_cache sizes,
         # app/services/get_options.py:54, get_timeseries.py:233,287,

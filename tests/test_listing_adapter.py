@@ -1,0 +1,110 @@
+"""Tests for the pluggable archive-key listing boundary (sources/listing.py).
+
+A fake three-page pager and a fake boto3-shaped client prove the production
+S1 edge (paginated listing → keys DF → catalog) without any SDK: the same
+``PaginatedKeyLister`` wired into ``Engine(key_lister=...)`` must serve
+requests identically to the staged-parquet default.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ambient_sound_analysis_api_spark.sources.catalog import build_catalog
+from ambient_sound_analysis_api_spark.sources.listing import (
+    PaginatedKeyLister,
+    ParquetKeyLister,
+    s3_pager,
+)
+
+KEYS = [
+    "archive/click/20240101T000000_20240201T000000_1s_broadband.parquet",
+    "archive/click/20240201T000000_20240301T000000_1s_broadband.parquet",
+    "archive/view/20240101T000000_20240201T000000_1s_3oct.parquet",
+    "archive/view/bush.parquet",  # malformed — parser must drop it
+]
+
+
+def _three_page_pager(calls):
+    pages = [KEYS[:2], KEYS[2:3], KEYS[3:]]
+
+    def pager(prefix, token):
+        calls.append((prefix, token))
+        i = 0 if token is None else int(token)
+        next_token = str(i + 1) if i + 1 < len(pages) else None
+        return pages[i], next_token
+
+    return pager
+
+
+def test_paginated_lister_exhausts_pages_and_builds_catalog(spark):
+    calls = []
+    lister = PaginatedKeyLister(_three_page_pager(calls), prefixes=["archive/"])
+    keys_df = lister.list_keys(spark)
+    assert [r["key"] for r in keys_df.collect()] == KEYS
+    # pagination: token threaded page to page, None terminates
+    assert calls == [("archive/", None), ("archive/", "1"), ("archive/", "2")]
+    cat = build_catalog(keys_df).collect()
+    assert {(r["hydrophone"], r["freq_type"]) for r in cat} == {
+        ("CLICK", "broadband"), ("VIEW", "octave_bands"),
+    }
+    assert all(r["file_count"] >= 1 for r in cat)  # malformed key dropped
+
+
+def test_runaway_pager_fails_loudly(spark):
+    lister = PaginatedKeyLister(
+        lambda prefix, token: ([], "again"), max_pages=5
+    )
+    with pytest.raises(RuntimeError, match="exceeded 5 pages"):
+        lister.list_keys(spark)
+
+
+def test_s3_pager_adapts_boto3_shape(spark):
+    class FakeClient:
+        def __init__(self):
+            self.requests = []
+
+        def list_objects_v2(self, **kwargs):
+            self.requests.append(kwargs)
+            if "ContinuationToken" not in kwargs:
+                return {
+                    "Contents": [{"Key": k} for k in KEYS[:2]],
+                    "IsTruncated": True,
+                    "NextContinuationToken": "t2",
+                }
+            return {"Contents": [{"Key": k} for k in KEYS[2:]],
+                    "IsTruncated": False}
+
+    client = FakeClient()
+    lister = PaginatedKeyLister(
+        s3_pager(client, "noise-archive"), prefixes=["archive/"]
+    )
+    assert [r["key"] for r in lister.list_keys(spark).collect()] == KEYS
+    assert client.requests[0] == {"Bucket": "noise-archive",
+                                  "Prefix": "archive/"}
+    assert client.requests[1]["ContinuationToken"] == "t2"
+
+
+def test_engine_accepts_injected_lister(spark, sf_dir, tmp_path):
+    """Engine(key_lister=PaginatedKeyLister(...)) serves identically to the
+    staged-parquet default — the production wiring is one argument."""
+    from ambient_sound_analysis_api_spark.serving import Engine
+    from ambient_sound_analysis_api_spark.sources.domain import (
+        materialize_domain,
+    )
+
+    root = str(tmp_path / "root")
+    materialize_domain(spark, sf_dir, root)
+    staged = [
+        r["key"]
+        for r in ParquetKeyLister(f"{root}/archive_keys.parquet")
+        .list_keys(spark)
+        .collect()
+    ]
+
+    def one_page(prefix, token):
+        return staged, None
+
+    e_default = Engine(spark, root)
+    e_injected = Engine(spark, root, key_lister=PaginatedKeyLister(one_page))
+    assert e_injected.options() == e_default.options()

@@ -141,3 +141,29 @@ def test_registry_split_totals_match_table(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     strat = q_pipeline_stratified(spark, sf_dir).collect()
     assert sum(r.n_sampled for r in strat) < total
+
+
+def test_mixture_sample_rejects_high_cardinality_source(spark):
+    """A mis-keyed source_col (per-row ids) fails loudly at the max_sources
+    guard instead of collecting one row per distinct value onto the driver."""
+    import pytest
+
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("source"),
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        mixture_sample(
+            df, F.col("doc_id"), "source", {"web": 1.0}, budget=10,
+            max_sources=50,
+        )
+    # at or under the bound: works as before
+    out = mixture_sample(
+        df, F.col("doc_id"), "source", {"7": 1.0}, budget=10,
+        max_sources=100,
+    )
+    assert out.count() == 1
