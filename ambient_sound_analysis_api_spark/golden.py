@@ -54,15 +54,25 @@ def golden_path(name: str, sf_dir: str) -> str:
     return os.path.join(GOLDEN_DIR, f"{name}__{_sf_tag(sf_dir)}.json")
 
 
+# (abspath, size, mtime_ns) -> sha256 — several goldens share input files
+# (documents.parquet feeds four queries), so one gate run would otherwise
+# re-stream the largest inputs once per query
+_FP_CACHE: dict[tuple[str, int, int], str] = {}
+
+
 def input_fingerprints(sf_dir: str, tables: list[str]) -> dict[str, str]:
     out = {}
     for t in tables:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        h = hashlib.sha256()
-        with open(path, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
-        out[t] = h.hexdigest()
+        path = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+        if key not in _FP_CACHE:
+            h = hashlib.sha256()
+            with open(path, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            _FP_CACHE[key] = h.hexdigest()
+        out[t] = _FP_CACHE[key]
     return out
 
 

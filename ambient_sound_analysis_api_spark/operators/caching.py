@@ -19,28 +19,37 @@ corpus-sized entry per invocation). ``bench.py`` works around it with
 
 ``release_caches`` is safe to call at any time: an unpersisted frame simply
 recomputes if re-materialized later, so the worst case of releasing too
-early is lost speed, never lost correctness.
+early is lost speed, never lost correctness. The registry is process-global
+and the release is ALL-tracked-caches — call it at a quiescent point (after
+materializing the results you care about), not concurrently with other
+in-flight operator pipelines, whose caches it would also release (they then
+recompute: slower, never wrong).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register the handle for later ``release_caches``."""
     p = df.persist()
-    _TRACKED.append(p)
+    with _LOCK:
+        _TRACKED.append(p)
     return p
 
 
 def release_caches() -> int:
     """Unpersist every tracked operator cache; returns how many were freed."""
+    with _LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

@@ -63,33 +63,40 @@ def connected_components(
         F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
     ).localCheckpoint()
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # The changed flag rides the propagation join (a label only changes
-        # when a strictly smaller neighbor label arrives), so convergence is
-        # read off the already-checkpointed frame with a shuffle-free
-        # filter+isEmpty — not a separate join job per iteration, which at
-        # cluster scale would be a full extra job launch per round.
-        new_labels = (
-            labels.join(neighbor_min, "u", "left_outer")
-            .select(
-                "u",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-                F.coalesce(
-                    F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
-                ).alias("chg"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(
+                    labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2")
+                )
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbr_lbl"))
             )
-            .localCheckpoint()
-        )
-        converged = new_labels.filter(F.col("chg")).isEmpty()
-        labels = new_labels.drop("chg")
-        if converged:
-            break
-    sym.unpersist()
+            # The changed flag rides the propagation join (a label only
+            # changes when a strictly smaller neighbor label arrives), so
+            # convergence is read off the already-checkpointed frame with a
+            # shuffle-free filter+isEmpty — not a separate join job per
+            # iteration, which at cluster scale would be a full extra job
+            # launch per round.
+            new_labels = (
+                labels.join(neighbor_min, "u", "left_outer")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    F.coalesce(
+                        F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
+                    ).alias("chg"),
+                )
+                .localCheckpoint()
+            )
+            converged = new_labels.filter(F.col("chg")).isEmpty()
+            labels = new_labels.drop("chg")
+            if converged:
+                break
+    finally:
+        # release even when an iteration's job dies — a long-lived session
+        # must not accumulate corpus-sized edge caches from failed runs
+        sym.unpersist()
     return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))

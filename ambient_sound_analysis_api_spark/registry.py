@@ -1973,12 +1973,14 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
 
     The path is per-user (uid-suffixed, ``SPARK_GRAFT_LSH_DIR`` overrides
     the base dir) and publication is race-safe: the table is written to a
-    unique staging dir and atomically ``rename``d into place under an
-    ``O_EXCL`` lockfile, so concurrent processes can't observe a
-    half-written table and a crash artifact (dir without ``_SUCCESS``) is
-    swept only by the lock holder — never while another process is mid-
-    publish. Losers wait for the winner's ``_SUCCESS``; a lockfile older
-    than 60s is treated as stale (its holder died pre-publish).
+    unique staging dir and atomically ``rename``d into place while holding
+    an exclusive ``flock`` on a permanent lock inode, so concurrent
+    processes can't observe a half-written table and a crash artifact (dir
+    without ``_SUCCESS``) is swept only by the lock holder — never while
+    another process is mid-publish. A holder that dies releases the flock
+    automatically (kernel-managed), so there is no stale-lock heuristic to
+    race on; late lock winners find ``_SUCCESS`` and adopt the published
+    table.
     """
     import os
     import shutil
@@ -1994,60 +1996,46 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
 
     staging = f"{path}.__staging__.{uuid.uuid4().hex[:12]}"
     similarity.write_plane_table(spark, staging, _lsh_planes())
+    # Mutual exclusion via flock on a permanent lock inode, not lockfile
+    # existence: the kernel releases the lock when the holder's fd closes —
+    # including on crash — so there is no staleness heuristic and therefore
+    # no judge-then-remove TOCTOU (any path-based break scheme can remove a
+    # lock a concurrent breaker just re-created, admitting two publishers).
+    # Advisory flock is reliable on local filesystems and NFSv4; the lock
+    # directory here is driver-local tmp by construction.
     lockfile = f"{path}.lock"
-    while True:
-        try:
-            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return _publish_plane_table(spark, staging, path, success, lockfile)
-        except FileExistsError:
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    try:
+        import fcntl
+
+        for _ in range(1200):  # up to 60s; publishing takes ~seconds
             try:
-                stale = time.time() - os.path.getmtime(lockfile) > 60.0
-            except OSError:  # lock vanished between open and stat
-                stale = False
-            if stale:
-                # its holder died pre-publish: break it by RENAMING the
-                # lockfile (atomic — exactly one breaker's rename succeeds)
-                # and retry the O_EXCL acquisition. A bare unlink here
-                # races: two waiters can both judge the lock stale, and
-                # the second unlink would remove the lock a first breaker
-                # had just re-created via O_EXCL, admitting two concurrent
-                # publishers.
-                try:
-                    broken = f"{lockfile}.stale.{uuid.uuid4().hex[:8]}"
-                    os.rename(lockfile, broken)
-                    os.unlink(broken)
-                except OSError:
-                    pass  # lost the break race — re-check the fresh lock
-                continue
-            # another process is publishing — wait for its _SUCCESS
-            shutil.rmtree(staging, ignore_errors=True)
-            for _ in range(200):
-                if os.path.exists(success):
-                    return spark.read.parquet(path)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
                 time.sleep(0.05)
-            raise TimeoutError(f"waiting for plane table publish at {path}")
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise TimeoutError(f"waiting for plane table lock at {lockfile}")
+        # lock held: either publish our staging or adopt a finished publish
+        return _publish_plane_table(spark, staging, path, success)
+    finally:
+        os.close(fd)  # releases the flock; the lock inode stays forever
 
 
 def _publish_plane_table(
-    spark: SparkSession, staging: str, path: str, success: str, lockfile: str
+    spark: SparkSession, staging: str, path: str, success: str
 ) -> DataFrame:
-    """Holding (or having just re-created) the lockfile: sweep any
-    pre-publish crash artifact and rename the staged table into place."""
+    """Holding the flock: sweep any pre-publish crash artifact and rename
+    the staged table into place (or adopt a finished concurrent publish)."""
     import os
     import shutil
 
-    try:
-        if not os.path.exists(success):
-            shutil.rmtree(path, ignore_errors=True)
-            os.rename(staging, path)
-        else:  # someone published while we were writing staging
-            shutil.rmtree(staging, ignore_errors=True)
-    finally:
-        try:
-            os.unlink(lockfile)
-        except OSError:
-            pass
+    if not os.path.exists(success):
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)
+    else:  # someone published while we were writing staging
+        shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -3947,6 +3935,137 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
+    "pipeline_pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' ref 90210' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                  ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_long_numbers,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{9,}\b', '<NUM>', 'g')) AS scrubbed_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (``operators/pii.py``): per-doc email/IPv4/long-number
+    counts plus the md5 of the redacted text. The synthetic corpus is
+    PII-free, so deterministic PII is first injected from doc_id (emails on
+    %7, IPs on %11, 11-digit refs on %13 — identically in both engines);
+    the oracle then replays the identical RE2∩Java pattern set and the same
+    fixed email→IP→number redaction order under DuckDB, proving the scrub
+    is engine-portable down to the exact output bytes (md5 equality). All
+    Catalyst — zero Python in the row path."""
+    from .operators.pii import pii_scrub
+
+    d = F.col("doc_id")
+    aug = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (d % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" ref 90210"), F.lpad(d.cast("string"), 6, "0")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(aug)
+        .select(
+            "doc_id", "n_emails", "n_ips", "n_long_numbers",
+            F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_canonical_corpus",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    lab AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id AS keep_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped
+    FROM lab GROUP BY cluster_id
+    ORDER BY keep_id
+    """,
+)
+def q_pipeline_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision that near-dup detection exists to feed: one
+    canonical document (minimum id) per similarity cluster, with member and
+    dropped counts. Composes the Jaccard≥0.2 pair generator with
+    ``connected_components`` and a one-shuffle cluster aggregate — the
+    end-to-end 'clean corpus' materialization stage; oracle = the recursive
+    transitive closure aggregated per cluster."""
+    from .operators import dedup
+    from .operators.graph import connected_components
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    cc = connected_components(edges, docs.select("doc_id"), node_col="doc_id")
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.col("cluster_id").alias("keep_id"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("keep_id")
     )
 
 

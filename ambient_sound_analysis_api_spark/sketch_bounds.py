@@ -48,10 +48,13 @@ def bounds_problems(con, cols: list[str], rows: list[tuple]) -> list[str]:
     if missing:
         return [f"bounds check: missing columns {missing}"]
 
+    # count(value), not count(*): the percentile sketch ranks only non-null
+    # values, so rank slack must be computed over the population it ranks —
+    # count(*) on a NULL-heavy group would shrink eps below one real row
     exact = {
         r[0]: (r[1], r[2])
         for r in con.execute(
-            "SELECT event_type, count(DISTINCT user_id), count(*) "
+            "SELECT event_type, count(DISTINCT user_id), count(value) "
             "FROM events GROUP BY event_type"
         ).fetchall()
     }

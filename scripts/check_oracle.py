@@ -101,8 +101,6 @@ def main() -> int:
             }
             continue
         if name not in oracles:
-            if len(srows) == 0:
-                failures.append((name, "no-oracle query returned 0 rows"))
             entry = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
                 "spark_rows": len(srows), "oracle_rows": None,
@@ -158,6 +156,11 @@ def main() -> int:
                             entry.update(err="; ".join(probs)[:500],
                                          checked_by="golden_exact")
             else:
+                # plain rows-only check: empty output is the only failure
+                # signal available (golden/bounds queries above judge
+                # emptiness against their recorded expectation instead)
+                if len(srows) == 0:
+                    failures.append((name, "rows-only query returned 0 rows"))
                 print(f"rows-only  {name}: {len(srows)} rows "
                       f"({time.time() - t0:.1f}s)")
             results[name] = entry

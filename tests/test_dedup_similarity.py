@@ -308,10 +308,13 @@ def test_plane_table_publication_race_safe(spark, tmp_path, monkeypatch):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
 
 
-def test_plane_table_stale_lock_broken_by_rename(spark, tmp_path, monkeypatch):
-    """A lockfile older than the 60s staleness bound is broken (via atomic
-    rename, so two racing breakers can't double-unlink) and publication
-    proceeds; the stale lock does not survive."""
+def test_plane_table_abandoned_lockfile_does_not_block(
+    spark, tmp_path, monkeypatch
+):
+    """A leftover lock inode from a dead holder never blocks publication:
+    mutual exclusion is flock-based (kernel releases on holder death), not
+    lockfile-existence-based, so there is no staleness heuristic — and no
+    judge-then-remove race — at all. The lock inode is permanent."""
     import os
 
     from ambient_sound_analysis_api_spark.registry import _lsh_plane_table
@@ -321,13 +324,41 @@ def test_plane_table_stale_lock_broken_by_rename(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
     path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
     lockfile = f"{path}.lock"
-    with open(lockfile, "w") as fh:
+    with open(lockfile, "w") as fh:  # abandoned lock inode, arbitrarily old
         fh.write("")
-    old = 120.0
-    os.utime(lockfile, (os.path.getmtime(lockfile) - old,) * 2)
+    os.utime(lockfile, (os.path.getmtime(lockfile) - 3600,) * 2)
 
     df = _lsh_plane_table(spark)
     assert df.count() > 0
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
-    assert not os.path.exists(lockfile)
     assert [p for p in os.listdir(base) if ".stale." in p] == []
+
+
+def test_plane_table_flock_times_out_under_live_holder(
+    spark, tmp_path, monkeypatch
+):
+    """While another process HOLDS the flock, a second publisher cannot
+    acquire it (LOCK_NB fails) — proving the exclusion is the kernel lock,
+    not file existence. Verified directly on the lock inode."""
+    import fcntl
+    import os
+
+    from ambient_sound_analysis_api_spark.registry import _lsh_plane_table
+
+    base = str(tmp_path / "lshheld")
+    os.makedirs(base)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
+    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    _lsh_plane_table(spark).count()  # publish once; lock inode now exists
+
+    fd = os.open(f"{path}.lock", os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fd2 = os.open(f"{path}.lock", os.O_RDWR)
+        try:
+            with pytest.raises(OSError):
+                fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            os.close(fd2)
+    finally:
+        os.close(fd)
