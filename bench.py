@@ -59,6 +59,9 @@ HEADLINE = [
     # double-aggregation quantization audit — both shuffle-bearing
     "pipeline_decontaminate",
     "emb_quantize_int8",
+    # round-5 addition: the regex-heavy all-Catalyst scrub projection — a
+    # codegen shape (six regexp ops per row, zero shuffle) the set lacked
+    "pipeline_pii_scrub",
 ]
 
 
