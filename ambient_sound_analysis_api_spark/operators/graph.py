@@ -23,18 +23,29 @@ def connected_components(
 ) -> DataFrame:
     """Assign every node the minimum node id reachable from it.
 
-    Min-label propagation: each round, every node takes the min of its own
-    label and its neighbors' labels; converges in O(component diameter)
-    rounds. Near-dup components are shallow (dup clusters are cliques or
-    near-cliques from the pair generators), so a handful of rounds
-    suffices; ``max_iter`` bounds pathological chains.
+    Min-label propagation with pointer-jumping acceleration. Each round,
+    every node takes the min of its own label and its neighbors' labels
+    (the *hook* step — converges alone in O(component diameter) rounds);
+    from the third round on, each node ALSO takes its label's label (the
+    *jump* step of Shiloach-Vishkin pointer doubling), which halves the
+    remaining label-chain depth per round and brings worst-case
+    convergence to O(log diameter). Near-dup components are shallow
+    (cliques/near-cliques from the pair generators) and converge in 2
+    rounds before jumping ever engages — the jump join's extra shuffle is
+    only paid on graphs that actually need it.
+
+    The jump step preserves the invariant that ``lbl(u)`` is always the id
+    of a node in ``u``'s component and only ever decreases, so the fixed
+    point is the same component-minimum labeling as pure min-label.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence — a silently-unconverged labeling assigns WRONG clusters,
+    which is strictly worse than failing.
 
     Scale notes: each round is one shuffle (join on the edge endpoint) plus
-    a min-aggregate; lineage is truncated with ``localCheckpoint`` every
-    round so the plan doesn't grow with iterations (the classic iterative-
-    Spark trap). For graphs with huge diameters, swap in the
-    large-star/small-star algorithm (O(log n) rounds, same join primitive)
-    — near-dup clustering does not need it.
+    a min-aggregate (plus one node-sized self-join while jumping); lineage
+    is truncated with ``localCheckpoint`` every round so the plan doesn't
+    grow with iterations (the classic iterative-Spark trap).
 
     Returns ``(node_col, cluster_id)`` — singleton nodes keep their own id.
     """
@@ -63,8 +74,9 @@ def connected_components(
         F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
     ).localCheckpoint()
 
+    converged = False
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             neighbor_min = (
                 sym.join(
                     labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2")
@@ -72,25 +84,32 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("lbl").alias("nbr_lbl"))
             )
-            # The changed flag rides the propagation join (a label only
-            # changes when a strictly smaller neighbor label arrives), so
-            # convergence is read off the already-checkpointed frame with a
-            # shuffle-free filter+isEmpty — not a separate join job per
-            # iteration, which at cluster scale would be a full extra job
-            # launch per round.
-            new_labels = (
-                labels.join(neighbor_min, "u", "left_outer")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                    F.coalesce(
-                        F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
-                    ).alias("chg"),
-                )
-                .localCheckpoint()
+            cand = labels.join(neighbor_min, "u", "left_outer")
+            best = F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
             )
+            if i >= 2:
+                # still unconverged after the clique-friendly rounds: this is
+                # a deep/chain-shaped component — add the pointer-jumping
+                # step lbl(u) <- lbl(lbl(u)) so remaining chains halve per
+                # round instead of shrinking by one hop
+                jumped = labels.select(
+                    F.col("u").alias("j_u"), F.col("lbl").alias("j_lbl")
+                )
+                cand = cand.join(jumped, F.col("lbl") == F.col("j_u"), "left")
+                best = F.least(
+                    best, F.coalesce(F.col("j_lbl"), F.col("lbl"))
+                )
+            # The changed flag rides the propagation join (a label only
+            # changes when a strictly smaller label arrives), so convergence
+            # is read off the already-checkpointed frame with a shuffle-free
+            # filter+isEmpty — not a separate join job per iteration, which
+            # at cluster scale would be a full extra job launch per round.
+            new_labels = cand.select(
+                "u",
+                best.alias("lbl"),
+                (best < F.col("lbl")).alias("chg"),
+            ).localCheckpoint()
             converged = new_labels.filter(F.col("chg")).isEmpty()
             labels = new_labels.drop("chg")
             if converged:
@@ -99,4 +118,10 @@ def connected_components(
         # release even when an iteration's job dies — a long-lived session
         # must not accumulate corpus-sized edge caches from failed runs
         sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "with pointer jumping this needs a component of diameter "
+            f"~2^{max_iter - 2} — check the edge set (or raise max_iter)"
+        )
     return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
