@@ -35,3 +35,27 @@ def test_flagship_is_registered():
     """The driver smoke-entry must map to a registered query so correctness
     evidence covers the same code path the smoke check runs."""
     assert "agg_bucket_mean_5m" in registry.queries()
+
+
+def test_bench_headline_queries_are_registered():
+    """Every bench.py HEADLINE entry must resolve in the registry — a
+    renamed/removed query should fail here, not at bench time in the
+    driver's per-round run."""
+    import bench
+
+    q = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert missing == []
+
+
+def test_golden_and_bounds_queries_are_registered_and_unoracled():
+    """The golden/bounds check sets must track the registry exactly: each
+    named query exists and has NO SQL oracle (otherwise two gates would
+    disagree about the source of truth)."""
+    from ambient_sound_analysis_api_spark.golden import GOLDEN_QUERIES
+    from ambient_sound_analysis_api_spark.sketch_bounds import BOUNDS_QUERIES
+
+    q, o = registry.queries(), registry.oracle_sql()
+    for name in list(GOLDEN_QUERIES) + list(BOUNDS_QUERIES):
+        assert name in q, name
+        assert name not in o, f"{name} has both an SQL oracle and a golden"
