@@ -4070,6 +4070,277 @@ def q_pipeline_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 12. adapted TPC-H over a pseudo-partsupp (round 5 breadth)
+#
+# The synthetic tables lack PARTSUPP, so the classic supply-side queries
+# (Q2/Q9/Q20/Q21) are adapted over a *derived* part-supplier relation:
+# distinct (l_partkey, l_suppkey) pairs from lineitem, with per-pair
+# supply-cost / availability proxies computed from the same rows. Each
+# query keeps its defining physical shape (min-cost-per-group window,
+# multi-fact profit star, conditional-quantity semi-join, stacked
+# EXISTS / NOT EXISTS self-joins) on the available columns.
+
+
+@register(
+    "tpch_q2_min_cost_supp",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    j AS (
+      SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.supply_cost,
+             min(ps.supply_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.l_partkey
+      JOIN eu ON ps.l_suppkey = eu.s_suppkey
+      WHERE p.p_size = 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+    FROM j WHERE supply_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q_tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted TPC-H Q2: cheapest EUROPE supplier per size-15 part, over the
+    pseudo-partsupp (supply cost = min unit price ever charged for the
+    pair). Shape: fact aggregation → broadcast dim joins → per-part window
+    min → filter-to-min. The window reuses the partitioning the
+    pseudo-partsupp aggregate just produced only if keys align — here the
+    agg keys are (part, supp) and the window key is part alone, so exactly
+    one extra shuffle on p_partkey, which is the minimum the semantics
+    allow. min/division are single IEEE ops, bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    li = _table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    p = _table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"]).join(
+        F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"]
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(sum(
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2))
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted TPC-H Q9 (product-type profit): revenue minus a supply-cost
+    proxy (10% of part retail price per unit — PARTSUPP's ps_supplycost is
+    absent), grouped by supplier nation × order year, parts filtered by
+    name substring. Shape: the widest star in the set — lineitem joined to
+    orders (fact-fact shuffle on orderkey) with part/supplier/nation
+    broadcast, profit summed exactly in DECIMAL so partition order can't
+    perturb the float result."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    p = _table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,2)")
+    cost_rate = F.lit("0.10").cast("decimal(12,2)")
+    profit = F.sum(
+        dec("l_extendedprice") * (one - dec("l_discount"))
+        - dec("p_retailprice") * cost_rate * dec("l_quantity")
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(profit.alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty97,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    hot AS (
+      SELECT DISTINCT q.l_suppkey
+      FROM q JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE p.p_name LIKE '%blue%'
+        AND q.qty_total >= 70 AND q.qty97 * 2 > q.qty_total
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM hot)
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted TPC-H Q20: suppliers who shipped more than half of their
+    all-time quantity (>= 70 units, so sparse pairs can't pass trivially) of
+    some '%blue%' part during 1997 (availability proxy = total shipped
+    quantity; PARTSUPP's ps_availqty is absent). Shape:
+    conditional aggregation over the pseudo-partsupp, broadcast part-name
+    filter, DISTINCT supplier set, then a left-semi join into supplier —
+    the inner relation never leaves the executors. Quantity sums compare in
+    exact DECIMAL (qty97*2 > total, no float ratio)."""
+    li = _table(spark, sf_dir, "lineitem")
+    decq = F.col("l_quantity").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    in97 = (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1))) & (
+        F.col("l_shipdate") < F.lit(datetime(1998, 1, 1))
+    )
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in97, decq).otherwise(zero)).alias("qty97"),
+        F.sum(decq).alias("qty_total"),
+    )
+    p = _table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    hot = (
+        q.join(F.broadcast(p), q["l_partkey"] == p["p_partkey"])
+        .filter(
+            (F.col("qty_total") >= F.lit(70).cast("decimal(12,2)"))
+            & (F.col("qty97") * 2 > F.col("qty_total"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    return (
+        s.join(hot, s["s_suppkey"] == hot["l_suppkey"], "leftsemi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM li l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA' AND l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted TPC-H Q21 (suppliers who kept orders waiting): for finalized
+    multi-supplier orders, count late lines (shipped >90 days after the
+    order date — receipt/commit dates are absent) whose supplier was the
+    ONLY late one in the order. The defining shape survives intact: a
+    left-semi self-join (some other supplier exists on the order) stacked
+    with a left-anti self-join (no other supplier was late), then broadcast
+    supplier/nation/region and a count aggregate. All three self-join arms
+    hash-partition on l_orderkey, so AQE coalesces them onto one exchange
+    footprint; the late flag is computed once in the shared subplan."""
+    li_raw = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        li_raw.join(o, li_raw["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = li.filter(F.col("late"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2, (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]), "leftsemi"
+    ).join(
+        l3, (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["s3"]), "leftanti"
+    )
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(F.broadcast(dim), cand["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

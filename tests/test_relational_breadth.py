@@ -11,6 +11,7 @@ window+agg reuse).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ambient_sound_analysis_api_spark.registry import (
@@ -290,3 +291,133 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed
+
+
+# ---------------------------------------------------------------------------
+# round-5 pseudo-partsupp TPC-H adaptations (registry section 12)
+
+
+def test_q2_rows_are_groupwise_min_cost_europe(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_tpch_q2_min_cost_supp
+
+    rows = q_tpch_q2_min_cost_supp(spark, sf_dir).collect()
+    # independent recompute: per-part min supply cost over EUROPE suppliers
+    li = _table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("c")
+    )
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_keys = {
+        x.s_suppkey
+        for x in s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+        .collect()
+    }
+    p15 = {x.p_partkey for x in _table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey").collect()}
+    mins = {}
+    for x in ps.collect():
+        if x.l_suppkey in eu_keys and x.l_partkey in p15:
+            prev = mins.get(x.l_partkey)
+            mins[x.l_partkey] = x.c if prev is None else min(prev, x.c)
+    assert rows, "q2 returned no rows at this sf"
+    for row in rows:
+        assert row.supply_cost == mins[row.p_partkey]
+
+
+def test_q9_groups_partition_total_profit(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_tpch_q9_profit
+
+    out = q_tpch_q9_profit(spark, sf_dir)
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(12,2)")
+    rate = F.lit("0.10").cast("decimal(12,2)")
+    total = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (one - dec("l_discount"))
+                - dec("p_retailprice") * rate * dec("l_quantity")
+            ).cast("double").alias("v")
+        )
+        .collect()[0].v
+    )
+    got = out.agg(F.sum("sum_profit").alias("v")).collect()[0].v
+    assert got == pytest.approx(total, rel=1e-9)
+
+
+def test_q20_thresholds_really_exclude(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_tpch_q20_excess_suppliers
+
+    rows = q_tpch_q20_excess_suppliers(spark, sf_dir).collect()
+    n_total = _table(spark, sf_dir, "supplier").count()
+    # the availability predicate must be selective, not a tautology
+    assert len(rows) < n_total
+    # every returned supplier really has a qualifying blue pair
+    li = _table(spark, sf_dir, "lineitem")
+    from datetime import datetime as dt
+
+    in97 = (F.col("l_shipdate") >= F.lit(dt(1997, 1, 1))) & (
+        F.col("l_shipdate") < F.lit(dt(1998, 1, 1))
+    )
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("q97"),
+        F.sum("l_quantity").alias("qt"),
+    )
+    blue = _table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    ok_supp = {
+        x.l_suppkey
+        for x in q.join(blue, q["l_partkey"] == blue["p_partkey"])
+        .filter((F.col("qt") >= 70.0) & (F.col("q97") * 2 > F.col("qt")))
+        .select("l_suppkey")
+        .collect()
+    }
+    s = _table(spark, sf_dir, "supplier")
+    names = {x.s_suppkey: x.s_name for x in s.collect()}
+    got_names = {r.s_name for r in rows}
+    assert got_names == {names[k] for k in ok_supp}
+
+
+def test_q21_counts_only_sole_late_suppliers(spark, sf_dir):
+    """Independent reformulation: per finalized order, count distinct
+    suppliers and distinct LATE suppliers; qualifying rows are late lines in
+    multi-supplier orders whose late-supplier set is exactly {that supplier}."""
+    from ambient_sound_analysis_api_spark.registry import q_tpch_q21_waiting_suppliers
+
+    rows = q_tpch_q21_waiting_suppliers(spark, sf_dir).collect()
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qual = (
+        j.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    dim = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    expected = {
+        (x.s_name, x.cnt)
+        for x in qual.join(dim, qual["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert {(r_.s_name, r_.numwait) for r_ in rows} == expected
