@@ -426,3 +426,74 @@ def embedding_near_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (span) duplication signal: for each document, how
+    many of its distinct token ``n``-gram spans also occur in at least one
+    OTHER document, and what fraction of its spans that is.
+
+    This is the aggregate form of suffix-array training-data dedup
+    (find repeated substrings across the corpus, then cut or down-weight
+    them): a span repeated across documents is exactly an ``n``-gram whose
+    document frequency is >= 2. Suffix arrays find *maximal* repeats; the
+    fixed-``n`` shingle form is the scalable Spark-native approximation —
+    every repeat of length >= n tokens is detected (as a run of duplicated
+    n-grams), with no global sort and no per-node suffix structure.
+
+    Plan (two shuffles, shingling computed once):
+
+    1. distinct span hashes per doc (``xxhash64`` over zipped token tuples,
+       all JVM-side), exploded → persisted (both consumers below re-read it);
+    2. ``groupBy(span)`` → document frequency — map-side partial counts, so
+       the wire carries one (hash, count) per distinct span per partition,
+       not one row per occurrence;
+    3. join the exploded frame back on the span hash (AQE handles hot
+       boilerplate spans via skew-join splitting; the frequency side is
+       span-distinct and thus far smaller than the occurrence side), then a
+       final ``groupBy(doc)``.
+
+    Docs with fewer than ``n`` tokens have no spans and report zero with
+    ``dup_fraction`` 0.0 (left join back to the full doc list).
+    """
+    sh = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(token_ngram_hashes(F.col(text_col), n))
+            ).alias("span_h"),
+        )
+    )
+    # distinct per doc → count(*) per span == number of docs containing it
+    span_df = sh.groupBy("span_h").agg(F.count("*").alias("span_docs"))
+    per_doc = (
+        sh.join(span_df, "span_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("span_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"), 4
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )

@@ -368,3 +368,54 @@ def lsh_topk(
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def sparse_projection_planes(
+    out_dim: int, in_dim: int, seed: int = 20240814
+) -> list[list[int]]:
+    """Deterministic sparse random-projection planes (Achlioptas weights).
+
+    Each weight is -1 with probability 1/6, +1 with probability 1/6, and 0
+    otherwise, drawn from a seeded linear-congruential stream — numpy-free
+    and process-stable, so the same planes reproduce in any engine (they
+    are embedded as literals in both the Spark plan and the SQL oracle).
+    Integer weights keep the per-element products exact, which makes the
+    cross-engine comparison depend only on the (rounded) summation."""
+    planes, state = [], seed % (1 << 31)
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            u = state / float(1 << 31)
+            row.append(-1 if u < 1 / 6 else (1 if u > 5 / 6 else 0))
+        planes.append(row)
+    return planes
+
+
+def project_embeddings(
+    df: DataFrame,
+    planes: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project each
+    embedding onto ``len(planes)`` fixed sparse hyperplanes.
+
+    Entirely Catalyst — one whole-stage-codegen projection per row, zero
+    shuffles, zero Python. The planes ride the plan as array literals
+    (model-sized: out_dim x in_dim ints), so nothing is broadcast or
+    collected; at cluster scale this is a pure map stage that chains onto
+    whatever partitioning the input already has. Output columns ``p0..pK``
+    are rounded to ``round_dp`` decimals (defensive: the fold is a
+    deterministic sequential sum, rounding guards engine-comparison only).
+    """
+    out = [F.col(id_col)]
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(w) for w in plane])
+        # + 0.0 collapses IEEE -0.0 to +0.0 (a zero-dot can round to either
+        # sign depending on term order; engines must agree on the rendering)
+        out.append(
+            (F.round(dot(F.col(vec_col), lit), round_dp) + F.lit(0.0)).alias(f"p{j}")
+        )
+    return df.select(*out)

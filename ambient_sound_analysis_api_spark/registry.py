@@ -4081,6 +4081,103 @@ def q_pipeline_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXISTS / NOT EXISTS self-joins) on the available columns.
 
 
+# Sparse random-projection planes for the JL dimensionality-reduction query:
+# 8 output dims over the 64-dim embeddings, integer Achlioptas weights from a
+# seeded LCG so the identical planes embed as literals in BOTH engines.
+_PROJ_PLANES = None
+
+
+def _proj_planes() -> list[list[int]]:
+    global _PROJ_PLANES
+    if _PROJ_PLANES is None:
+        from .operators.similarity import sparse_projection_planes
+
+        _PROJ_PLANES = sparse_projection_planes(8, 64)
+    return _PROJ_PLANES
+
+
+def _proj_oracle_sql() -> str:
+    cols = []
+    for j, plane in enumerate(_proj_planes()):
+        lit = "[" + ", ".join(str(w) for w in plane) + "]"
+        cols.append(
+            f"round(list_reduce([CAST(embedding[i] AS DOUBLE) * ({lit})[i] "
+            f"FOR i IN range(1, 65)], (a, b) -> a + b), 4) + 0.0 AS p{j}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings ORDER BY vec_id"
+    )
+
+
+@register("emb_random_projection", None)  # oracle attached below (generated)
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction
+    (``operators.similarity.project_embeddings``): 64-dim embeddings down to
+    8 dims via fixed sparse Achlioptas planes (+1/-1 w.p. 1/6 each, else 0).
+    The training-pipeline 'cheap shrink' step before ANN indexing or
+    clustering. Pure whole-stage-codegen projection — the planes are plan
+    literals, there is no shuffle, no Python, no broadcast; the fold's
+    sequential summation order matches the oracle's ``list_reduce`` exactly
+    (integer weights keep the products exact; round(4) is defensive)."""
+    from .operators.similarity import project_embeddings
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return project_embeddings(emb, _proj_planes()).orderBy("vec_id")
+
+
+# generated oracle (the literal planes are long; built once at import)
+_SPECS["emb_random_projection"] = (
+    _SPECS["emb_random_projection"][0],
+    _proj_oracle_sql(),
+)
+
+
+@register(
+    "dedup_repeated_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS sh
+      FROM t WHERE len(toks) >= 8
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS span FROM g),
+    d AS (SELECT span, count(*) AS span_docs FROM e GROUP BY span),
+    pd AS (
+      SELECT e.doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM e JOIN d USING (span) GROUP BY e.doc_id
+    )
+    SELECT documents.doc_id,
+           CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+                ELSE round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4)
+           END AS dup_fraction
+    FROM documents LEFT JOIN pd ON documents.doc_id = pd.doc_id
+    ORDER BY documents.doc_id
+    """,
+)
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (``operators.dedup.
+    repeated_span_stats``): per document, the count and fraction of its
+    distinct token 8-gram spans that recur in other documents — the
+    Spark-native aggregate form of suffix-array substring dedup (fixed-n
+    shingle DF instead of maximal repeats; every cross-doc repeat of >= 8
+    tokens is caught as a run of duplicated 8-grams). Oracle compares
+    string shingles against the engine's xxhash64 spans — counts agree
+    modulo 64-bit collisions, same accepted design as
+    ``pipeline_decontaminate``."""
+    from .operators.dedup import repeated_span_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, n=8).orderBy("doc_id")
+
+
 @register(
     "tpch_q2_min_cost_supp",
     """

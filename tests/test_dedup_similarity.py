@@ -362,3 +362,78 @@ def test_plane_table_flock_times_out_under_live_holder(
             os.close(fd2)
     finally:
         os.close(fd)
+
+
+def test_repeated_span_stats_semantics(spark):
+    from ambient_sound_analysis_api_spark.operators.dedup import repeated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # A and B share the 8-token span inside different prefixes/suffixes
+            (1, "one two three " + shared + " tail1 tail2"),
+            (2, "x y " + shared),
+            # C: >= 8 tokens, all spans unique to C
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+            # D: too short for any 8-gram span
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the shared span is one distinct 8-gram in each doc
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    # doc 1: 13 tokens -> 6 spans; doc 2: 10 tokens -> 3 spans
+    assert out[1].n_spans == 6 and out[2].n_spans == 3
+    assert out[2].dup_fraction == round(1 / 3, 4)
+    assert out[3].n_dup_spans == 0 and out[3].n_spans == 3
+    assert out[4].n_spans == 0 and out[4].dup_fraction == 0.0
+
+
+def test_repeated_span_stats_catches_long_repeat_as_run(spark):
+    """A 10-token cross-doc repeat appears as 3 duplicated 8-gram spans."""
+    from ambient_sound_analysis_api_spark.operators.dedup import repeated_span_stats
+
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    docs = spark.createDataFrame(
+        [(1, "a b " + rep), (2, rep + " z w")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_span_stats(docs, n=8).collect()}
+    assert out[1].n_dup_spans == 3 and out[2].n_dup_spans == 3
+
+
+def test_projection_planes_deterministic_and_sparse():
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        sparse_projection_planes,
+    )
+
+    a = sparse_projection_planes(8, 64)
+    b = sparse_projection_planes(8, 64)
+    assert a == b
+    flat = [w for row in a for w in row]
+    assert set(flat) <= {-1, 0, 1}
+    # Achlioptas sparsity: roughly 2/3 zeros
+    assert 0.5 < flat.count(0) / len(flat) < 0.8
+
+
+def test_project_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        project_embeddings,
+        sparse_projection_planes,
+    )
+
+    rng = [((i * 37 + 11) % 100) / 25.0 - 2.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in rng])], "vec_id long, embedding array<float>"
+    )
+    planes = sparse_projection_planes(8, 64)
+    row = project_embeddings(df, planes).collect()[0]
+    v = np.array(rng, dtype=np.float32).astype(np.float64)
+    P = np.array(planes, dtype=np.float64)
+    exp = np.round(P @ v, 4) + 0.0
+    got = np.array([getattr(row, f"p{j}") for j in range(8)])
+    assert np.allclose(got, exp, atol=1e-9)
