@@ -497,3 +497,38 @@ def repeated_span_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch (incremental) dedup: admit only new-batch docs whose
+    normalized fingerprint is absent from the existing corpus, then collapse
+    within-batch copies to a deterministic min-id winner.
+
+    This is the steady-state shape of a production ingest loop: the corpus
+    side is a fingerprint *store* (one 32-byte md5 per retained doc), not
+    the documents themselves, so the anti-join moves keys only. Plan: both
+    sides hash-partition on ``fp`` for a shuffled left-anti join; at 100 TB
+    the store should be written bucketed by ``fp`` so the anti-join
+    co-locates with zero shuffle on the (much larger) historical side and
+    only the new batch moves. No ``distinct`` on the corpus side — anti
+    joins are duplicate-tolerant, and the extra shuffle would be pure cost.
+
+    Returns one row per *new* fingerprint: (fp, keep_id, n_batch_copies).
+    """
+    fp_new = new_df.select(
+        fingerprint(F.col(text_col)).alias("fp"), F.col(id_col)
+    )
+    fp_corpus = corpus_df.select(fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp_new.join(fp_corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+    )

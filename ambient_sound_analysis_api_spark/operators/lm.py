@@ -1,0 +1,85 @@
+"""Corpus n-gram language-model scoring.
+
+A CCNet-style quality signal without an external model: train add-one
+(Laplace) smoothed bigram statistics over the corpus itself, then score
+every document by its mean token log-probability. Documents whose bigrams
+are rare in the corpus (boilerplate-free, but also gibberish) score low;
+heavily templated text scores high — both tails are what a curation
+pipeline inspects.
+
+Everything is count tables + equi-joins:
+
+- unigram/bigram count tables are one ``explode → groupBy`` each with
+  map-side partial aggregation (shuffle moves (token, partial-count)
+  pairs, not positions);
+- scoring is two equi-joins of the per-position bigram stream against
+  those tables plus a 1-row broadcast of the vocabulary size;
+- the only skew risk is stop-word bigrams ("of the") concentrating a
+  count-table key — harmless here because the count tables are *joined
+  back* (fan-out read side), not re-aggregated on the hot key; AQE skew
+  handling covers the join.
+
+Determinism across engines: every probability is a ratio of exact
+integers evaluated in one double division, its ``ln`` rounded to 6
+decimals and summed in DECIMAL — so micro-batch/partition order cannot
+perturb the per-doc sum, and the final per-token average is a single
+IEEE division. (The 6-decimal rounding also absorbs any last-ulp
+difference between libm implementations of ``ln``.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score each document by mean add-one-smoothed bigram log-probability.
+
+    P(b|a) = (c(ab) + 1) / (c(a) + V) with counts over the whole corpus and
+    V = |vocabulary|. Returns (id, n_bigrams, avg_logprob) for every doc
+    with at least one bigram; ``avg_logprob`` is
+    ``CAST(sum_6dp_logprobs AS DOUBLE) / n_bigrams``.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("toks")
+    )
+    uni = toks.select(F.col(id_col), F.explode("toks").alias("token"))
+    ug = uni.groupBy("token").agg(F.count("*").alias("c_ug"))
+    vocab = uni.agg(F.countDistinct("token").alias("v"))
+    bg_stream = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(concat(toks[i], ' ', toks[i + 1]) AS bigram,"
+                    " toks[i] AS tok1))"
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.bigram"), F.col("bg.tok1"))
+    )
+    bg_counts = bg_stream.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    lp = F.round(
+        F.log(
+            (F.col("c_bg") + F.lit(1)).cast("double")
+            / (F.col("c_ug") + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bg_stream.join(bg_counts, "bigram")
+        .join(ug, bg_stream["tok1"] == ug["token"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
+    )

@@ -4437,6 +4437,214 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ger AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    v AS (
+      SELECT l_partkey AS p_partkey, sum(supply_cost * qty_total) AS value_dec
+      FROM ps JOIN ger ON ps.l_suppkey = ger.s_suppkey
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(value_dec) AS tot, count(*) AS cnt FROM v)
+    SELECT p_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+    FROM v, t
+    WHERE CAST(value_dec AS DOUBLE) > CAST(tot AS DOUBLE) * 1.5 / cnt
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted TPC-H Q11 (important stock identification) — completes the
+    22-query suite over the pseudo-partsupp. Stock value per (part, supp)
+    is cheapest-whole-order-price × total shipped quantity (supply cost /
+    availability proxies; PARTSUPP is absent), summed per part over one
+    nation's suppliers; parts worth more than 1.5× the mean survive.
+    Shape: fact aggregation → broadcast semi-filter to the nation's
+    suppliers → per-part sum → threshold against a 1-row broadcast global
+    aggregate (the scalar-subquery HAVING becomes a crossJoin(broadcast)),
+    so the fact table is read once and nothing re-shuffles for the
+    threshold. Values sum exactly in DECIMAL; only the final compare and
+    output cast to DOUBLE (identical single IEEE ops both engines)."""
+    li = _table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+            "supply_cost"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_total"),
+    )
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ger = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    v = (
+        ps.join(F.broadcast(ger), ps["l_suppkey"] == ger["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("supply_cost") * F.col("qty_total")).alias("value_dec"))
+    )
+    t = v.agg(F.sum("value_dec").alias("tot"), F.count("*").alias("cnt"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("tot").cast("double") * F.lit(1.5) / F.col("cnt")
+        )
+        .select(
+            "p_partkey", F.col("value_dec").cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    corpus AS (SELECT fp FROM fp WHERE doc_id % 7 <> 3),
+    batch AS (SELECT * FROM fp WHERE doc_id % 7 = 3)
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch_copies
+    FROM batch
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def q_pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py::incremental_dedup):
+    every 7th doc plays the newly-crawled batch, the rest the already-
+    retained corpus; only batch docs whose normalized fingerprint is unseen
+    survive, collapsed to a min-id winner within the batch. One left-anti
+    equi-join on a 32-byte key + one groupBy — the steady-state shape of a
+    production crawl loop, where the corpus side is a bucketed fingerprint
+    store so the historical data never re-shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    return dedup.incremental_dedup(batch, corpus).orderBy("fp")
+
+
+@register(
+    "text_bigram_lm_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    ug AS (SELECT token, count(*) AS c_ug FROM u GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM u),
+    bt AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
+      FROM t WHERE len(toks) >= 2
+    ),
+    b AS (SELECT doc_id, unnest(bgs) AS bigram FROM bt),
+    bg AS (SELECT bigram, count(*) AS c_bg FROM b GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(bg.c_bg + 1 AS DOUBLE) / (ug.c_ug + vocab.v)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM b
+      JOIN bg USING (bigram)
+      JOIN ug ON ug.token = split_part(b.bigram, ' ', 1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring (operators/lm.py): add-one
+    smoothed P(b|a) trained on the corpus itself, each doc scored by mean
+    token log-probability — the CCNet-style quality signal without an
+    external model. Count tables are explode→groupBy with map-side
+    partials; scoring is two equi-joins back plus a 1-row vocabulary
+    broadcast; log-probs are rounded to 6 decimals and summed in DECIMAL
+    so partition order can't perturb the doc sums."""
+    from .operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    f"""
+    SELECT n.n_name AS nation,
+           (epoch_us(e.ts) // 900000000) * 900 AS bucket_s,
+           count(*) AS n_events,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.ts >= TIMESTAMP '{_WS}' AND e.ts < TIMESTAMP '{_WE}'
+      AND isfinite(e.value)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment on REAL streaming machinery: the event
+    stream joins a broadcast static dimension (nation, keyed by
+    user_id % 25) *inside* the streaming query, then aggregates a tumbling
+    15-minute count + decimal-exact mean per nation — the canonical
+    enrich-then-window shape of a production feed (stream side never
+    buffers the dim; the dim is broadcast to every micro-batch). Oracle is
+    the same join + bucket aggregation in plain SQL, so the streaming
+    result is hash-checked against batch semantics."""
+    from .functions.scalars import decimal_mean
+    from .streaming.windows import run_available_now
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit(WINDOW_START))
+        & (F.col("ts") < F.lit(WINDOW_END))
+        & is_finite(F.col("value"))
+    )
+    src = ev.select(
+        (F.col("user_id") % 25).alias("nation_key"), "ts", "value"
+    )
+    dim = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nation_key"),
+        F.col("n_name").alias("nation"),
+    )
+
+    def enrich_stream(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .join(F.broadcast(dim), "nation_key")
+            .groupBy("nation", F.window("ts", "15 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                decimal_mean(F.col("value")).alias("mean_value"),
+            )
+            .select(
+                "nation",
+                F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                "n_events",
+                "mean_value",
+            )
+        )
+
+    return run_available_now(spark, src, enrich_stream).orderBy(
+        "nation", "bucket_s"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

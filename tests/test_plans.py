@@ -255,6 +255,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "sim_lsh_hyperplane",  # packed plane table: 1-row broadcast join
         "sim_lsh_multiprobe",  # same packed-plane 1-row broadcast, ×2 scans
         "emb_ann_ivf_nprobe",  # 1-row query × nlist-row centroid ranking
+        "tpch_q11_important_stock",  # 1-row global-total broadcast (HAVING)
+        "text_bigram_lm_score",  # 1-row vocabulary-size broadcast
     }
     python_ok = {
         "mm_binary_meta",
