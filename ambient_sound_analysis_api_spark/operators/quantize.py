@@ -64,3 +64,56 @@ def quantize_int8_report(
         )
         .orderBy("pos")
     )
+
+
+def zscore_outlier_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-vector z-score outlier audit against per-dimension corpus stats.
+
+    Embedding corpora pick up broken vectors (encoder bugs, truncated
+    inputs) that ANN search then happily serves; this flags them before
+    indexing. For each dimension the corpus mean and variance come from
+    order-independent decimal sums (sum x, sum x² — engine- and
+    partition-order-stable), then each vector reports how many of its
+    dimensions sit more than ``z_threshold`` standard deviations from the
+    dimension mean, and its worst |z|.
+
+    Plan shape mirrors ``quantize_int8_report``: one ``posexplode``, a
+    dims-row stats aggregate, the stats broadcast back onto the exploded
+    stream, and a per-vector aggregation — wire traffic for the stats pass
+    is executors × dims regardless of row count, and the per-vector pass is
+    a partial-agg-friendly sum/max on the id the explode preserved.
+    """
+    ex = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "xf")
+    ).select(F.col(id_col), "pos", F.col("xf").cast("double").alias("x"))
+    st = ex.groupBy("pos").agg(
+        decimal_mean(F.col("x"), scale=10, precision=30).alias("mean"),
+        decimal_mean(F.col("x") * F.col("x"), scale=12, precision=32).alias(
+            "m2"
+        ),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    z = (
+        ex.join(F.broadcast(st), "pos")
+        .withColumn(
+            "z",
+            F.when(std > 0, (F.col("x") - F.col("mean")) / std).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    return (
+        z.groupBy(id_col)
+        .agg(
+            F.sum((F.abs(F.col("z")) > z_threshold).cast("long")).alias(
+                "n_outlier_dims"
+            ),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy(id_col)
+    )

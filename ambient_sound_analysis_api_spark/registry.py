@@ -4645,6 +4645,142 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_zscore_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    st AS (
+      SELECT pos,
+             CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(x) AS mean,
+             CAST(sum(CAST(x * x AS DECIMAL(32,12))) AS DOUBLE) / count(x * x) AS m2
+      FROM ex GROUP BY pos
+    ),
+    z AS (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(s.m2 - s.mean * s.mean) > 0
+                  THEN (e.x - s.mean) / sqrt(s.m2 - s.mean * s.mean)
+                  ELSE 0.0 END AS z
+      FROM ex e JOIN st s USING (pos)
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outlier_dims,
+           round(max(abs(z)), 6) AS max_abs_z
+    FROM z GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q_emb_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-vector audit (operators/quantize.py::zscore_outlier_report):
+    per-dimension corpus mean/variance from order-independent decimal sums,
+    broadcast back onto the exploded vector stream, each vector flagged by
+    how many dimensions sit beyond 2σ and by its worst |z| — run before
+    committing a corpus to an ANN index so encoder glitches don't get
+    served. Same two-pass dims-keyed plan as the int8 quantization audit."""
+    from .operators.quantize import zscore_outlier_report
+
+    return zscore_outlier_report(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pipeline_user_histories",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           string_agg(event_type, '>' ORDER BY ts, event_id)
+             FILTER (WHERE rn <= 100) AS seq
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pipeline_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered history assembly — the log→training-sequence step
+    of a behavioral/agentic pipeline: each user's events collapse to one
+    row with an event-type sequence string ordered by (ts, event_id) and
+    capped at the first 100 events, plus span stats. One shuffle on
+    user_id; the in-group sort is ``array_sort(collect_list(struct))``
+    (struct field order IS the sort key, no window pass), and the slice cap
+    bounds per-row state so a bot user with 10M events can't balloon a
+    single aggregation buffer into an OOM — the skew story is the cap."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.expr(
+                "array_join(transform(slice(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), 1, 100),"
+                " x -> x.event_type), '>')"
+            ).alias("seq"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_time_grouping_sets",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(year(ts) AS INTEGER) AS y,
+             CAST(month(ts) AS INTEGER) AS m, value
+      FROM events WHERE isfinite(value)
+    )
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+           count(*) AS n_events,
+           {_DECMEAN_DUCK} AS mean_value
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, y, m), (event_type, y), (y), ())
+    ORDER BY etype, y, m
+    """,
+)
+def q_agg_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS over the time hierarchy — the third grouping-set
+    flavor next to the existing CUBE and ROLLUP queries: detail
+    (type, year, month), per-type yearly, per-year all-type, and grand
+    total, all in ONE Expand+Aggregate pass over a single scan (never a
+    union of re-scans). Subtotal slots coalesce to 'ALL'/-1; the mean is
+    decimal-exact so every grouping level hashes identically cross-engine."""
+    from .functions.scalars import decimal_mean
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(is_finite(F.col("value")))
+        .select(
+            "event_type",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            "value",
+        )
+    )
+    gs = ev.groupingSets(
+        [["event_type", "y", "m"], ["event_type", "y"], ["y"], []],
+        "event_type",
+        "y",
+        "m",
+    ).agg(
+        F.count("*").alias("n_events"),
+        decimal_mean(F.col("value")).alias("mean_value"),
+    )
+    return gs.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+        F.coalesce(F.col("y"), F.lit(-1)).alias("y"),
+        F.coalesce(F.col("m"), F.lit(-1)).alias("m"),
+        "n_events",
+        "mean_value",
+    ).orderBy("etype", "y", "m")
+
+
 # ---------------------------------------------------------------------------
 
 

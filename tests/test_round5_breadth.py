@@ -1,0 +1,59 @@
+"""Unit tests for the round-5 breadth additions: z-score embedding audit,
+per-user history assembly, and the time-hierarchy GROUPING SETS query."""
+
+from __future__ import annotations
+
+from ambient_sound_analysis_api_spark.operators.quantize import (
+    zscore_outlier_report,
+)
+from ambient_sound_analysis_api_spark.registry import (
+    q_agg_time_grouping_sets,
+    q_pipeline_user_histories,
+)
+
+
+def test_zscore_flags_the_broken_vector(spark):
+    """9 vectors at 0 plus one at 100: mean=10, std=30 → the outlier sits at
+    z=3 (flagged), the rest at z=-1/3 (clean)."""
+    rows = [(i, [0.0]) for i in range(9)] + [(99, [100.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in zscore_outlier_report(emb).collect()}
+    assert out[99].n_outlier_dims == 1
+    assert abs(out[99].max_abs_z - 3.0) < 1e-6
+    for i in range(9):
+        assert out[i].n_outlier_dims == 0
+        assert abs(out[i].max_abs_z - 1 / 3) < 1e-6
+
+
+def test_zscore_constant_dimension_is_not_an_outlier(spark):
+    """A zero-variance dimension contributes z=0 everywhere, never NaN."""
+    emb = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [5.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in zscore_outlier_report(emb).collect()}
+    # dim 0 constant → z = 0; dim 1 has two symmetric points → |z| = 1
+    assert out[1].n_outlier_dims == 0 and out[2].n_outlier_dims == 0
+    assert abs(out[1].max_abs_z - 1.0) < 1e-6
+
+
+def test_user_histories_order_cap_and_span(spark, sf_dir):
+    rows = {r.user_id: r for r in q_pipeline_user_histories(spark, sf_dir).collect()}
+    assert rows  # non-empty at sf0.001
+    for r in rows.values():
+        seq_len = len(r.seq.split(">")) if r.seq else 0
+        assert seq_len == min(r.n_events, 100)
+        assert r.first_ts <= r.last_ts
+
+
+def test_grouping_sets_levels_are_consistent(spark, sf_dir):
+    """The grand total must equal the sum of the per-year level, and the
+    per-type yearly level must roll up the detail level."""
+    out = q_agg_time_grouping_sets(spark, sf_dir).collect()
+    grand = [r for r in out if r.etype == "ALL" and r.y == -1 and r.m == -1]
+    per_year = [r for r in out if r.etype == "ALL" and r.y != -1]
+    detail = [r for r in out if r.etype != "ALL" and r.m != -1]
+    type_year = [r for r in out if r.etype != "ALL" and r.m == -1]
+    assert len(grand) == 1
+    assert grand[0].n_events == sum(r.n_events for r in per_year)
+    assert sum(r.n_events for r in detail) == sum(r.n_events for r in type_year)
