@@ -2062,61 +2062,111 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
 
 
-def _kmeans_ctes(n_iter: int = 4, k: int = 8) -> str:
+def _kmeans_ctes(
+    n_iter: int = 4, k: int = 8, vec: str = "embedding", p: str = ""
+) -> str:
     """DuckDB CTE chain replicating ``operators.clustering.kmeans_fit``
     exactly: lowest-id seeding, per-iteration argmin assignment (ties to
     the lowest cluster index) and DECIMAL(32,12) order-independent centroid
     means, unrolled over the fixed ``n_iter`` Lloyd's iterations. The final
-    CTE pair is ``c{n_iter}d`` (fitted centroid dims) and ``af`` (the
+    CTE pair is ``{p}c{n_iter}d`` (fitted centroid dims) and ``{p}af`` (the
     predict-pass assignment with its squared distance), which the callers
     aggregate. Iterative fits are usually 'no SQL oracle' material — a
-    fixed iteration count makes them plain chained CTEs instead."""
+    fixed iteration count makes them plain chained CTEs instead.
+
+    ``vec`` is the embedding-column SQL expression (a slice like
+    ``embedding[1:16]`` fits a subspace — how the PQ oracle reuses this)
+    and ``p`` prefixes every CTE name so several chains can coexist in one
+    WITH block."""
     parts = [f"""
-    edim AS (
-      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-             generate_subscripts(embedding, 1) AS i
+    {p}edim AS (
+      SELECT vec_id, CAST(unnest({vec}) AS DOUBLE) AS x,
+             generate_subscripts({vec}, 1) AS i
       FROM embeddings
     ),
-    c0d AS (
+    {p}c0d AS (
       SELECT c.cluster, e.i, e.x AS m
       FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
             FROM embeddings ORDER BY vec_id LIMIT {k}) c
-      JOIN edim e USING (vec_id)
+      JOIN {p}edim e USING (vec_id)
     )"""]
     for j in range(1, n_iter + 1):
         parts.append(f""",
-    d{j} AS (
+    {p}d{j} AS (
       SELECT e.vec_id, c.cluster, sum((e.x - c.m) * (e.x - c.m)) AS d
-      FROM edim e JOIN c{j - 1}d c USING (i)
+      FROM {p}edim e JOIN {p}c{j - 1}d c USING (i)
       GROUP BY e.vec_id, c.cluster
     ),
-    a{j} AS (
+    {p}a{j} AS (
       SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-        FROM d{j}) t WHERE rn = 1
+        FROM {p}d{j}) t WHERE rn = 1
     ),
-    u{j} AS (
+    {p}u{j} AS (
       SELECT a.cluster, e.i,
              CAST(sum(CAST(e.x AS DECIMAL(32,12))) AS DOUBLE) / count(e.x) AS m
-      FROM a{j} a JOIN edim e USING (vec_id)
+      FROM {p}a{j} a JOIN {p}edim e USING (vec_id)
       GROUP BY a.cluster, e.i
     ),
-    c{j}d AS (
+    {p}c{j}d AS (
       SELECT c.cluster, c.i, COALESCE(u.m, c.m) AS m
-      FROM c{j - 1}d c LEFT JOIN u{j} u ON u.cluster = c.cluster AND u.i = c.i
+      FROM {p}c{j - 1}d c LEFT JOIN {p}u{j} u
+        ON u.cluster = c.cluster AND u.i = c.i
     )""")
     parts.append(f""",
-    df AS (
+    {p}df AS (
       SELECT e.vec_id, c.cluster, sum((e.x - c.m) * (e.x - c.m)) AS d
-      FROM edim e JOIN c{n_iter}d c USING (i)
+      FROM {p}edim e JOIN {p}c{n_iter}d c USING (i)
       GROUP BY e.vec_id, c.cluster
     ),
-    af AS (
+    {p}af AS (
       SELECT vec_id, cluster, d FROM (
         SELECT vec_id, cluster, d,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-        FROM df) t WHERE rn = 1
+        FROM {p}df) t WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+def _pq_ctes(m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16) -> str:
+    """PQ oracle: m prefixed k-means chains over dimension slices, the
+    query row's per-subspace distance table, and the ADC sum — the whole
+    fit/encode/scan pipeline as one WITH block."""
+    parts = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        if s > 0:
+            parts.append(",")
+        parts.append(
+            _kmeans_ctes(n_iter=n_iter, k=k, vec=f"embedding[{lo}:{hi}]", p=f"s{s}")
+        )
+        parts.append(f""",
+    q{s} AS (
+      SELECT generate_subscripts(embedding[{lo}:{hi}], 1) AS i,
+             CAST(unnest(embedding[{lo}:{hi}]) AS DOUBLE) AS x
+      FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    qd{s} AS (
+      SELECT c.cluster, sum((q.x - c.m) * (q.x - c.m)) AS qd
+      FROM s{s}c{n_iter}d c JOIN q{s} q USING (i)
+      GROUP BY c.cluster
+    )""")
+    code_cols = ", ".join(f"a{s}.cluster AS code_{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}af a{s} USING (vec_id)" for s in range(1, m))
+    adc_sum = " + ".join(f"qd{s}.qd" for s in range(m))
+    adc_joins = " ".join(
+        f"JOIN qd{s} ON codes.code_{s} = qd{s}.cluster" for s in range(m)
+    )
+    parts.append(f""",
+    codes AS (
+      SELECT a0.vec_id, {code_cols}
+      FROM s0af a0 {code_joins}
+    ),
+    adc AS (
+      SELECT codes.*, {adc_sum} AS dist
+      FROM codes {adc_joins}
     )""")
     return "".join(parts)
 
@@ -4779,6 +4829,36 @@ def q_agg_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "mean_value",
     ).orderBy("etype", "y", "m")
+
+
+@register(
+    "emb_pq_adc_topk",
+    f"""
+    WITH {_pq_ctes()}
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           round(dist, 6) AS adc_dist
+    FROM adc
+    ORDER BY adc_dist, vec_id
+    LIMIT 20
+    """,
+)
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (operators/pq.py): four per-subspace
+    deterministic k-means codebooks (k=8, 2 Lloyd's iterations), a
+    zero-shuffle codegen encode to 4 codes per vector, and an ADC top-20
+    scan for the lowest-id query vector via literal lookup tables — the 64×
+    vector-compression scale path for petabyte ANN corpora (Jégou et al.,
+    TPAMI 2011). The oracle unrolls ALL of it — four k-means fits, the
+    encode argmins, the query distance tables, the ADC sum — as one WITH
+    block, so even the iterative model fit is value-hash-checked."""
+    from .operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, n_iter=2)
+    codes = pq_encode(emb, books)
+    qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return pq_adc_topk(codes, books, query, topk=20)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Unit tests for product quantization (operators/pq.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ambient_sound_analysis_api_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+)
+from ambient_sound_analysis_api_spark.registry import q_emb_pq_adc_topk
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 1.0]),
+            (2, [0.5, 0.0]),
+            (3, [9.5, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_fit_shapes_and_values(tiny):
+    books = pq_fit(tiny, m=2, k=2, n_iter=1)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    # subspace 0: seeds 0/10 → means (0+0.5)/2 and (10+9.5)/2
+    assert books[0][0] == [pytest.approx(0.25)]
+    assert books[0][1] == [pytest.approx(9.75)]
+
+
+def test_pq_encode_assigns_nearest_codeword(tiny):
+    books = pq_fit(tiny, m=2, k=2, n_iter=1)
+    codes = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(tiny, books).collect()}
+    assert codes == {0: (0, 0), 1: (1, 1), 2: (0, 0), 3: (1, 1)}
+
+
+def test_pq_adc_topk_orders_by_table_lookup_distance(tiny):
+    books = pq_fit(tiny, m=2, k=2, n_iter=1)
+    codes = pq_encode(tiny, books)
+    out = pq_adc_topk(codes, books, [0.0, 0.0], topk=4).collect()
+    # ids 0 and 2 share the nearest cell; tie broken by vec_id
+    assert [r.vec_id for r in out] == [0, 2, 1, 3]
+    # ADC distance of the (0,0) cell from query [0,0]: 0.25² + 0² = 0.0625
+    assert out[0].adc_dist == pytest.approx(0.0625)
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pq_fit(emb, m=2, k=1, n_iter=1)
+
+
+def test_registry_pq_query_monotone(spark, sf_dir):
+    rows = q_emb_pq_adc_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
