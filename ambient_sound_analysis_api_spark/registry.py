@@ -4861,6 +4861,120 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, query, topk=20)
 
 
+@register(
+    "agg_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7
+                  AS INTEGER) AS wk
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, wk,
+           count(DISTINCT user_id) AS n_active
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per week-offset from that cohort day — the standard retention
+    triangle. Two aggregations and one join, ALL keyed on user_id, so AQE
+    reuses a single exchange footprint: first-seen is a partial-agg min,
+    the join re-attaches cohorts without a second fact shuffle, and only
+    the (cohort, wk) distinct-count re-partitions (on a tiny key space)."""
+    ev = _events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort")
+    )
+    a = ev.join(f, "user_id").select(
+        "user_id",
+        "cohort",
+        F.floor(F.datediff(F.to_date("ts"), F.col("cohort")) / F.lit(7))
+        .cast("int")
+        .alias("wk"),
+    )
+    return (
+        a.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), F.col("wk")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort", "wk")
+    )
+
+
+@register(
+    "agg_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_agg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → later click → later purchase):
+    per user, the earliest view, the earliest click strictly AFTER that
+    view, the earliest purchase strictly after that click, and the funnel
+    stage reached (1-3). Each stage is a filtered min-aggregation joined to
+    the previous stage's timestamps — five operators all hash-keyed on
+    user_id, so the chain reuses one partitioning end to end; no window
+    scan over full per-user histories is needed (the stage predicate
+    pushes the prior stage's min in as a join condition)."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    c = (
+        clicks.join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    p = (
+        buys.join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase", stage.alias("stage")
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

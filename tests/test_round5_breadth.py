@@ -57,3 +57,31 @@ def test_grouping_sets_levels_are_consistent(spark, sf_dir):
     assert len(grand) == 1
     assert grand[0].n_events == sum(r.n_events for r in per_year)
     assert sum(r.n_events for r in detail) == sum(r.n_events for r in type_year)
+
+
+def test_event_funnel_orderings(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_agg_event_funnel
+
+    rows = q_agg_event_funnel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.stage in (1, 2, 3)
+        if r.t_click is not None:
+            assert r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.stage == 3 and r.t_purchase > r.t_click
+        if r.t_click is None:
+            assert r.t_purchase is None and r.stage == 1
+
+
+def test_retention_cohort_week0_dominates(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_agg_retention_cohorts
+
+    rows = q_agg_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    week0 = {r.cohort: r.n_active for r in rows if r.wk == 0}
+    for r in rows:
+        assert r.wk >= 0 and r.n_active >= 1
+        # every cohort member is active in week 0 (their first event),
+        # so no later week can exceed the cohort size
+        assert r.n_active <= week0[r.cohort]
