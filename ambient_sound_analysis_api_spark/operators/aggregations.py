@@ -182,3 +182,50 @@ def sessionize(
         )
         .drop("_sw")
     )
+
+
+def daily_partials(
+    ev: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Algebraic per-day partial aggregates: (key, day, n, decimal sum,
+    min, max). The materialize-once layer of an incremental rollup
+    pipeline — every statistic here MERGES losslessly (counts and decimal
+    sums add; min/max re-min/max), so coarser periods never re-scan raw
+    data. The mean is deliberately NOT stored (it doesn't merge); it is
+    derived from (sum, n) after the final merge."""
+    return (
+        ev.filter(is_finite(F.col(val_col)))
+        .groupBy(
+            F.col(key_col),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(val_col).alias("n"),
+            F.sum(F.col(val_col).cast("decimal(20,2)")).alias("s"),
+            F.min(val_col).alias("mn"),
+            F.max(val_col).alias("mx"),
+        )
+    )
+
+
+def merge_partials_monthly(partials: DataFrame) -> DataFrame:
+    """Merge daily partials to monthly statistics. Decimal-sum
+    associativity makes the merged mean bit-identical to a direct
+    aggregation over the raw rows — which is exactly what the registry
+    oracle checks (direct SQL monthly agg vs this two-level plan). At
+    scale the daily table is O(keys × days), so the monthly rollup reads
+    thousands of rows where the raw scan would read billions."""
+    return (
+        partials.groupBy(
+            "event_type", F.substring("day", 1, 7).alias("month")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("s").cast("double") / F.sum("n")).alias("mean_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )

@@ -4975,6 +4975,117 @@ def q_agg_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_scd2_customers",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey,
+             CAST(0.0 AS DOUBLE), 'NEW'
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    eff AS (
+      SELECT g.* FROM chg g
+      LEFT JOIN cur c ON g.c_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+         OR g.c_name IS DISTINCT FROM c.c_name
+         OR g.c_nationkey IS DISTINCT FROM c.c_nationkey
+         OR g.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR g.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    )
+    SELECT * FROM (
+      SELECT c.* FROM cur c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM eff)
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment, c.valid_from, '2024-06-01'
+      FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM eff)
+      UNION ALL
+      SELECT e.c_custkey, e.c_name, e.c_nationkey, e.c_acctbal,
+             e.c_mktsegment, '2024-06-01', CAST(NULL AS VARCHAR)
+      FROM eff e
+    )
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def q_pipeline_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history apply (operators/scd.py): a change batch (updated
+    balances for every 7th customer, verbatim no-op rows for every 11th,
+    brand-new keys for every 13th) versions the customer snapshot at an
+    effective date — no-ops pass through untouched, updates close the open
+    row and open a new one, inserts just open. One classifying join plus
+    key-partitioned anti/semi/union branches; the no-op rows prove the
+    null-safe attribute comparison actually suppresses spurious versions."""
+    from .operators.scd import scd2_apply
+
+    c = _table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    current = c.withColumn("valid_from", F.lit("2024-01-01")).withColumn(
+        "valid_to", F.lit(None).cast("string")
+    )
+    updated = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    noop = c.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    )
+    new = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    changes = updated.unionByName(noop).unionByName(new)
+    return scd2_apply(
+        current,
+        changes,
+        key_cols=["c_custkey"],
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        effective_date="2024-06-01",
+    ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "agg_monthly_from_partials",
+    """
+    SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(value) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+             AS mean_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events WHERE isfinite(value)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_agg_monthly_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup losslessness proof: the Spark side aggregates
+    DAILY algebraic partials (count/decimal-sum/min/max —
+    operators/aggregations.py::daily_partials) and merges them to months
+    (merge_partials_monthly); the oracle aggregates the RAW rows monthly in
+    one pass. Hash equality shows the two-level plan is exact — decimal
+    sums are associative, so a 100 TB pipeline can maintain day partials
+    and serve any coarser period without ever re-reading raw data."""
+    from .operators.aggregations import daily_partials, merge_partials_monthly
+
+    ev = _events(spark, sf_dir)
+    return merge_partials_monthly(daily_partials(ev)).orderBy(
+        "event_type", "month"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
