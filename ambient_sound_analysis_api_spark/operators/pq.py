@@ -31,7 +31,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import _sqdist_to, kmeans_fit
+from ..functions.scalars import decimal_mean
+from .caching import tracked_persist
+from .clustering import _sqdist_to
+
+
+def _code_cols(
+    codebooks: list[list[list[float]]], vec_col: str
+) -> list:
+    """Per-subspace argmin code expressions over literal centroids — the
+    shared encode kernel for fitting and encoding (ties to the lowest
+    code via ``array_position``'s first-minimum semantics)."""
+    cols = []
+    for s, cb in enumerate(codebooks):
+        d_sub = len(cb[0])
+        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        dists = F.array(*[_sqdist_to(sub, c) for c in cb])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return cols
 
 
 def pq_fit(
@@ -43,18 +62,70 @@ def pq_fit(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Fit m per-subspace codebooks (each k × dim/m) with the deterministic
-    k-means. Returns plain Python lists — model-sized, never data-sized."""
-    dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    k-means (lowest-id seeding, order-independent decimal centroid means —
+    numerically identical to running ``clustering.kmeans_fit`` per slice).
+
+    All m fits are FUSED: each Lloyd's iteration is ONE scan — the m
+    argmin assignments ride a single projection, one ``posexplode``
+    splits positions into (subspace, within-subspace dim), and one
+    aggregation keyed on (subspace, code, dim) updates every codebook at
+    once. Per-iteration cost is a single shuffle of model-sized partials
+    regardless of m, where a per-subspace loop would pay m full scans.
+    Returns plain Python lists — model-sized, never data-sized.
+    """
+    first = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(first)}")
+    dim = len(first[0][0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = []
-    for s in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("embedding"),
+    books = [
+        [
+            [float(x) for x in row[0][s * d_sub : (s + 1) * d_sub]]
+            for row in first
+        ]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        codes = F.array(*_code_cols(books, vec_col))
+        # Materialize the per-row code array BEFORE exploding: Generate
+        # re-evaluates sibling projections per output element, so without
+        # the persist the m×k distance folds would re-run dim times per
+        # row (the classic explode/lambda recompute trap). From the cache
+        # the codes are a stored column — the explode just references it.
+        enc = tracked_persist(
+            emb.select(codes.alias("_codes"), F.col(vec_col).alias("_v"))
         )
-        books.append(kmeans_fit(sub, k=k, n_iter=n_iter))
+        try:
+            ex = enc.select(
+                F.col("_codes"), F.posexplode(F.col("_v")).alias("pos", "x")
+            ).select(
+                (F.col("pos") / d_sub).cast("int").alias("s"),
+                F.element_at(
+                    F.col("_codes"), (F.col("pos") / d_sub).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % d_sub).alias("i"),
+                F.col("x"),
+            )
+            stats = (
+                ex.groupBy("s", "code", "i")
+                .agg(
+                    decimal_mean(F.col("x"), scale=12, precision=32).alias("m")
+                )
+                .collect()
+            )
+        finally:
+            enc.unpersist()
+        new = [[list(c) for c in cb] for cb in books]
+        seen = set()
+        for r in stats:
+            if (r["s"], r["code"]) not in seen:
+                seen.add((r["s"], r["code"]))
+                new[r["s"]][r["code"]] = [0.0] * d_sub
+        for r in stats:
+            new[r["s"]][r["code"]][r["i"]] = float(r["m"])
+        books = new
     return books
 
 

@@ -62,6 +62,13 @@ HEADLINE = [
     # round-5 addition: the regex-heavy all-Catalyst scrub projection — a
     # codegen shape (six regexp ops per row, zero shuffle) the set lacked
     "pipeline_pii_scrub",
+    # round-5 breadth: count-table LM scoring (two build aggs + two joins
+    # back), capped collect_list assembly, PQ fit+encode+ADC (iterative
+    # model fit inside the timing), and the SCD2 classify+union write shape
+    "text_bigram_lm_score",
+    "pipeline_user_histories",
+    "emb_pq_adc_topk",
+    "pipeline_scd2_customers",
 ]
 
 
