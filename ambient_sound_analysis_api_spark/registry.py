@@ -5086,6 +5086,76 @@ def q_agg_monthly_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from .functions.zorder import morton_sql
+
+    return f"""
+    WITH ab AS (
+      SELECT (hour(ts) * 60 + minute(ts)) AS a, (user_id & 2047) AS b
+      FROM events
+    ),
+    k AS (SELECT a, b, ({morton_sql('a', 'b', 11)}) AS zkey FROM ab)
+    SELECT zkey >> 14 AS bucket, count(*) AS n,
+           min(a) AS a_min, max(a) AS a_max,
+           min(b) AS b_min, max(b) AS b_max
+    FROM k GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("layout_zorder_locality", _zorder_oracle())
+def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (functions/zorder.py): events keyed by the
+    Morton interleave of (minute-of-day, user_id low bits), bucketed into
+    contiguous curve segments, reporting each segment's bounding box over
+    BOTH dimensions — the per-file min/max stats a Z-ordered parquet write
+    would expose, i.e. the reason a filter on either dimension can skip
+    most row groups. The key is a pure shiftleft/AND/OR codegen fold (zero
+    Python, zero extra shuffle); ``zorder_layout`` turns the same key into
+    an actual ``repartitionByRange`` + sorted write."""
+    from .functions.zorder import morton_code
+
+    ev = _events(spark, sf_dir).select(
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("a"),
+        F.col("user_id").bitwiseAND(F.lit(2047)).alias("b"),
+    )
+    k = ev.withColumn("zkey", morton_code(F.col("a"), F.col("b"), 11))
+    return (
+        k.groupBy(F.shiftright("zkey", 14).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "pipeline_skew_report",
+    """
+    WITH g AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                 quantile_cont(n, 0.5) AS med
+          FROM g)
+    SELECT key, n, round(n / total, 6) AS share,
+           round(n / med, 4) AS ratio_to_median
+    FROM g, t ORDER BY n DESC, key LIMIT 10
+    """,
+)
+def q_pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key pre-flight (operators/diagnostics.py::skew_report): the
+    ten heaviest user_id values with share-of-total and
+    ratio-to-median-group-size — the numbers that decide between a plain
+    shuffle, AQE skew splitting, or explicit salting before a 100 TB join.
+    One partial-agg count, a 1-row broadcast of (total, exact interpolated
+    median), and a TakeOrderedAndProject top-k."""
+    from .operators.diagnostics import skew_report
+
+    return skew_report(_events(spark, sf_dir), "user_id", topk=10)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -257,6 +257,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ann_ivf_nprobe",  # 1-row query × nlist-row centroid ranking
         "tpch_q11_important_stock",  # 1-row global-total broadcast (HAVING)
         "text_bigram_lm_score",  # 1-row vocabulary-size broadcast
+        "pipeline_skew_report",  # 1-row total/median stats broadcast
     }
     python_ok = {
         "mm_binary_meta",

@@ -1,0 +1,60 @@
+"""Unit tests for Z-order layout keys and the shuffle-skew report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.functions.zorder import (
+    morton_code,
+    zorder_layout,
+)
+from ambient_sound_analysis_api_spark.operators.diagnostics import skew_report
+
+
+def test_morton_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0b11, 0b01), (0, 0), (0b10, 0b10)], "a long, b long"
+    )
+    out = df.select(
+        "a", "b", morton_code(F.col("a"), F.col("b"), 2).alias("z")
+    ).collect()
+    got = {(r.a, r.b): r.z for r in out}
+    # a → even bit positions, b → odd: (11, 01) → a0+a1<<2 + b0<<1 = 1+4+2
+    assert got[(3, 1)] == 0b111
+    assert got[(0, 0)] == 0
+    assert got[(2, 2)] == 0b1100  # a1<<2 | b1<<3
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """After Z-order layout, each output partition's bounding box over
+    (a, b) is far smaller than the global domain — the property that makes
+    min/max file stats prune on either dimension."""
+    n = 1 << 10
+    df = spark.range(n).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") / 32).cast("long").alias("b")
+    )
+    laid = zorder_layout(df, F.col("a"), F.col("b"), 5, n_partitions=8)
+    spans = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("aspan"),
+            (F.max("b") - F.min("b")).alias("bspan"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 4
+    # global span is 31 on both axes; curve segments must bound both
+    # dimensions to roughly sqrt(cells-per-partition)
+    assert all(r.aspan <= 16 and r.bspan <= 16 for r in spans)
+
+
+def test_skew_report_flags_hot_key(spark):
+    rows = [(1,)] * 90 + [(i,) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", topk=3).collect()
+    assert out[0].key == 1 and out[0].n == 90
+    assert out[0].share == 0.9
+    # median group size is 1 → the hot key sits at 90× the median
+    assert out[0].ratio_to_median == 90.0
+    assert all(r.n <= out[0].n for r in out)
