@@ -185,3 +185,58 @@ def pq_adc_topk(
         .limit(topk)
         .select(id_col, *[f"code_{s}" for s in range(m)], "adc_dist")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS ``IVFPQ`` architecture): rank coarse
+    cells by centroid distance to the query, then ADC-scan ONLY the
+    ``nprobe`` nearest cells' PQ codes. Read cost is nprobe/nlist of the
+    table and the scanned payload is 4-byte codes, not 256-byte vectors —
+    the two multiplicative savings that make petabyte ANN serving work.
+
+    The cell-ranking stage is the existing IVF pattern (nlist-row decimal
+    centroid table × 1-row query, both broadcast); candidates come from a
+    broadcast equi-join on the cell id, so with the table partitioned by
+    ``cell_col`` the scan prunes to nprobe partitions' files before any
+    distance math."""
+    from .similarity import ivf_cell_centroids
+
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.col("_qvec"),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", sqdist.alias("_d"))
+        .orderBy("_d", "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = (
+        emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col)
+    )
+    codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(codes, codebooks, query, topk=k, id_col=id_col).select(
+        id_col, "adc_dist"
+    )

@@ -5156,6 +5156,57 @@ def q_pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_events(spark, sf_dir), "user_id", topk=10)
 
 
+@register(
+    "emb_ivfpq_topk",
+    f"""
+    WITH {_pq_ctes()},
+    qiv AS (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    qdim AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+                    generate_subscripts(qe, 1) AS i FROM qiv),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    cd AS (
+      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT 2),
+    cand AS (
+      SELECT e.vec_id FROM embeddings e JOIN iprobes USING (label)
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT a.vec_id, round(a.dist, 6) AS adc_dist
+    FROM adc a JOIN cand USING (vec_id)
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/pq.py::ivfpq_topk) — the FAISS-style
+    production architecture: coarse cells ranked by decimal-mean centroid
+    distance (nlist-row table × 1-row query, both broadcast), the 2
+    nearest cells ADC-scanned via PQ codes. Read cost multiplies the two
+    savings: nprobe/nlist of the rows × 4-byte codes instead of 256-byte
+    vectors. The oracle replays the entire composite — four unrolled
+    subspace k-means fits, the encode argmins, the centroid ranking, the
+    cell probe, and the ADC sum — so even this two-level index is
+    value-hash-checked end to end."""
+    from .operators.pq import ivfpq_topk, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, n_iter=2)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_topk(emb, books, query, query_id=qid, k=10, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -258,6 +258,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "tpch_q11_important_stock",  # 1-row global-total broadcast (HAVING)
         "text_bigram_lm_score",  # 1-row vocabulary-size broadcast
         "pipeline_skew_report",  # 1-row total/median stats broadcast
+        "emb_ivfpq_topk",  # 1-row query × nlist-row centroid ranking
     }
     python_ok = {
         "mm_binary_meta",

@@ -63,3 +63,29 @@ def test_registry_pq_query_monotone(spark, sf_dir):
     dists = [r.adc_dist for r in rows]
     assert dists == sorted(dists)
     assert all(d >= 0 for d in dists)
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.registry import (
+        _table,
+        q_emb_ivfpq_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = q_emb_ivfpq_topk(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    ids = [r.vec_id for r in out]
+    assert qid not in ids
+    # results must lie in at most 2 distinct coarse cells (nprobe=2)
+    cells = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert cells <= 2
+    dists = [r.adc_dist for r in out]
+    assert dists == sorted(dists)
