@@ -5207,6 +5207,106 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, books, query, query_id=qid, k=10, nprobe=2)
 
 
+@register(
+    "agg_band_percentile_envelope",
+    f"""
+    WITH v AS ({_PSD_VIEW_SQL})
+    SELECT band_hz,
+           count(value) AS n,
+           round(quantile_cont(value, 0.05), 4) AS p05,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM v
+    WHERE hydrophone = 'click'
+      AND ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+      AND isfinite(value)
+    GROUP BY band_hz
+    ORDER BY band_hz
+    """,
+)
+def q_agg_band_percentile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band percentile noise envelope (P5/P50/P95) — how ambient-noise
+    statistics are conventionally reported (the exceedance levels L95/L50/
+    L5 of the acoustics literature), a natural extension of the
+    reference's per-band means (``app/services/get_aggregations.py``).
+    One shuffle on the (tiny) band key; exact interpolated percentiles
+    agree bit-for-bit across engines on identical multisets
+    (the (n-1)·q definition), round(4) is defensive."""
+    v = _psd_view(spark, sf_dir, WINDOW_START, WINDOW_END).filter(
+        (F.col("hydrophone") == "click") & is_finite(F.col("value"))
+    )
+    return (
+        v.groupBy("band_hz")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.percentile("value", 0.05), 4).alias("p05"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        )
+        .orderBy("band_hz")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS sh FROM g),
+    sdf AS (SELECT sh, count(*) AS nd FROM e GROUP BY 1)
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty
+    FROM e JOIN sdf USING (sh)
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty score: the fraction of a doc's distinct token
+    3-grams that are hapax (appear in no other doc) — high novelty marks
+    fresh content, near-zero marks boilerplate/template families; the
+    complement of the shared-shingle signals the dedup family keys on.
+    Shingle document-frequency is one explode→groupBy with map-side
+    partials (since shingles are per-doc distinct, count(*) IS document
+    frequency); the join back fans the df onto each doc's shingles —
+    all-integer arithmetic until the final rounded ratio."""
+    from .functions.text import token_ngrams
+
+    docs = _table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(token_ngrams(F.col("text"), 3))
+        ).alias("sh"),
+    )
+    sdf = e.groupBy("sh").agg(F.count("*").alias("nd"))
+    hapax = F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+    return (
+        e.join(sdf, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hapax.cast("long").alias("n_hapax"),
+            F.round(
+                hapax.cast("double") / F.count("*"), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

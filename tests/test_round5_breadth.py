@@ -85,3 +85,25 @@ def test_retention_cohort_week0_dominates(spark, sf_dir):
         # every cohort member is active in week 0 (their first event),
         # so no later week can exceed the cohort size
         assert r.n_active <= week0[r.cohort]
+
+
+def test_percentile_envelope_ordering(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_agg_band_percentile_envelope,
+    )
+
+    rows = q_agg_band_percentile_envelope(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p50 <= r.p95
+        assert r.n > 0
+
+
+def test_ngram_novelty_bounds_and_hapax_consistency(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_text_ngram_novelty
+
+    rows = q_text_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.n_shingles
+        assert 0.0 <= r.novelty <= 1.0
