@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .functions.scalars import is_finite, iso_format, time_bucket
 from .functions.text import (
+    fingerprint,
     lang_id,
     punct_ratio,
     quality_score,
@@ -5304,6 +5305,89 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    r"""
+    WITH f AS (
+      SELECT doc_id, n_chars, lang, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    lc AS (SELECT lang, count(*) AS n FROM f GROUP BY 1),
+    top AS (SELECT lang AS top_lang FROM lc ORDER BY n DESC, lang LIMIT 1),
+    core AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4)
+               AS dup_rate,
+             CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE) / count(*)
+               AS mean_chars,
+             round(CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 4) AS short_frac
+      FROM f
+    )
+    SELECT n_docs, total_chars, n_sources, n_langs, top_lang,
+           dup_rate, mean_chars, short_frac
+    FROM core, top
+    """,
+)
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): size, source/language
+    diversity, majority language, normalized-fingerprint duplicate rate,
+    decimal-exact mean length, and the short-document fraction. One
+    multi-distinct aggregation pass plus a 1-row majority-language
+    broadcast; at 100 TB this is the cheap always-on health report every
+    snapshot publish should attach."""
+    docs = _table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    top = (
+        f.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    core = f.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count("*"), 4
+        ).alias("dup_rate"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(20,0)")).cast("double")
+            / F.count("*")
+        ).alias("mean_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            4,
+        ).alias("short_frac"),
+    )
+    return core.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_chars",
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        "dup_rate",
+        "mean_chars",
+        "short_frac",
     )
 
 

@@ -100,3 +100,29 @@ def test_partial_merge_is_lossless(spark, sf_dir):
         assert m.n_events == d.n_events
         assert m.mean_value == d.mean_value  # bit-identical, not approx
         assert m.min_value == d.min_value and m.max_value == d.max_value
+
+
+def test_scd2_apply_is_idempotent(spark):
+    """Re-applying the same change batch to the applied history must be a
+    no-op: every change now matches the open rows, so no new versions."""
+    current = _hist(
+        spark,
+        [(1, "a", "2024-01-01", None), (2, "b", "2024-01-01", None)],
+    )
+    changes = spark.createDataFrame(
+        [(1, "A"), (3, "c")], "k long, attr string"
+    )
+    once = scd2_apply(current, changes, ["k"], ["attr"], "2024-06-01")
+    twice = scd2_apply(once, changes, ["k"], ["attr"], "2024-07-01")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_scd2_empty_batch_is_identity(spark):
+    current = _hist(spark, [(1, "a", "2024-01-01", None)])
+    changes = spark.createDataFrame([], "k long, attr string")
+    out = scd2_apply(current, changes, ["k"], ["attr"], "2024-06-01")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, current.collect())
+    )

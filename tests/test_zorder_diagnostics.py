@@ -58,3 +58,22 @@ def test_skew_report_flags_hot_key(spark):
     # median group size is 1 → the hot key sits at 90× the median
     assert out[0].ratio_to_median == 90.0
     assert all(r.n <= out[0].n for r in out)
+
+
+def test_morton_round_trips(spark):
+    """The interleave is a bijection on bits-bounded pairs: decoding the
+    even/odd bit positions recovers (a, b) exactly."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(1 << 11), rng.randrange(1 << 11)) for _ in range(64)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = df.select(
+        "a", "b", morton_code(F.col("a"), F.col("b"), 11).alias("z")
+    ).collect()
+    for r in out:
+        a = b = 0
+        for j in range(11):
+            a |= ((r.z >> (2 * j)) & 1) << j
+            b |= ((r.z >> (2 * j + 1)) & 1) << j
+        assert (a, b) == (r.a, r.b)
