@@ -60,6 +60,7 @@ def pq_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_frac: float | None = None,
 ) -> list[list[list[float]]]:
     """Fit m per-subspace codebooks (each k × dim/m) with the deterministic
     k-means (lowest-id seeding, order-independent decimal centroid means —
@@ -72,7 +73,20 @@ def pq_fit(
     once. Per-iteration cost is a single shuffle of model-sized partials
     regardless of m, where a per-subspace loop would pay m full scans.
     Returns plain Python lists — model-sized, never data-sized.
+
+    ``sample_frac`` fits on a deterministic md5-bucket sample of the rows
+    (same contract as ``sampling.hash_split`` — repeatable across runs,
+    engines, and partitionings, never ``rand()``): at 100 TB the codebooks
+    train on ~1M sampled vectors while the cheap encode pass still covers
+    the full corpus, which is how PQ indexes are built in practice.
     """
+    if sample_frac is not None:
+        from .sampling import N_BUCKETS, hash_bucket
+
+        emb = emb.filter(
+            hash_bucket(F.col(id_col), offset=7)
+            < F.lit(int(sample_frac * N_BUCKETS))
+        )
     first = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(first) < k:
         raise ValueError(f"need at least k={k} rows, got {len(first)}")

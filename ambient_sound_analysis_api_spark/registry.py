@@ -5391,6 +5391,55 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_incremental_rollup",
+    """
+    SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(value) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+             AS mean_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events WHERE isfinite(value)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-rollup production loop, oracle-checked: events
+    stream in as multiple micro-batches (file source, maxFilesPerTrigger=1,
+    availableNow), a ``foreachBatch`` sink merges each batch's daily
+    partials into a crash-safe store (staging + atomic rename; the batch id
+    commits in the same rename, so at-least-once replays are skipped —
+    streaming/rollup.py), and the monthly statistics served FROM THE STORE
+    hash-match a direct SQL aggregation over the raw rows. Three layers of
+    machinery (real streaming, algebraic merge, transactional swap) with
+    zero numeric drift."""
+    import tempfile
+
+    from .operators.aggregations import merge_partials_monthly
+    from .streaming.rollup import incremental_rollup_query, read_store
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    root = tempfile.mkdtemp(prefix="roll_")
+    src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_rollup_query(spark, stream, store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return merge_partials_monthly(read_store(spark, store)).orderBy(
+        "event_type", "month"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

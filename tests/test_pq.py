@@ -89,3 +89,16 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark, sf_dir):
     assert cells <= 2
     dists = [r.adc_dist for r in out]
     assert dists == sorted(dists)
+
+
+def test_pq_fit_sampled_is_deterministic_and_full_frac_identical(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    full = pq_fit(emb, m=2, k=4, n_iter=1)
+    frac1 = pq_fit(emb, m=2, k=4, n_iter=1, sample_frac=1.0)
+    assert full == frac1  # frac=1.0 keeps every bucket
+    half_a = pq_fit(emb, m=2, k=4, n_iter=1, sample_frac=0.5)
+    half_b = pq_fit(emb, m=2, k=4, n_iter=1, sample_frac=0.5)
+    assert half_a == half_b  # md5 sampling, not rand(): repeatable
+    assert len(half_a) == 2 and all(len(b) == 4 for b in half_a)

@@ -1,0 +1,93 @@
+"""foreachBatch incremental rollup: multi-batch streaming merge equals a
+direct batch aggregation, replays are skipped, crashes can't lose state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.aggregations import (
+    daily_partials,
+)
+from ambient_sound_analysis_api_spark.streaming.rollup import (
+    incremental_rollup_query,
+    last_merged_batch,
+    merge_partials_batch,
+    read_store,
+)
+
+
+def _norm(df):
+    return sorted(
+        (r.event_type, r.day, r.n, float(r.s), r.mn, r.mx)
+        for r in df.collect()
+    )
+
+
+def test_multi_batch_rollup_equals_direct(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    # several source files → maxFilesPerTrigger=1 gives several micro-batches
+    ev.repartition(4).write.parquet(src)
+    store = str(tmp_path / "store")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_rollup_query(spark, stream, store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert last_merged_batch(spark, store) >= 1  # really ran multiple batches
+    got = read_store(spark, store)
+    want = daily_partials(ev)
+    assert _norm(got) == _norm(want)
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("click", "2024-01-01 10:00:00", 1.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert merge_partials_batch(spark, batch, 0, store) is True
+    before = _norm(read_store(spark, store))
+    # at-least-once redelivery of the same batch id must be a no-op
+    assert merge_partials_batch(spark, batch, 0, store) is False
+    assert _norm(read_store(spark, store)) == before
+    # the next id merges
+    assert merge_partials_batch(spark, batch, 1, store) is True
+    after = read_store(spark, store).collect()
+    assert after[0].n == 2
+
+
+def test_store_survives_failed_staging_write(spark, tmp_path, monkeypatch):
+    """A crash during the staged write must leave the committed store (and
+    its batch-id marker) untouched."""
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("click", "2024-01-01 10:00:00", 2.5)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert merge_partials_batch(spark, batch, 0, store)
+    before = _norm(read_store(spark, store))
+
+    import ambient_sound_analysis_api_spark.streaming.rollup as rollup
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(rollup, "swap_in", boom)
+    try:
+        merge_partials_batch(spark, batch, 1, store)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert _norm(read_store(spark, store)) == before
+    assert last_merged_batch(spark, store) == 0
