@@ -20,26 +20,37 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (backward as-of join,
-    the semantics of pandas ``merge_asof`` / DuckDB ``ASOF JOIN``).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: the latest with ``right.ts <= left.ts`` (``backward``, the
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` default) or the earliest
+    with ``right.ts >= left.ts`` (``forward``). ``tolerance`` is an SQL
+    interval literal (e.g. ``"INTERVAL 30 DAYS"``) bounding how far the
+    match may sit from the left timestamp — matches outside it come back
+    as NULLs, exactly like pandas' ``tolerance``.
 
     Plan shape: union the two sides tagged by origin, single shuffle on
     ``on`` + sort by (ts, origin), then ``last(value, ignoreNulls)`` over an
-    unbounded-preceding window carries the most recent right-side values
-    forward onto left rows. Cost: one shuffle + one sort — no range
-    explosion, no per-key collect; skew on ``on`` is handled by AQE.
+    unbounded-preceding window carries the nearest right-side values onto
+    left rows (the forward direction just scans the timeline in reverse).
+    Cost: one shuffle + one sort — no range explosion, no per-key collect;
+    skew on ``on`` is handled by AQE. The tolerance is a post-carry filter,
+    so it adds zero join/shuffle cost.
 
     Right rows sort *before* left rows at equal timestamps so an exact
-    timestamp match is visible to the left row (<= semantics).
+    timestamp match is visible to the left row (<=/>= semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}")
           for v in right_values],
     )
@@ -50,11 +61,15 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType
         ).alias("_lrow"),
+        F.col(right_ts).alias("_rts"),
         *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    )
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
@@ -62,14 +77,24 @@ def asof_join(
         "_ts",
         "_is_left",
         "_lrow",
+        F.last("_rts", ignorenulls=True).over(w).alias("_carried_ts"),
         *[
             F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_carried_{v}")
             for v in right_values
         ],
     )
+    if tolerance is None:
+        within = F.col("_carried_ts").isNotNull()
+    elif direction == "backward":
+        within = F.col("_carried_ts") >= F.col("_ts") - F.expr(tolerance)
+    else:
+        within = F.col("_carried_ts") <= F.col("_ts") + F.expr(tolerance)
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_carried_{v}").alias(v) for v in right_values],
+        *[
+            F.when(within, F.col(f"_carried_{v}")).alias(v)
+            for v in right_values
+        ],
     )
     return out
 

@@ -5440,6 +5440,70 @@ def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "asof_next_order_tolerance",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT e.event_id, o2.o_orderkey, o2.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o2.o_orderdate, o2.o_orderkey) AS rn
+      FROM e JOIN o2 ON e.user_id = o2.o_custkey
+                    AND o2.o_orderdate >= e.ts
+                    AND o2.o_orderdate <= e.ts + INTERVAL 30 DAY
+    )
+    SELECT e.event_id, e.user_id, j.o_orderkey, j.o_totalprice
+    FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_next_order_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase event picks up the
+    customer's NEXT order within 30 days (outside the window → NULLs, the
+    pandas ``merge_asof`` tolerance contract). Same union-sort-window plan
+    as the backward as-of — the forward direction just scans the timeline
+    in reverse, and the tolerance is a post-carry predicate with zero extra
+    shuffle. The oracle is the naive bounded range-join + row_number pick,
+    so the window rewrite is proven against the quadratic formulation it
+    replaces."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = _table(spark, sf_dir, "orders")
+    o2 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return joins.asof_join(
+        ev,
+        o2,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        tolerance="INTERVAL 30 DAYS",
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice").orderBy(
+        "event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -107,3 +107,38 @@ def test_ngram_novelty_bounds_and_hapax_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hapax <= r.n_shingles
         assert 0.0 <= r.novelty <= 1.0
+
+
+def test_asof_forward_and_tolerance(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-12", 100.0), ("2024-02-25", 200.0)], "rts string, v double"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    l2 = left.withColumn("k", F.lit(1))
+    r2 = right.withColumn("k", F.lit(1))
+    fwd = {
+        r.id: r.v
+        for r in asof_join(
+            l2, r2, "k", "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    # id 1 → nearest later right is 01-12; id 2 → 02-25
+    assert fwd == {1: 100.0, 2: 200.0}
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            l2, r2, "k", "ts", "rts", ["v"],
+            direction="forward", tolerance="INTERVAL 7 DAYS",
+        ).collect()
+    }
+    # id 2's nearest later order is 36 days away → nulled by tolerance
+    assert tol == {1: 100.0, 2: None}
+    with pytest.raises(ValueError):
+        asof_join(l2, r2, "k", "ts", "rts", ["v"], direction="sideways")
