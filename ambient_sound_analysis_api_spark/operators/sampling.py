@@ -158,3 +158,31 @@ def source_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    key: Column,
+    offset: int = 8,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-RES scheme with the random draw replaced by a
+    stable md5-uniform (same no-``rand()`` contract as every sampler
+    here): each row scores ``u^(1/w)``, equivalently ``ln(u)/w`` (used
+    directly — one libm call, monotone-identical ordering), and the top-n
+    scores win. Higher weight pulls the score toward 0, so heavy rows are
+    proportionally more likely to be picked, yet the draw replays
+    identically across runs, engines, and partitionings — an auditable
+    "random" curation sample. Top-n is a ``TakeOrderedAndProject``; no
+    global sort materializes. Weights must be strictly positive.
+    """
+    b = hash_bucket(key, offset=offset)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(float(N_BUCKETS))
+    score = F.log(u) / weight
+    return (
+        df.withColumn("_ws", score)
+        .orderBy(F.col("_ws").desc(), key)
+        .limit(n)
+    )

@@ -5504,6 +5504,49 @@ def q_asof_next_order_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_weighted_sample",
+    """
+    WITH hx AS (
+      SELECT doc_id, lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 8, 3) AS h
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, lang, n_chars,
+             ln(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + 0.5)
+                / 4096.0) / n_chars AS s
+      FROM hx
+    )
+    SELECT doc_id, lang, n_chars, round(s, 6) + 0.0 AS score
+    FROM sc ORDER BY s DESC, doc_id LIMIT 50
+    """,
+)
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (operators/sampling.py::
+    weighted_sample): 50 docs drawn proportionally to length via
+    Efraimidis–Spirakis keys with a stable md5-uniform instead of rand() —
+    the auditable curation draw (human-eval batches, spot-check samples)
+    that replays identically anywhere. Top-n by score is a
+    TakeOrderedAndProject; the oracle reconstructs the same hex-uniform
+    digit by digit."""
+    from .operators.sampling import weighted_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        weight=F.col("n_chars"),
+        n=50,
+        key=F.col("doc_id"),
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        (F.round("_ws", 6) + F.lit(0.0)).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

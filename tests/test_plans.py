@@ -279,3 +279,41 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         ):
             problems.append(f"{name}: Python in plan")
     assert not problems, problems
+
+
+def test_pq_encode_is_shuffle_free_codegen(spark):
+    from ambient_sound_analysis_api_spark.operators.pq import pq_encode
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    books = [[[0.0], [2.0]], [[1.0], [3.0]]]
+    plan = explain_str(pq_encode(emb, books), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_morton_key_is_shuffle_free(spark):
+    from ambient_sound_analysis_api_spark.functions.zorder import morton_code
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    plan = explain_str(
+        df.select(morton_code(F.col("a"), F.col("b"), 8)), "simple"
+    )
+    assert "Exchange" not in plan
+
+
+def test_user_histories_single_hash_exchange(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_user_histories,
+    )
+
+    plan = explain_str(q_pipeline_user_histories(spark, sf_dir), "simple")
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # one user_id shuffle for the aggregation; the trailing rangepartitioning
+    # exchange belongs to the presentation orderBy
+    assert len(hash_ex) == 1
