@@ -211,16 +211,19 @@ def daily_partials(
     )
 
 
-def merge_partials_monthly(partials: DataFrame) -> DataFrame:
+def merge_partials_monthly(
+    partials: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
     """Merge daily partials to monthly statistics. Decimal-sum
     associativity makes the merged mean bit-identical to a direct
     aggregation over the raw rows — which is exactly what the registry
     oracle checks (direct SQL monthly agg vs this two-level plan). At
     scale the daily table is O(keys × days), so the monthly rollup reads
-    thousands of rows where the raw scan would read billions."""
+    thousands of rows where the raw scan would read billions.
+    ``key_col`` must match the one the partials were built with."""
     return (
         partials.groupBy(
-            "event_type", F.substring("day", 1, 7).alias("month")
+            F.col(key_col), F.substring("day", 1, 7).alias("month")
         )
         .agg(
             F.sum("n").alias("n_events"),

@@ -45,14 +45,24 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    # The right side is carried as ONE struct, not per-column: with
+    # independent last(ignoreNulls) per value column, a NULL field in the
+    # nearest right row would pull that field from an older/farther row —
+    # violating the merge_asof contract (match the nearest ROW; its NULLs
+    # are the answer). A struct is NULL only on left-origin rows, so
+    # last(struct, ignoreNulls) always delivers the nearest row intact.
+    rv_struct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}")
-          for v in right_values],
+        F.lit(None).cast(
+            right.select(rv_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_rvals"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -61,8 +71,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_lrow"].dataType
         ).alias("_lrow"),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        rv_struct.alias("_rvals"),
     )
     ts_order = (
         F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
@@ -77,22 +86,19 @@ def asof_join(
         "_ts",
         "_is_left",
         "_lrow",
-        F.last("_rts", ignorenulls=True).over(w).alias("_carried_ts"),
-        *[
-            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_carried_{v}")
-            for v in right_values
-        ],
+        F.last("_rvals", ignorenulls=True).over(w).alias("_carried"),
     )
+    c_ts = F.col("_carried._rts")
     if tolerance is None:
-        within = F.col("_carried_ts").isNotNull()
+        within = c_ts.isNotNull()
     elif direction == "backward":
-        within = F.col("_carried_ts") >= F.col("_ts") - F.expr(tolerance)
+        within = c_ts >= F.col("_ts") - F.expr(tolerance)
     else:
-        within = F.col("_carried_ts") <= F.col("_ts") + F.expr(tolerance)
+        within = c_ts <= F.col("_ts") + F.expr(tolerance)
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[
-            F.when(within, F.col(f"_carried_{v}")).alias(v)
+            F.when(within, F.col(f"_carried._rv_{v}")).alias(v)
             for v in right_values
         ],
     )

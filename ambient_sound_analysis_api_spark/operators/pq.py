@@ -151,15 +151,15 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to (id, code_0..code_{m-1}) — one codegen projection,
     argmin ties resolved to the lowest code (``array_position`` finds the
-    first minimum)."""
-    cols = [F.col(id_col)]
-    for s, cb in enumerate(codebooks):
-        d_sub = len(cb[0])
-        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        dists = F.array(*[_sqdist_to(sub, c) for c in cb])
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        cols.append(code.alias(f"code_{s}"))
-    return emb.select(*cols)
+    first minimum). Shares the ``_code_cols`` kernel with ``pq_fit`` so
+    fit-time assignments and encode-time codes can never diverge."""
+    return emb.select(
+        F.col(id_col),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    )
 
 
 def pq_adc_topk(
@@ -223,28 +223,12 @@ def ivfpq_topk(
     broadcast equi-join on the cell id, so with the table partitioned by
     ``cell_col`` the scan prunes to nprobe partitions' files before any
     distance math."""
-    from .similarity import ivf_cell_centroids
+    from .similarity import ivf_probe_cells
 
-    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
-    q = emb.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    sqdist = F.aggregate(
-        F.zip_with(
-            F.col("centroid"),
-            F.col("_qvec"),
-            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell", sqdist.alias("_d"))
-        .orderBy("_d", "cell")
-        .limit(nprobe)
-        .select("cell")
-    )
+    probes = ivf_probe_cells(
+        emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col,
+    ).select("cell")
     cand = (
         emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))
         .filter(F.col(id_col) != query_id)

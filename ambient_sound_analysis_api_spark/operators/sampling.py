@@ -176,13 +176,26 @@ def weighted_sample(
     proportionally more likely to be picked, yet the draw replays
     identically across runs, engines, and partitionings — an auditable
     "random" curation sample. Top-n is a ``TakeOrderedAndProject``; no
-    global sort materializes. Weights must be strictly positive.
+    global sort materializes.
+
+    The selection key is exposed as a ``sample_score`` column (callers may
+    drop it); weights must be strictly positive — a non-positive weight
+    raises at evaluation time rather than silently inverting the draw.
     """
     b = hash_bucket(key, offset=offset)
     u = (b.cast("double") + F.lit(0.5)) / F.lit(float(N_BUCKETS))
-    score = F.log(u) / weight
+    # w <= 0 has no A-RES meaning (negative w would INVERT the draw and
+    # outrank every valid row; w == 0 silently never samples) — fail at
+    # evaluation time, row-level, with no extra job.
+    score = F.when(weight > 0, F.log(u) / weight).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight "), weight.cast("string")
+            )
+        )
+    )
     return (
-        df.withColumn("_ws", score)
-        .orderBy(F.col("_ws").desc(), key)
+        df.withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), key)
         .limit(n)
     )

@@ -42,6 +42,17 @@ def scd2_apply(
     the open version and opens a new one; an unseen key just opens.
     """
     keys = list(key_cols)
+    # A change batch with duplicate business keys would open multiple
+    # simultaneous versions (identical valid_from, NULL valid_to), breaking
+    # the at-most-one-open-row invariant every versioned range join relies
+    # on. CDC feeds must be compacted to one row per key first; fail loudly
+    # rather than corrupt the history. (One cheap count job — apply-time,
+    # not query-time.)
+    if changes.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "scd2_apply: change batch has duplicate business keys — "
+            "compact to one row per key (e.g. latest CDC op) before applying"
+        )
     open_rows = current.filter(F.col("valid_to").isNull())
     closed_history = current.filter(F.col("valid_to").isNotNull())
 

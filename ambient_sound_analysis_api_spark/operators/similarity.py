@@ -138,6 +138,41 @@ def ivf_cell_centroids(
     )
 
 
+def ivf_probe_cells(
+    emb: DataFrame,
+    query_id: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """The shared IVF coarse-probe stage: rank cells by squared-L2 centroid
+    distance to the query (nlist-row centroid table × 1-row query, both
+    broadcast; ties to the lowest cell id) and return the winning
+    ``nprobe`` rows as ``(cell, _qvec)``. Used by both the cosine IVF scan
+    and the IVF-PQ composite so their cell selection can never diverge."""
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.col("_qvec"),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", "_qvec", sqdist.alias("_d"))
+        .orderBy("_d", "cell")
+        .limit(nprobe)
+        .select("cell", "_qvec")
+    )
+
+
 def ivf_topk_nprobe(
     emb: DataFrame,
     query_id: int,
@@ -159,25 +194,9 @@ def ivf_topk_nprobe(
     stage is needed. With the table partitioned by ``cell_col`` the final
     join prunes to ``nprobe`` partitions' files.
     """
-    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
-    q = emb.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    sqdist = F.aggregate(
-        F.zip_with(
-            F.col("centroid"),
-            F.col("_qvec"),
-            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell", "_qvec", sqdist.alias("_d"))
-        .orderBy("_d", "cell")
-        .limit(nprobe)
-        .select("cell", "_qvec")
+    probes = ivf_probe_cells(
+        emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col,
     )
     scored = (
         emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))

@@ -4565,13 +4565,13 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents
     ),
-    corpus AS (SELECT fp FROM fp WHERE doc_id % 7 <> 3),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 <> 3),
     batch AS (SELECT * FROM fp WHERE doc_id % 7 = 3)
-    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch_copies
-    FROM batch
-    WHERE fp NOT IN (SELECT fp FROM corpus)
-    GROUP BY fp
-    ORDER BY fp
+    SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_batch_copies
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+    GROUP BY b.fp
+    ORDER BY b.fp
     """,
 )
 def q_pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4756,24 +4756,35 @@ def q_pipeline_user_histories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered history assembly — the log→training-sequence step
     of a behavioral/agentic pipeline: each user's events collapse to one
     row with an event-type sequence string ordered by (ts, event_id) and
-    capped at the first 100 events, plus span stats. One shuffle on
-    user_id; the in-group sort is ``array_sort(collect_list(struct))``
-    (struct field order IS the sort key, no window pass), and the slice cap
-    bounds per-row state so a bot user with 10M events can't balloon a
-    single aggregation buffer into an OOM — the skew story is the cap."""
+    capped at the first 100 events, plus span stats. The cap is applied by
+    a ``row_number`` window BEFORE ``collect_list``, so the aggregation
+    buffer never holds more than 100 structs per user — a bot user with
+    10M events streams through the window's spillable sort instead of
+    ballooning a single in-memory array (capping the collect_list output
+    AFTER aggregation would not bound state). Both aggregations and the
+    join are keyed on user_id, so the window's hash partitioning is reused
+    end to end (one extra exchange only for the second source scan)."""
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = ev.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 100
+    )
+    seqs = capped.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(_rn, event_type))), x -> x.event_type), '>')"
+        ).alias("seq")
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
     return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
-            F.expr(
-                "array_join(transform(slice(array_sort(collect_list("
-                "struct(ts, event_id, event_type))), 1, 100),"
-                " x -> x.event_type), '>')"
-            ).alias("seq"),
-        )
+        stats.join(seqs, "user_id")
+        .select("user_id", "n_events", "first_ts", "last_ts", "seq")
         .orderBy("user_id")
     )
 
@@ -5543,7 +5554,7 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "lang", "n_chars",
-        (F.round("_ws", 6) + F.lit(0.0)).alias("score")
+        (F.round("sample_score", 6) + F.lit(0.0)).alias("score")
     )
 
 

