@@ -532,3 +532,51 @@ def incremental_dedup(
             F.count("*").alias("n_batch_copies"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: directed pairs where one doc's n-gram shingle
+    set is (mostly) contained in another's — containment(A→B) =
+    |A∩B| / |A|. Jaccard misses exactly these (a tweet quoted inside a
+    long article scores near-zero Jaccard but containment 1.0), and
+    quote/subset detection is its own curation signal: drop the fragment,
+    keep the superset.
+
+    Same candidate machinery as :func:`ngram_jaccard_pairs` (distinct
+    hashed shingles → self-equi-join, never a cross join); the only
+    difference is the denominator and that both directions of a candidate
+    pair are scored, so the output is directed (contained, container)."""
+    arrs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
+    )
+    arrs = tracked_persist(arrs)
+    shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
+    sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("contained"),
+                 F.col("b.id").alias("container"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("contained"), F.col("n_shingles").alias("na")
+    )
+    return (
+        inter.join(F.broadcast(sa), "contained")
+        .select(
+            "contained",
+            "container",
+            (F.col("inter") / F.col("na").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )

@@ -182,3 +182,41 @@ def sample_frames(media: DataFrame, every_k: int = 2,
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit dHash-style perceptual fingerprint per payload → (id, simhash).
+
+    The real pipeline decodes the image and compares adjacent downsampled
+    luma cells; decode is honestly stubbed in this environment
+    (``DecodeUnavailable``), so the "pixel grid" is a deterministic fake —
+    the first 72 payload bytes cycled into an 8×9 grid. The Spark-side
+    plumbing is the production shape either way: Arrow-batched numpy in
+    ``mapInPandas`` (a codec genuinely needs Python), emitting one 64-bit
+    long per row that the existing SimHash banding machinery
+    (``dedup.hamming_near_pairs``) consumes unchanged — image near-dup
+    reuses the text near-dup index structure.
+    """
+    import numpy as np
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                raw = bytes(b or b"\x00")
+                grid = np.frombuffer(
+                    (raw * (72 // len(raw) + 1))[:72], dtype=np.uint8
+                ).reshape(8, 9).astype(np.int16)
+                bits = (grid[:, 1:] > grid[:, :-1]).flatten()  # 8×8 dHash
+                h = 0
+                for i, bit in enumerate(bits):
+                    if bit:
+                        h |= 1 << i
+                    if i == 62:  # keep the sign bit clear for LongType
+                        break
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"id": pdf["media_id"], "simhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(_phash, schema="id long, simhash long")

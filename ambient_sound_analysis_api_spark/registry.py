@@ -5558,6 +5558,68 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS inter
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained, container,
+           round(CAST(inter AS DOUBLE) / sa.n, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = contained
+    WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+    ORDER BY contained, container
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup (operators/dedup.py::containment_pairs):
+    pairs where ≥90% of one doc's 3-gram shingles appear in another —
+    the quote/subset signal symmetric Jaccard structurally misses (a
+    fragment quoted inside a long article scores near-zero Jaccard but
+    containment 1.0); curation drops the fragment and keeps the superset.
+    Same hashed-shingle equi-join candidate machinery as the Jaccard
+    family — never a cross join — with |A| as the denominator."""
+    out = dedup.containment_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.9
+    )
+    return out.select(
+        "contained",
+        "container",
+        F.round("containment", 4).alias("containment"),
+    ).orderBy("contained", "container")
+
+
+@register("mm_image_phash_dedup", None)
+def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash (operators/multimodal.py::
+    perceptual_hash): binary payloads → 63-bit dHash fingerprints
+    (Arrow-batched numpy in mapInPandas — the codec boundary genuinely
+    needs Python; pixel decode honestly stubbed with a deterministic byte
+    grid) → the SAME SimHash band-blocking index the text family uses
+    (``dedup.hamming_near_pairs``) finds pairs within Hamming radius 3.
+    Image dedup rides the existing near-dup machinery, no new join
+    strategy. Deterministic end to end → golden-file checked (no SQL
+    oracle can express the numpy kernel)."""
+    media = multimodal.documents_as_media(_table(spark, sf_dir, "documents"))
+    ph = multimodal.perceptual_hash(media)
+    return dedup.hamming_near_pairs(ph, max_dist=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 
 

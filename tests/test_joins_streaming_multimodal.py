@@ -227,3 +227,31 @@ def test_streaming_dedup_keeps_one_row_per_key(spark):
         for r in run_available_now(spark, src, xform, output_mode="append").collect()
     )
     assert got == [(1, "a"), (1, "b"), (2, "a")]
+
+
+def test_perceptual_hash_flags_identical_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        documents_as_media,
+        perceptual_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact payload body repeated for hashing"),
+            (2, "the same exact payload body repeated for hashing"),
+            (3, "an entirely different and unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    ph = perceptual_hash(documents_as_media(docs))
+    rows = {r.id: r.simhash for r in ph.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert all(h >= 0 for h in rows.values())  # sign bit kept clear
+    pairs = hamming_near_pairs(ph, max_dist=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
+    assert all(p.hamming == 0 for p in pairs if (p.id_a, p.id_b) == (1, 2))
