@@ -540,6 +540,7 @@ def containment_pairs(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: directed pairs where one doc's n-gram shingle
     set is (mostly) contained in another's — containment(A→B) =
@@ -551,14 +552,28 @@ def containment_pairs(
     Same candidate machinery as :func:`ngram_jaccard_pairs` (distinct
     hashed shingles → self-equi-join, never a cross join); the only
     difference is the denominator and that both directions of a candidate
-    pair are scored, so the output is directed (contained, container)."""
+    pair are scored, so the output is directed (contained, container).
+    ``max_shingle_df`` is the same boilerplate-quadratic cap as in
+    :func:`ngram_jaccard_pairs` — hot shingles (shared by more docs than
+    the cap) leave the computation entirely, candidates and denominators
+    alike, keeping containment exact over the reduced shingle universe."""
     arrs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
     )
     arrs = tracked_persist(arrs)
     shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
-    sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    else:
+        sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (

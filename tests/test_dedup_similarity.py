@@ -437,3 +437,32 @@ def test_project_embeddings_matches_numpy(spark):
     exp = np.round(P @ v, 4) + 0.0
     got = np.array([getattr(row, f"p{j}") for j in range(8)])
     assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_containment_direction_and_hot_shingle_cap(spark):
+    from ambient_sound_analysis_api_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    frag = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, frag),                                   # fragment
+            (2, frag + " zeta eta theta iota kappa"),    # superset of 1
+            (3, "totally unrelated words in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.contained, r.container): r.containment
+        for r in containment_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    # every 3-gram of doc 1 appears in doc 2, not vice versa
+    assert out.get((1, 2)) == 1.0
+    assert (2, 1) not in out and (3, 2) not in out
+    # capping away all shared shingles (df>1 here means every frag shingle)
+    # removes the pair entirely — exact over the reduced universe
+    capped = containment_pairs(
+        docs, n=3, threshold=0.9, max_shingle_df=1
+    ).collect()
+    assert capped == []
