@@ -5620,6 +5620,56 @@ def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_pairs(ph, max_dist=3).orderBy("id_a", "id_b")
 
 
+@register(
+    "pipeline_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_idx,
+           CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+    FROM c WHERE start < greatest(len(toks), 1)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking — the embedding/RAG prep step: each doc splits
+    into 64-token windows at stride 48 (16-token overlap so no sentence is
+    orphaned at a boundary). Pure array expressions: one ``sequence`` of
+    window starts + ``slice`` per start, exploded — no shuffle beyond the
+    final presentation sort, so at 100 TB this is a scan-shaped map whose
+    output feeds straight into the embedding batch encoder. Chunk text is
+    md5'd in the output so the hash check pins exact chunk contents
+    without shipping them."""
+    from .functions.text import normalize_text, tokens as _tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = _tokens(normalize_text(F.col("text")))
+    chunks = F.expr(
+        "transform(sequence(0, greatest(size(_toks) - 1, 0), 48),"
+        " s -> struct(s AS start, slice(_toks, s + 1, 64) AS chunk))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            (F.col("c.start") / 48).cast("int").alias("chunk_idx"),
+            F.size("c.chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("c.chunk", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

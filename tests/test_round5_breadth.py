@@ -173,3 +173,27 @@ def test_weighted_sample_rejects_nonpositive_weight(spark):
     df = spark.createDataFrame([(1, 10), (2, 0)], "id long, w long")
     with pytest.raises(Exception, match="non-positive weight"):
         weighted_sample(df, F.col("w"), 2, F.col("id")).collect()
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_chunk_windows,
+    )
+
+    rows = q_pipeline_chunk_windows(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in by_doc.items():
+        idxs = sorted(c.chunk_idx for c in chunks)
+        assert idxs == list(range(len(idxs)))  # contiguous chunk indices
+        for c in chunks:
+            assert 1 <= c.n_tokens <= 64
+        # with stride 48 < width 64 the last TWO chunks may be short
+        # (the penultimate start can sit within 64 tokens of the end);
+        # everything earlier must be full-width, and any non-final chunk
+        # holds at least stride+1 tokens
+        ordered = sorted(chunks, key=lambda c: c.chunk_idx)
+        assert all(c.n_tokens == 64 for c in ordered[:-2])
+        assert all(c.n_tokens >= 49 for c in ordered[:-1])
