@@ -85,3 +85,86 @@ def unescape_partition_value(dirval: str) -> str | None:
     from urllib.parse import unquote
 
     return unquote(dirval)
+
+
+def _versions(fs, jvm, path: str):
+    """Retained version dirs for ``path``, oldest→newest (token order =
+    creation order because tokens are zero-padded counters)."""
+    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    base = jvm.org.apache.hadoop.fs.Path(path).getName()
+    out = []
+    if parent is None or not fs.exists(parent):
+        return out
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith(f"{base}.__v__."):
+            out.append((name.rsplit(".", 1)[-1], str(st.getPath())))
+    return sorted(out)
+
+
+def versioned_swap_in(
+    spark: SparkSession, staging: str, path: str, keep: int = 2
+) -> None:
+    """Like :func:`swap_in`, but the replaced table is RETAINED as a
+    numbered ``<path>.__v__.<counter>`` sibling instead of deleted —
+    poor-man's time travel on plain parquet (the one-feature slice of what
+    Delta/Iceberg snapshots provide). ``keep`` bounds retained versions;
+    older ones are pruned after the swap succeeds, so a crash can strand
+    an extra version dir but never lose one. Readers use
+    :func:`read_version`; :func:`rollback` restores the newest retained
+    version atomically.
+    """
+    jvm = spark._jvm
+    fs, dst = _fs_and_path(spark, path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    had_dst = fs.exists(dst)
+    if had_dst:
+        vers = _versions(fs, jvm, path)
+        nxt = int(vers[-1][0]) + 1 if vers else 0
+        vdst = jvm.org.apache.hadoop.fs.Path(f"{path}.__v__.{nxt:012d}")
+        if not fs.rename(dst, vdst):
+            raise IOError(f"rename {dst} -> {vdst} failed")
+        if not fs.rename(src, dst):
+            fs.rename(vdst, dst)
+            raise IOError(f"rename {src} -> {dst} failed")
+        for _, vpath in _versions(fs, jvm, path)[:-keep] if keep > 0 else []:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(vpath), True)
+    else:
+        if not fs.rename(src, dst):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+
+def read_version(spark: SparkSession, path: str, steps_back: int = 1):
+    """Read a retained previous version (``steps_back=1`` = the version
+    replaced by the most recent swap). Returns a DataFrame; raises
+    ``ValueError`` if that many versions aren't retained."""
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    vers = _versions(fs, jvm, path)
+    if steps_back < 1 or steps_back > len(vers):
+        raise ValueError(
+            f"only {len(vers)} retained version(s) for {path}, "
+            f"asked for steps_back={steps_back}"
+        )
+    return spark.read.parquet(vers[-steps_back][1])
+
+
+def rollback(spark: SparkSession, path: str) -> None:
+    """Atomically restore the newest retained version: the current table
+    is renamed aside (kept as a new retained version — a rollback is
+    itself undoable), the retained version renamed into place."""
+    jvm = spark._jvm
+    fs, dst = _fs_and_path(spark, path)
+    vers = _versions(fs, jvm, path)
+    if not vers:
+        raise ValueError(f"no retained versions for {path}")
+    newest = jvm.org.apache.hadoop.fs.Path(vers[-1][1])
+    nxt = int(vers[-1][0]) + 1
+    aside = jvm.org.apache.hadoop.fs.Path(f"{path}.__v__.{nxt:012d}")
+    had_dst = fs.exists(dst)
+    if had_dst and not fs.rename(dst, aside):
+        raise IOError(f"rename {dst} -> {aside} failed")
+    if not fs.rename(newest, dst):
+        if had_dst:
+            fs.rename(aside, dst)
+        raise IOError(f"rename {newest} -> {dst} failed")
