@@ -112,8 +112,13 @@ def versioned_swap_in(
     older ones are pruned after the swap succeeds, so a crash can strand
     an extra version dir but never lose one. Readers use
     :func:`read_version`; :func:`rollback` restores the newest retained
-    version atomically.
+    version.
     """
+    if keep < 1:
+        raise ValueError(
+            f"versioned_swap_in: keep must be >= 1 (got {keep}); use "
+            "swap_in for plain no-retention swaps"
+        )
     jvm = spark._jvm
     fs, dst = _fs_and_path(spark, path)
     src = jvm.org.apache.hadoop.fs.Path(staging)
@@ -127,7 +132,7 @@ def versioned_swap_in(
         if not fs.rename(src, dst):
             fs.rename(vdst, dst)
             raise IOError(f"rename {src} -> {dst} failed")
-        for _, vpath in _versions(fs, jvm, path)[:-keep] if keep > 0 else []:
+        for _, vpath in _versions(fs, jvm, path)[:-keep]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(vpath), True)
     else:
         if not fs.rename(src, dst):
@@ -150,9 +155,13 @@ def read_version(spark: SparkSession, path: str, steps_back: int = 1):
 
 
 def rollback(spark: SparkSession, path: str) -> None:
-    """Atomically restore the newest retained version: the current table
-    is renamed aside (kept as a new retained version — a rollback is
-    itself undoable), the retained version renamed into place."""
+    """Restore the newest retained version: the current table is renamed
+    aside (kept as a new retained version — a rollback is itself undoable),
+    the retained version renamed into place. Same crash-safety contract as
+    ``swap_in`` — two renames, so an interruption (or a concurrent read)
+    between them can observe the path absent, but every state is fully
+    recoverable: at least one complete copy always exists under a
+    well-known name."""
     jvm = spark._jvm
     fs, dst = _fs_and_path(spark, path)
     vers = _versions(fs, jvm, path)

@@ -57,6 +57,44 @@ def fingerprint_dedup(
     )
 
 
+def _shingle_universe(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+):
+    """Shared candidate machinery for the shingle-join near-dup family:
+    distinct hashed per-doc shingles plus per-doc set sizes, with the
+    optional hot-shingle (boilerplate) cap applied to BOTH.
+
+    Caches the COMPACT per-doc shingle arrays (one row per doc), not the
+    exploded table: every consumer re-explodes from the cache (a narrow,
+    cheap op), and the per-doc set size is ``F.size(arr)`` — no shuffle.
+    Under the cap, sizes must reflect the reduced universe, so they come
+    from the filtered exploded table instead. Returns
+    ``(shingles(id, shingle), sizes(id, n_shingles))``; the persist is
+    tracked and released via ``operators.caching.release_caches``."""
+    arrs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
+    )
+    arrs = tracked_persist(arrs)
+    shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    else:
+        sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
+    return shingles, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -93,31 +131,9 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
-    # Cache the COMPACT per-doc shingle arrays (one row per doc), not the
-    # exploded table: both join sides re-explode from the cache (a narrow,
-    # cheap op), and the per-doc set size is F.size(arr) — no shuffle. The
-    # old shape cached the exploded table and ran a groupBy(id).count over
-    # it for sizes: a full extra shuffle of the largest intermediate.
-    arrs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
+    shingles, sizes = _shingle_universe(
+        df, n, text_col, id_col, max_shingle_df
     )
-    arrs = tracked_persist(arrs)  # released via operators.caching.release_caches
-    shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
-
-    if max_shingle_df is not None:
-        hot = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
-        # set sizes must reflect the reduced shingle universe
-        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    else:
-        sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
-
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
@@ -556,42 +572,43 @@ def containment_pairs(
     ``max_shingle_df`` is the same boilerplate-quadratic cap as in
     :func:`ngram_jaccard_pairs` — hot shingles (shared by more docs than
     the cap) leave the computation entirely, candidates and denominators
-    alike, keeping containment exact over the reduced shingle universe."""
-    arrs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
+    alike, keeping containment exact over the reduced shingle universe.
+
+    The intersection count is symmetric, so it is aggregated ONCE over
+    ``id_a < id_b`` candidates (halving the dominant self-join/aggregation
+    shuffle) and both directed scores derive from that single count."""
+    shingles, sizes = _shingle_universe(
+        df, n, text_col, id_col, max_shingle_df
     )
-    arrs = tracked_persist(arrs)
-    shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
-        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    else:
-        sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("contained"),
-                 F.col("b.id").alias("container"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(
-        F.col("id").alias("contained"), F.col("n_shingles").alias("na")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    scored = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # both directions emitted from ONE pass via a 2-element explode — a
+    # unionByName of two selects would re-execute the candidate join per
+    # branch (Spark shares no common subplans across union branches; the
+    # dedup_clusters round-5 root cause)
+    both = F.array(
+        F.struct(
+            F.col("id_a").alias("contained"),
+            F.col("id_b").alias("container"),
+            (F.col("inter") / F.col("na").cast("double")).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("contained"),
+            F.col("id_a").alias("container"),
+            (F.col("inter") / F.col("nb").cast("double")).alias("containment"),
+        ),
     )
     return (
-        inter.join(F.broadcast(sa), "contained")
-        .select(
-            "contained",
-            "container",
-            (F.col("inter") / F.col("na").cast("double")).alias("containment"),
-        )
+        scored.select(F.explode(both).alias("p"))
+        .select("p.contained", "p.container", "p.containment")
         .filter(F.col("containment") >= F.lit(threshold))
     )

@@ -5670,6 +5670,52 @@ def q_pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_interface_monthly_revenue",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           o_orderstatus AS status,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders,
+           rank() OVER (
+             PARTITION BY strftime(o_orderdate, '%Y-%m')
+             ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                        DESC,
+                      o_orderstatus
+           ) AS rnk
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_sql_interface_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end as a first-class surface: the query text goes to
+    ``spark.sql`` over a registered view — aggregation, decimal-exact
+    revenue, and a window RANK over the aggregate, all parsed and planned
+    by Catalyst exactly like the DataFrame-built queries (same pushdown,
+    same partial aggregation). A reference user who writes SQL keeps
+    writing SQL; nothing in the engine is DataFrame-API-only."""
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               o_orderstatus AS status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_orders,
+               rank() OVER (
+                 PARTITION BY date_format(o_orderdate, 'yyyy-MM')
+                 ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DOUBLE) DESC,
+                          o_orderstatus
+               ) AS rnk
+        FROM v_orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -54,3 +54,12 @@ def test_rollback_without_versions_raises(spark, tmp_path):
     _write_version(spark, tmp_path, path, [1])  # first write: no versions yet
     with pytest.raises(ValueError):
         rollback(spark, path)
+
+
+def test_versioned_swap_rejects_keep_zero(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "x long")
+    staging = staging_path(path)
+    df.write.parquet(staging)
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        versioned_swap_in(spark, staging, path, keep=0)
