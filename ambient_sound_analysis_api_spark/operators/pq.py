@@ -238,3 +238,115 @@ def ivfpq_topk(
     return pq_adc_topk(codes, codebooks, query, topk=k, id_col=id_col).select(
         id_col, "adc_dist"
     )
+
+
+def residual_vectors(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """(id, cell, residual) — each vector minus its coarse-cell centroid,
+    via one broadcast join + a ``zip_with`` subtraction (codegen, no
+    shuffle of the fact side beyond the scan)."""
+    res = F.zip_with(
+        F.col(vec_col),
+        F.col("centroid"),
+        lambda x, c: x.cast("double") - c,
+    )
+    return emb.join(
+        F.broadcast(cents), emb[cell_col] == cents["cell"]
+    ).select(F.col(id_col), F.col(cell_col), res.alias(vec_col))
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query: list[float],
+    query_id: int,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the actual FAISS ``IVFPQ`` design: PQ
+    codebooks are fit on ``x - centroid(cell(x))`` rather than raw
+    vectors, so the codes spend their 8 bits describing WITHIN-cell
+    variation (the coarse quantizer already paid for the between-cell
+    part) — materially lower distortion at identical code size. The price
+    is query-side: the lookup table depends on the probed cell (the query
+    residual differs per cell), so the ADC map is keyed by cell — still
+    model-sized (nprobe × m × k doubles), built driver-side and shipped
+    as a literal map.
+
+    All driver fetches are model-sized: nprobe probe rows, their
+    centroids, the 1-row query. Candidates stream through one broadcast
+    cell-probe join, the codegen residual+encode projection, and a
+    ``TakeOrderedAndProject`` top-k."""
+    from .similarity import ivf_cell_centroids, ivf_probe_cells
+
+    cents = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    res = residual_vectors(
+        emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )
+    books = pq_fit(
+        res.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        m=m, k=k, n_iter=n_iter,
+    )
+    probes = ivf_probe_cells(
+        emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col,
+    ).select("cell")
+    probed = [r.cell for r in probes.collect()]
+    cmap = {
+        r["cell"]: [float(v) for v in r["centroid"]]
+        for r in cents.filter(F.col("cell").isin(probed)).collect()
+    }
+    lut_entries = []
+    for c in probed:
+        qres = [float(a) - b for a, b in zip(query, cmap[c])]
+        flat = []
+        for s, cb in enumerate(books):
+            d_sub = len(cb[0])
+            qs = qres[s * d_sub : (s + 1) * d_sub]
+            for code_centroid in cb:
+                d = 0.0
+                for a, b in zip(qs, code_centroid):
+                    d = d + (a - b) * (a - b)
+                flat.append(d)
+        lut_entries += [F.lit(c), F.array(*[F.lit(v) for v in flat])]
+    lutmap = F.create_map(*lut_entries)
+
+    cand = emb.join(
+        F.broadcast(probes), emb[cell_col] == F.col("cell")
+    ).filter(F.col(id_col) != query_id)
+    cand_res = residual_vectors(
+        cand.select(id_col, cell_col, vec_col), cents,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+    )
+    enc = cand_res.select(
+        F.col(id_col),
+        F.col(cell_col),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(books, vec_col))
+        ],
+    )
+    lut_arr = F.element_at(lutmap, F.col(cell_col))
+    terms = [
+        F.element_at(lut_arr, F.lit(s * k) + F.col(f"code_{s}") + 1)
+        for s in range(m)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return (
+        enc.withColumn("adc_dist", F.round(dist, 6))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+        .select(id_col, "adc_dist")
+    )

@@ -2064,7 +2064,11 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_ctes(
-    n_iter: int = 4, k: int = 8, vec: str = "embedding", p: str = ""
+    n_iter: int = 4,
+    k: int = 8,
+    vec: str = "embedding",
+    p: str = "",
+    edim_sql: str | None = None,
 ) -> str:
     """DuckDB CTE chain replicating ``operators.clustering.kmeans_fit``
     exactly: lowest-id seeding, per-iteration argmin assignment (ties to
@@ -2078,13 +2082,17 @@ def _kmeans_ctes(
     ``vec`` is the embedding-column SQL expression (a slice like
     ``embedding[1:16]`` fits a subspace — how the PQ oracle reuses this)
     and ``p`` prefixes every CTE name so several chains can coexist in one
-    WITH block."""
-    parts = [f"""
-    {p}edim AS (
+    WITH block. ``edim_sql`` overrides the dimension-table CTE body
+    entirely (must yield ``vec_id, x, i`` with i starting at 1) — how the
+    residual-PQ oracle fits k-means over ``x - centroid`` dims that are
+    not a column expression on the base table."""
+    edim_body = edim_sql or f"""
       SELECT vec_id, CAST(unnest({vec}) AS DOUBLE) AS x,
              generate_subscripts({vec}, 1) AS i
       FROM embeddings
-    ),
+    """
+    parts = [f"""
+    {p}edim AS ({edim_body}),
     {p}c0d AS (
       SELECT c.cluster, e.i, e.x AS m
       FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
@@ -5713,6 +5721,110 @@ def q_sql_interface_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY 1, 2
         ORDER BY 1, 2
         """
+    )
+
+
+def _ivfpq_residual_oracle(
+    m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16,
+    nprobe: int = 2, topk: int = 10,
+) -> str:
+    parts = ["""
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    redim AS (
+      SELECT t.vec_id, t.x - c.m AS x, t.i
+      FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      JOIN cent c ON c.label = t.label AND c.i = t.i
+    )"""]
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        parts.append(",")
+        parts.append(
+            _kmeans_ctes(
+                n_iter=n_iter, k=k, p=f"r{s}",
+                edim_sql=(
+                    f"SELECT vec_id, x, i - {lo} + 1 AS i FROM redim "
+                    f"WHERE i BETWEEN {lo} AND {hi}"
+                ),
+            )
+        )
+    parts.append(f""",
+    qv AS (SELECT min(vec_id) AS qid FROM embeddings),
+    qdim AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id = (SELECT qid FROM qv)),
+    cd AS (SELECT c.label, sum((c.m - q.qx) * (c.m - q.qx)) AS d
+           FROM cent c JOIN qdim q USING (i) GROUP BY c.label),
+    iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT {nprobe}),
+    qres AS (SELECT c.label, c.i, q.qx - c.m AS x
+             FROM cent c JOIN iprobes p ON p.label = c.label
+             JOIN qdim q ON q.i = c.i)""")
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        parts.append(f""",
+    qd{s} AS (
+      SELECT r.label, c.cluster, sum((r.x - c.m) * (r.x - c.m)) AS qd
+      FROM (SELECT label, i - {lo} + 1 AS i, x FROM qres
+            WHERE i BETWEEN {lo} AND {hi}) r
+      JOIN r{s}c{n_iter}d c USING (i)
+      GROUP BY r.label, c.cluster
+    )""")
+    code_cols = ", ".join(f"a{s}.cluster AS code_{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN r{s}af a{s} USING (vec_id)" for s in range(1, m)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.label = cand.label"
+        f" AND qd{s}.cluster = codes.code_{s}"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"qd{s}.qd" for s in range(m))
+    parts.append(f""",
+    codes AS (SELECT a0.vec_id, {code_cols} FROM r0af a0 {code_joins}),
+    cand AS (SELECT e.vec_id, e.label FROM embeddings e
+             JOIN iprobes USING (label)
+             WHERE e.vec_id <> (SELECT qid FROM qv)),
+    adcr AS (
+      SELECT cand.vec_id, {adc_sum} AS dist
+      FROM cand JOIN codes USING (vec_id) {qd_joins}
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_ivfpq_residual_topk",
+    f"""
+    WITH {_ivfpq_residual_oracle()}
+    SELECT vec_id, round(dist, 6) AS adc_dist
+    FROM adcr
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (operators/pq.py::ivfpq_residual_topk) —
+    the actual FAISS IVFPQ design: PQ codebooks fit on x − centroid(cell)
+    so the 8-bit codes describe within-cell variation only; the ADC
+    lookup table becomes cell-dependent (query residual differs per
+    probed cell) and ships as a model-sized literal map. The oracle
+    unrolls EVERYTHING — coarse centroids, the residual dimension table,
+    four residual k-means chains, per-cell query distance tables, the
+    cell-probe and the ADC sum — making this the deepest fully
+    hash-checked pipeline in the registry."""
+    from .operators.pq import ivfpq_residual_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_residual_topk(
+        emb, query, query_id=qid, m=4, k=8, n_iter=2, topk=10, nprobe=2
     )
 
 

