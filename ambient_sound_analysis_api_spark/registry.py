@@ -5828,6 +5828,73 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_span_corruption",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(len(toks) / 17.0) AS INTEGER) AS nb
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens,
+           (n // 17) * 3 + least(3, n % 17) AS n_masked,
+           md5(array_to_string(
+             ['<x_' || CAST(b AS VARCHAR) || '> '
+                || coalesce(array_to_string(toks[b * 17 + 4 : b * 17 + 17], ' '), '')
+              FOR b IN range(0, nb)], ' ')) AS input_md5,
+           md5(array_to_string(
+             ['<x_' || CAST(b AS VARCHAR) || '> '
+                || coalesce(array_to_string(toks[b * 17 + 1 : b * 17 + 3], ' '), '')
+              FOR b IN range(0, nb)], ' ')) AS target_md5
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation (Raffel et al., 2020): the
+    first 3 tokens of every 17-token block are masked behind a numbered
+    sentinel, yielding (input-with-sentinels, target-of-masked-spans)
+    training pairs at a ~17.6% mask rate. The schedule is positional and
+    deterministic (never rand(), same contract as the samplers), so the
+    pairs replay identically anywhere; pure array/string expressions —
+    ``sequence`` over blocks, two ``slice``s, ``array_join`` — a
+    scan-shaped map at any scale. Input/target are md5'd in the output so
+    the hash check pins the exact generated strings without shipping
+    them."""
+    from .functions.text import normalize_text, tokens as _tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _tokens(normalize_text(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.ceil(F.size("toks") / F.lit(17.0)).cast("int").alias("nb"),
+    )
+    mk = (
+        "transform(sequence(0, nb - 1), b -> concat('<x_', CAST(b AS STRING),"
+        " '> ', array_join(slice(toks, b * 17 + {off}, {ln}), ' ')))"
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (
+            F.floor(F.col("n") / 17) * 3 + F.least(F.lit(3), F.col("n") % 17)
+        ).alias("n_masked"),
+        F.md5(F.array_join(F.expr(mk.format(off=4, ln=14)), " ")).alias(
+            "input_md5"
+        ),
+        F.md5(F.array_join(F.expr(mk.format(off=1, ln=3)), " ")).alias(
+            "target_md5"
+        ),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

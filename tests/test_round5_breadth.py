@@ -197,3 +197,23 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
         ordered = sorted(chunks, key=lambda c: c.chunk_idx)
         assert all(c.n_tokens == 64 for c in ordered[:-2])
         assert all(c.n_tokens >= 49 for c in ordered[:-1])
+
+
+def test_span_corruption_mask_accounting(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_span_corruption,
+    )
+
+    rows = q_pipeline_span_corruption(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 3 masked per full 17-block plus the (capped) remainder
+        expect = (r.n_tokens // 17) * 3 + min(3, r.n_tokens % 17)
+        assert r.n_masked == expect
+        assert 0 < r.n_masked <= r.n_tokens
+        assert len(r.input_md5) == 32 and len(r.target_md5) == 32
+    # mask rate across the corpus sits near 3/17, biased slightly above
+    # it because short remainder blocks still mask up to 3 tokens
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert 3 / 17 <= masked / tot < 3 / 17 + 0.05
