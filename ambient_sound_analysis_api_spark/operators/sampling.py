@@ -199,3 +199,39 @@ def weighted_sample(
         .orderBy(F.col("sample_score").desc(), key)
         .limit(n)
     )
+
+
+def epoch_manifest(
+    df: DataFrame,
+    key: Column,
+    n_epochs: int = 3,
+    frac: float = 0.5,
+    base_offset: int = 10,
+) -> DataFrame:
+    """Per-epoch training manifests: each epoch draws an independent
+    deterministic ``frac`` of the rows (distinct md5 windows per epoch —
+    offsets ``base_offset + 3e`` — so epoch draws don't correlate), the
+    standard multi-epoch subsampling schedule that lets a run see
+    different data each epoch while staying fully replayable: the
+    manifest is a pure function of the keys, auditable in plain SQL.
+
+    One projection + a higher-order ``filter`` over the epoch array + an
+    explode — no shuffle; rides the scan at any scale. The fraction
+    compares 3 hex chars against a hex-string cut (lexicographic compare
+    IS the numeric compare for fixed-width lowercase hex), the same trick
+    as ``hash_split``. Returns the input row per surviving (epoch, row).
+    """
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    cut = format(int(frac * N_BUCKETS), "03x")
+    epochs = ", ".join(str(e) for e in range(n_epochs))
+    kept = F.expr(
+        f"filter(array({epochs}), e ->"
+        f" substring(md5(CAST(_ek AS STRING)), {base_offset} + 3 * e, 3)"
+        f" < '{cut}')"
+    )
+    return (
+        df.withColumn("_ek", key)
+        .withColumn("epoch", F.explode(kept))
+        .drop("_ek")
+    )

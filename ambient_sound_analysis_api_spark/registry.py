@@ -5895,6 +5895,34 @@ def q_pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "pipeline_epoch_manifest",
+    """
+    SELECT e.epoch, d.doc_id, d.source
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 10 + 3 * e.epoch, 3) < '800'
+    ORDER BY e.epoch, d.doc_id
+    """,
+)
+def q_pipeline_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training manifests (operators/sampling.py::
+    epoch_manifest): three epochs, each an independent deterministic 50%
+    draw (distinct md5 windows per epoch), so a run sees different data
+    per epoch yet the schedule replays identically anywhere — the
+    auditable alternative to reshuffling with a seed. Scan-shaped: one
+    higher-order filter over the epoch array + explode, zero shuffle
+    before the presentation sort."""
+    from .operators.sampling import epoch_manifest
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        epoch_manifest(docs, F.col("doc_id"), n_epochs=3, frac=0.5)
+        .select("epoch", "doc_id", "source")
+        .orderBy("epoch", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -187,3 +187,42 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # deterministic: re-running yields the identical sample
     again = weighted_sample(df, F.col("w"), 100, F.col("id")).collect()
     assert [r.id for r in out] == [r.id for r in again]
+
+
+def test_epoch_manifest_independent_deterministic_draws(spark):
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        epoch_manifest,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = epoch_manifest(df, F.col("id"), n_epochs=3, frac=0.5).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, set()).add(r.id)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, ids in by_epoch.items():
+        assert 0.4 < len(ids) / 2000 < 0.6  # ~frac per epoch
+    # distinct md5 windows → epochs draw (near-)independently: the pairwise
+    # overlap of two 50% draws sits near 25%, far from 50% (identical draws)
+    inter01 = len(by_epoch[0] & by_epoch[1]) / 2000
+    assert 0.15 < inter01 < 0.35
+    # deterministic: replay yields the identical manifest
+    again = epoch_manifest(df, F.col("id"), n_epochs=3, frac=0.5).collect()
+    assert sorted((r.epoch, r.id) for r in out) == sorted(
+        (r.epoch, r.id) for r in again
+    )
+
+
+def test_epoch_manifest_rejects_bad_frac(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        epoch_manifest,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        epoch_manifest(df, F.col("id"), frac=0.0)
