@@ -612,3 +612,85 @@ def containment_pairs(
         .select("p.contained", "p.container", "p.containment")
         .filter(F.col("containment") >= F.lit(threshold))
     )
+
+
+def block_dedup_rebuild(
+    df: DataFrame,
+    block_tokens: int = 10,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style duplicated-block removal WITH document
+    reconstruction: split each document into disjoint ``block_tokens``-token
+    blocks, drop every block that occurs in more than ``max_df`` distinct
+    documents (corpus boilerplate: headers, footers, license blurbs), and
+    re-assemble the surviving blocks in original order into ``clean_text``.
+
+    This differs from ``repeated_span_stats`` (a per-doc *signal*) in that
+    it performs the actual removal + rebuild — the mutate step of a
+    line-dedup pass (CCNet dedups paragraph hashes; the synthetic corpus
+    has no newlines, so disjoint token blocks stand in for lines).
+
+    Plan (scan → one count shuffle → anti-join → one rebuild shuffle):
+
+    1. per-doc block array computed once and persisted (``tracked_persist``)
+       — ``posexplode`` of an inline ``transform(sequence(...))`` would
+       re-evaluate the array builder per OUTPUT row (the Generate
+       re-evaluation trap, NOTES.md round-5), turning O(n) slicing into
+       O(n·n/bt) per doc;
+    2. block document-frequency over ``xxhash64(block)`` (8-byte keys on
+       the wire, map-side partial counts); the over-frequent set is
+       anti-joined back — no broadcast hint, AQE picks broadcast when the
+       boilerplate set is small and falls back to a shuffle join when a
+       pathological corpus makes it large;
+    3. rebuild via ``array_sort(collect_list(struct(pos, blk)))`` — one
+       groupBy(doc) shuffle; per-group state is bounded by document size.
+
+    Docs whose every block is boilerplate come back with ``n_kept`` 0 and
+    an empty ``clean_text`` (left join from the full doc list). Dedup is by
+    64-bit block hash: results agree with a string-keyed oracle modulo
+    xxhash64 collisions (the accepted ``pipeline_decontaminate`` design).
+    """
+    bt = int(block_tokens)
+    base = df.select(
+        F.col(id_col),
+        tokens(normalize_text(F.col(text_col))).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(_toks) / {bt}.0) AS INT) - 1), "
+            f"b -> array_join(slice(_toks, b * {bt} + 1, {bt}), ' '))"
+        ).alias("_blocks"),
+    )
+    base = tracked_persist(base)
+    ex = base.select(
+        F.col(id_col), F.posexplode("_blocks").alias("pos", "blk")
+    ).withColumn("blk_h", F.xxhash64("blk"))
+    hot = (
+        ex.groupBy("blk_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("bdf"))
+        .filter(F.col("bdf") > max_df)
+        .select("blk_h")
+    )
+    kept = ex.join(hot, "blk_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("_ct"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("_blocks").cast("long").alias("n_blocks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_blocks"),
+            F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -438,3 +438,53 @@ def project_embeddings(
             (F.round(dot(F.col(vec_col), lit), round_dp) + F.lit(0.0)).alias(f"p{j}")
         )
     return df.select(*out)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    rank_lo: int = 11,
+    rank_hi: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    candidates ranked ``rank_lo..rank_hi`` by cosine similarity — close
+    enough to be informative negatives, below the top band where
+    paraphrases/duplicates (presumed positives) live. The standard mining
+    step for contrastive/embedding training (DPR, SimCSE-style).
+
+    Plan: the query batch is a broadcast nested-loop against the corpus
+    (mining batches are bounded — hundreds of queries — while the corpus
+    is the big side, which never shuffles for scoring); ranking is a
+    ``row_number`` window partitioned per query, so parallelism equals the
+    query-batch size and each partition holds one query's candidates.
+    Ties broken by candidate id for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neg_id"),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(
+            (F.col("neg_rank") >= rank_lo) & (F.col("neg_rank") <= rank_hi)
+        )
+        .select(
+            "query_id",
+            "neg_id",
+            "neg_rank",
+            F.round("_cos", 4).alias("cosine_sim"),
+        )
+    )

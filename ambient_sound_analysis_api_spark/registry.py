@@ -5923,6 +5923,282 @@ def q_pipeline_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_block_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [{'pos': b, 'blk': array_to_string(toks[b*10+1 : b*10+10], ' ')}
+              FOR b IN range(0, CAST(ceil(len(toks) / 10.0) AS INT))] AS bl
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(bl, recursive := true) FROM g),
+    d AS (SELECT blk FROM e GROUP BY blk HAVING count(DISTINCT doc_id) > 1),
+    k AS (SELECT e.* FROM e ANTI JOIN d USING (blk)),
+    r AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(blk, ' ' ORDER BY pos) AS clean_text
+      FROM k GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.toks) / 10.0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_pipeline_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-block removal with document reconstruction
+    (``operators.dedup.block_dedup_rebuild``): the CCNet/RefinedWeb
+    line-dedup mutate step — disjoint 10-token blocks hashed corpus-wide,
+    blocks present in >1 document dropped as boilerplate, survivors
+    re-joined in order into ``clean_text``. Oracle rebuilds the exact
+    cleaned strings on block STRINGS; the engine keys on xxhash64(block)
+    (counts agree modulo 64-bit collisions, the ``pipeline_decontaminate``
+    accepted design) — the full reconstructed text is hash-compared, so a
+    collision would be caught, not hidden."""
+    from .operators.dedup import block_dedup_rebuild
+
+    docs = _table(spark, sf_dir, "documents")
+    return block_dedup_rebuild(docs, block_tokens=10, max_df=1).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    ee AS (
+      SELECT vec_id, unnest(embedding) AS a,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    qx AS (
+      SELECT query_id, unnest(qe) AS b, generate_subscripts(qe, 1) AS i
+      FROM q
+    ),
+    s AS (
+      SELECT qx.query_id, ee.vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ee JOIN qx USING (i)
+      WHERE ee.vec_id <> qx.query_id
+      GROUP BY qx.query_id, ee.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id AS neg_id,
+             dp / (sqrt(na2) * sqrt(nb2)) AS c,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+             ) AS neg_rank
+      FROM s
+    )
+    SELECT query_id, neg_id, neg_rank, round(c, 4) AS cosine_sim
+    FROM r WHERE neg_rank BETWEEN 11 AND 20
+    ORDER BY query_id, neg_rank
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (``operators.similarity.
+    hard_negatives``): for each of 4 query vectors, candidates ranked
+    11..20 by cosine — the informative band below the presumed-positive
+    top-10 (DPR/SimCSE mining step). Query batch broadcasts; the corpus
+    side never shuffles for scoring; one per-query ranking window."""
+    from .operators.similarity import hard_negatives
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, [0, 1, 2, 3], rank_lo=11, rank_hi=20).orderBy(
+        "query_id", "neg_rank"
+    )
+
+
+@register(
+    "pipeline_curriculum_order",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '\s+') AS toks,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS p_ratio
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n_tok, p_ratio,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      FROM s
+    ),
+    qv AS (
+      SELECT doc_id,
+             (least(n_tok / 50.0, 1.0)
+              + least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5.0, 1.0)
+              + (1.0 - least(p_ratio * 4.0, 1.0))) / 3.0 AS quality
+      FROM h
+    ),
+    st AS (
+      SELECT doc_id, quality,
+             CASE WHEN quality >= 0.70 THEN 0
+                  WHEN quality >= 0.55 THEN 1
+                  WHEN quality >= 0.40 THEN 2
+                  ELSE 3 END AS stage,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             substr(md5(CAST(doc_id AS VARCHAR)), 2, 16) AS ord_key
+      FROM qv
+    )
+    SELECT doc_id, stage, shard,
+           row_number() OVER (
+             PARTITION BY stage, shard ORDER BY ord_key, doc_id
+           ) AS pos,
+           quality
+    FROM st
+    ORDER BY stage, shard, pos
+    """,
+)
+def q_pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: documents staged easiest-first by FIXED
+    quality-score thresholds (no global quantile pass — thresholds are
+    constants, so staging is scan-shaped), deterministically shuffled
+    within stage by an md5 sort key, sharded into 16 md5 shards so the
+    ranking window is (stage, shard)-partitioned — parallelism 4×16, no
+    single-reducer global sort; a consumer replays (stage, shard, pos)
+    order exactly anywhere. Same determinism contract as the samplers:
+    never rand()."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score
+
+    docs = _table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    staged = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.substring(md5, 1, 1).alias("shard"),
+        F.substring(md5, 2, 16).alias("ord_key"),
+    ).withColumn(
+        "stage",
+        F.when(F.col("quality") >= 0.70, 0)
+        .when(F.col("quality") >= 0.55, 1)
+        .when(F.col("quality") >= 0.40, 2)
+        .otherwise(3),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("ord_key", "doc_id")
+    return (
+        staged.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "stage", "shard", "pos", "quality")
+        .orderBy("stage", "shard", "pos")
+    )
+
+
+@register(
+    "tpcds_yoy_growth",
+    """
+    WITH y AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS yr,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT nation, yr, revenue,
+           lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+           round(revenue / lag(revenue) OVER (PARTITION BY nation ORDER BY yr) - 1.0, 4)
+             AS yoy_growth
+    FROM y
+    ORDER BY nation, yr
+    """,
+)
+def q_tpcds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-style year-over-year analysis (the ws_sold_year self-compare
+    shape of TPC-DS Q74/Q11, adapted to the TPC-H-ish schema): yearly
+    revenue per customer nation, previous year via ``lag`` window, growth
+    ratio. Exact DECIMAL sums make the double division bit-stable across
+    engines. Two broadcast dimension joins ride the fact scan; one
+    aggregation shuffle; the lag window repartitions by nation (25 keys —
+    fine here; at 100 TB the year dimension stays tiny so the window state
+    per nation is a handful of rows)."""
+    from pyspark.sql import Window
+
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.withColumn("prev_revenue", prev)
+        .withColumn("yoy_growth", F.round(F.col("revenue") / prev - 1.0, 4))
+        .orderBy("nation", "yr")
+    )
+
+
+@register(
+    "agg_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           CAST(floor(value / 10.0) * 10.0 AS DOUBLE) AS bin_lo,
+           count(*) AS n
+    FROM events
+    WHERE isfinite(value)
+    GROUP BY event_type, floor(value / 10.0)
+    ORDER BY event_type, bin
+    """,
+)
+def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram audit (bin width 10) of the value column per
+    event type — the profiling primitive behind data-quality dashboards.
+    Pure map-side binning + one aggregation shuffle on (type, bin); bin
+    cardinality is bounded by the value range, so the result is tiny no
+    matter the input scale (the wire carries partial counts only)."""
+    ev = _events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / 10.0)
+    return (
+        ev.filter(is_finite(F.col("value")))
+        .groupBy(
+            "event_type",
+            bin_col.cast("long").alias("bin"),
+            (bin_col * 10.0).cast("double").alias("bin_lo"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

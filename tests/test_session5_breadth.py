@@ -1,0 +1,185 @@
+"""Unit tests for the session-5 breadth batch: block dedup + rebuild,
+hard-negative mining, curriculum ordering, YoY growth, value histogram."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ambient_sound_analysis_api_spark.operators.dedup import block_dedup_rebuild
+from ambient_sound_analysis_api_spark.operators.similarity import hard_negatives
+from ambient_sound_analysis_api_spark.registry import (
+    q_agg_value_histogram,
+    q_pipeline_curriculum_order,
+    q_tpcds_yoy_growth,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# block_dedup_rebuild
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_block_dedup_removes_shared_block_and_rebuilds(spark):
+    # 4-token blocks; docs 1 and 2 share their first block exactly.
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} one two three four"),
+        (2, f"{shared} five six seven eight"),
+        (3, "nine ten eleven twelve"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_rebuild(
+            _docs(spark, rows), block_tokens=4, max_df=1
+        ).collect()
+    }
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "one two three four"
+    assert out[2]["clean_text"] == "five six seven eight"
+    # untouched doc keeps everything, order preserved
+    assert out[3]["n_kept"] == 1 and out[3]["clean_text"] == rows[2][1]
+
+
+def test_block_dedup_all_boilerplate_doc_goes_empty(spark):
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "x y z w a b c d")]
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_rebuild(
+            _docs(spark, rows), block_tokens=4, max_df=1
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    # doc 3's first block survives; its second block is the shared one
+    assert out[3]["clean_text"] == "x y z w"
+
+
+def test_block_dedup_order_preserved_across_dropped_middle(spark):
+    # the shared block sits in the MIDDLE of doc 1; rebuild must stitch
+    # the outer blocks back together in original order
+    rows = [
+        (1, "p q r s a b c d t u v w"),
+        (2, "a b c d"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_rebuild(
+            _docs(spark, rows), block_tokens=4, max_df=1
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "p q r s t u v w"
+
+
+def test_block_dedup_max_df_threshold(spark):
+    # max_df=2 keeps blocks shared by exactly two docs
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "e f g h")]
+    out = {
+        r["doc_id"]: r
+        for r in block_dedup_rebuild(
+            _docs(spark, rows), block_tokens=4, max_df=2
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 1
+
+
+def test_block_dedup_partial_tail_block(spark):
+    rows = [(1, "a b c d e f")]  # 4-token blocks -> one full + one 2-token
+    out = block_dedup_rebuild(_docs(spark, rows), block_tokens=4).collect()[0]
+    assert out["n_blocks"] == 2
+    assert out["clean_text"] == "a b c d e f"
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hard_negatives_rank_band_and_self_exclusion(spark):
+    # query [1,0]; candidates along a fan so cosine strictly decreases
+    # with id. rank band 2..3 must pick ids 3 and 4 (1 and 2 are ranks 0?)
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(1, 8)
+    ]
+    out = hard_negatives(_emb(spark, rows), [0], rank_lo=2, rank_hi=3).collect()
+    assert [r["neg_id"] for r in out] == [2, 3]
+    assert all(r["query_id"] == 0 for r in out)
+    ranks = [r["neg_rank"] for r in out]
+    assert ranks == [2, 3]
+
+
+def test_hard_negatives_multiple_queries_independent(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+        (4, [0.5, 0.5]),
+    ]
+    out = hard_negatives(_emb(spark, rows), [0, 1], rank_lo=1, rank_hi=1).collect()
+    by_q = {r["query_id"]: r["neg_id"] for r in out}
+    assert by_q[0] == 2  # closest to x-axis query
+    assert by_q[1] == 3  # closest to y-axis query
+
+
+# ---------------------------------------------------------------------------
+# registry-level checks on the real tables
+
+
+def test_curriculum_order_deterministic_and_staged(spark):
+    a = q_pipeline_curriculum_order(spark, SF).collect()
+    b = q_pipeline_curriculum_order(spark, SF).collect()
+    assert a == b
+    for r in a:
+        q = r["quality"]
+        expected = 0 if q >= 0.70 else 1 if q >= 0.55 else 2 if q >= 0.40 else 3
+        assert r["stage"] == expected
+    # positions are dense 1..k within each (stage, shard)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in a:
+        groups[(r["stage"], r["shard"])].append(r["pos"])
+    for pos_list in groups.values():
+        assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
+
+
+def test_yoy_growth_lag_math(spark):
+    rows = q_tpcds_yoy_growth(spark, SF).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r)
+    for nation_rows in by_nation.values():
+        assert nation_rows[0]["prev_revenue"] is None
+        for prev, cur in zip(nation_rows, nation_rows[1:]):
+            assert cur["prev_revenue"] == prev["revenue"]
+            if cur["prev_revenue"]:
+                assert (
+                    abs(
+                        cur["yoy_growth"]
+                        - round(cur["revenue"] / cur["prev_revenue"] - 1.0, 4)
+                    )
+                    < 1e-9
+                )
+
+
+def test_value_histogram_bins_consistent(spark):
+    rows = q_agg_value_histogram(spark, SF).collect()
+    assert len(rows) > 0
+    total = sum(r["n"] for r in rows)
+    from ambient_sound_analysis_api_spark.functions.scalars import is_finite
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    finite = ev.filter(is_finite(F.col("value"))).count()
+    assert total == finite
+    for r in rows:
+        assert r["bin_lo"] == r["bin"] * 10.0
