@@ -6199,6 +6199,255 @@ def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM o
+      WHERE prev_type IS NOT NULL AND gap_us <= 1800000000
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM tr
+    ORDER BY from_type, to_type
+    """,
+)
+def q_agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    consecutive events within a 30-minute gap become (from, to) edges;
+    counts plus row-normalized transition probabilities. The behavioral
+    sibling of the funnel/retention family. One per-user ordering window
+    (user_id-partitioned — full parallelism), one small aggregation; the
+    probability normalization windows over the tiny type×type matrix.
+    Deterministic tie-break on (ts, event_id) so both engines pair the
+    same neighbors."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    tr = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("gap_us") <= 1_800_000_000)
+        )
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        tr.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(wt), 4)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "agg_winsorized_stats",
+    f"""
+    WITH f AS (
+      SELECT event_type, value FROM events WHERE isfinite(value)
+    ),
+    rk AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM f
+    ),
+    b AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                      THEN value END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN value END) AS hi
+      FROM rk GROUP BY event_type
+    ),
+    w AS (
+      SELECT f.event_type,
+             CASE WHEN value < lo THEN lo
+                  WHEN value > hi THEN hi
+                  ELSE value END AS cv,
+             (value < lo OR value > hi) AS clipped
+      FROM f JOIN b USING (event_type)
+    )
+    SELECT w.event_type, b.lo, b.hi,
+           CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(cv AS DECIMAL(20,2))) AS DOUBLE) / count(cv)
+             AS winsorized_mean
+    FROM w JOIN b USING (event_type)
+    GROUP BY w.event_type, b.lo, b.hi
+    ORDER BY w.event_type
+    """,
+)
+def q_agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust mean per event type — the
+    outlier-tolerant alternative to a plain mean for sensor audits. The
+    percentile bounds are DISCRETE order statistics (value at rank
+    ceil(p·n)), computed via an integer rank window — integer positions
+    make the bounds bit-identical across engines, unlike interpolating
+    percentiles whose float blend can differ in the last ulp. Clamped
+    values are then exact-decimal-summed (``decimal_mean``). The rank
+    window sorts per event type — the honest cost of exact order
+    statistics; at 100 TB swap the bounds CTE for ``percentile_approx``
+    (sketch-mergeable, no sort) and keep the clamp+mean unchanged."""
+    from pyspark.sql import Window
+
+    from .functions.scalars import decimal_mean
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(is_finite(F.col("value")))
+        .select("event_type", "value")
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    rk = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    lo_rn = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(0.05) * F.col("n")))
+    hi_rn = F.ceil(F.lit(0.95) * F.col("n"))
+    b = rk.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("hi"),
+    )
+    cv = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select("event_type", "lo", "hi", cv.alias("cv"), clipped.alias("clipped"))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum(F.col("clipped").cast("long")).alias("n_clipped"),
+            decimal_mean(F.col("cv")).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "emb_cluster_exemplars",
+    f"""
+    WITH {_kmeans_ctes()},
+    x AS (
+      SELECT cluster, vec_id, d,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY CAST(d AS DECIMAL(32,12)), vec_id
+             ) AS exemplar_rank
+      FROM af
+    )
+    SELECT cluster, exemplar_rank, vec_id, round(d, 6) AS sq_dist
+    FROM x WHERE exemplar_rank <= 3
+    ORDER BY cluster, exemplar_rank
+    """,
+)
+def q_emb_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster exemplar extraction: the 3 vectors nearest each k-means
+    centroid — how a pipeline labels/inspects semantic clusters (pick
+    representative documents per cluster for human review or cluster
+    naming). Reuses the deterministic k-means fit; ranking orders on the
+    DECIMAL(32,12)-rounded distance (the same fixed-point contract the fit
+    itself uses) so near-tie float noise cannot flip exemplar order
+    between engines. The ranking window partitions by cluster — k-way
+    parallel, k rows out per cluster."""
+    from pyspark.sql import Window
+
+    from .operators.clustering import kmeans_fit, kmeans_predict
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pred = kmeans_predict(emb, kmeans_fit(emb, k=8, n_iter=4))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("sq_dist").cast("decimal(32,12)"), F.col("vec_id")
+    )
+    return (
+        pred.withColumn("exemplar_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("exemplar_rank") <= 3)
+        .select(
+            "cluster",
+            "exemplar_rank",
+            "vec_id",
+            F.round("sq_dist", 6).alias("sq_dist"),
+        )
+        .orderBy("cluster", "exemplar_rank")
+    )
+
+
+@register(
+    "pipeline_chat_render",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(least(len(toks), 30) AS BIGINT) AS n_user_tokens,
+           CAST(greatest(len(toks) - 30, 0) AS BIGINT) AS n_asst_tokens,
+           md5('<|system|>' || chr(10) || 'You are a helpful assistant.'
+               || chr(10) || '<|user|>' || chr(10)
+               || array_to_string(toks[1:30], ' ')
+               || chr(10) || '<|assistant|>' || chr(10)
+               || coalesce(array_to_string(toks[31:len(toks)], ' '), ''))
+             AS rendered_md5
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering for SFT data prep: deterministic
+    system/user/assistant formatting (first 30 tokens as the user turn,
+    remainder as the assistant turn), with the fully rendered string
+    md5-pinned so the hash check certifies the exact template output
+    without shipping it. Pure string/array expressions — scan-shaped at
+    any scale. DuckDB gotcha (as in span corruption): an out-of-range
+    list slice is NULL, not empty — coalesced on the oracle side; Spark's
+    ``slice`` returns [] so ``array_join`` already yields ''."""
+    from .functions.text import normalize_text, tokens as _tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", _tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    nl = F.lit("\n")
+    rendered = F.concat(
+        F.lit("<|system|>"), nl, F.lit("You are a helpful assistant."), nl,
+        F.lit("<|user|>"), nl,
+        F.array_join(F.slice("toks", 1, 30), " "),
+        nl, F.lit("<|assistant|>"), nl,
+        F.array_join(
+            F.expr("slice(toks, 31, greatest(size(toks) - 30, 0))"), " "
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.least(F.size("toks"), F.lit(30)).cast("long").alias("n_user_tokens"),
+        F.greatest(F.size("toks") - 30, F.lit(0)).cast("long").alias(
+            "n_asst_tokens"
+        ),
+        F.md5(rendered).alias("rendered_md5"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 

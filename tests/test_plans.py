@@ -261,6 +261,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivfpq_topk",  # 1-row query × nlist-row centroid ranking
         "emb_ivfpq_residual_topk",  # same 1-row probe stage, residual codes
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
+        "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
     }
     python_ok = {
         "mm_binary_meta",

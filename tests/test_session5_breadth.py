@@ -183,3 +183,61 @@ def test_value_histogram_bins_consistent(spark):
     assert total == finite
     for r in rows:
         assert r["bin_lo"] == r["bin"] * 10.0
+
+
+# ---------------------------------------------------------------------------
+# batch 2: transitions, winsorize, exemplars, chat render
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    from ambient_sound_analysis_api_spark.registry import q_agg_event_transitions
+
+    rows = q_agg_event_transitions(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0.0 <= r["p"] <= 1.0
+        by_from[r["from_type"]] += r["p"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 0.01  # p rounded to 4dp per row
+
+
+def test_winsorized_stats_bounds_and_mean(spark):
+    from ambient_sound_analysis_api_spark.registry import q_agg_winsorized_stats
+
+    rows = q_agg_winsorized_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
+        assert r["n_clipped"] >= 0
+
+
+def test_cluster_exemplars_shape(spark):
+    from ambient_sound_analysis_api_spark.registry import q_emb_cluster_exemplars
+
+    rows = q_emb_cluster_exemplars(spark, SF).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 8
+    for cl_rows in by_cluster.values():
+        assert [r["exemplar_rank"] for r in cl_rows] == [1, 2, 3]
+        dists = [r["sq_dist"] for r in cl_rows]
+        assert dists == sorted(dists)
+
+
+def test_chat_render_token_split_and_determinism(spark):
+    from ambient_sound_analysis_api_spark.registry import q_pipeline_chat_render
+
+    a = q_pipeline_chat_render(spark, SF).collect()
+    b = q_pipeline_chat_render(spark, SF).collect()
+    assert a == b
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_toks = {r["doc_id"]: len(r["text"].lower().split()) for r in docs}
+    for r in a:
+        assert len(r["rendered_md5"]) == 32
+        assert r["n_user_tokens"] == min(n_toks[r["doc_id"]], 30)
+        assert r["n_user_tokens"] + r["n_asst_tokens"] == n_toks[r["doc_id"]]
