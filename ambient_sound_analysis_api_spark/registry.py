@@ -6448,6 +6448,318 @@ def q_pipeline_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "pipeline_bloom_prefilter",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]) AS sh
+      FROM t WHERE len(toks) >= 8
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+    bg AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+    bpos AS (
+      SELECT DISTINCT ('0x' || substr(md5(gram), 1 + 3 * j, 3))::INT AS pos
+      FROM (SELECT gram, unnest([0, 1, 2]) AS j FROM bg)
+    ),
+    bloom AS (
+      SELECT pos // 63 AS slot, bit_or(1::BIGINT << (pos % 63)) AS word
+      FROM bpos GROUP BY pos // 63
+    ),
+    cg AS (SELECT doc_id, gram FROM e WHERE doc_id % 20 <> 0),
+    cp AS (
+      SELECT doc_id, gram,
+             ('0x' || substr(md5(gram), 1 + 3 * j, 3))::INT AS pos
+      FROM (SELECT doc_id, gram, unnest([0, 1, 2]) AS j FROM cg)
+    ),
+    cb AS (
+      SELECT doc_id, gram,
+             bool_and(coalesce(
+               (b.word & (1::BIGINT << (pos % 63))) <> 0, false)) AS flagged
+      FROM cp LEFT JOIN bloom b ON b.slot = pos // 63
+      GROUP BY doc_id, gram
+    ),
+    ex AS (
+      SELECT doc_id, count(*) AS n_exact
+      FROM (SELECT DISTINCT cg.doc_id, cg.gram
+            FROM cg SEMI JOIN bg USING (gram))
+      GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged
+      FROM cb GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(f.n_grams AS BIGINT) AS n_grams,
+           CAST(f.n_flagged AS BIGINT) AS n_flagged,
+           CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact
+    FROM fin f LEFT JOIN ex USING (doc_id)
+    ORDER BY f.doc_id
+    """,
+)
+def q_pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination prefilter, fully SQL-oracled: the held-out
+    split's 8-gram set is folded into a 4096-bit / 3-hash Bloom filter
+    (64 BIGINT words built with one ``bit_or`` aggregation), and corpus
+    grams are probed against the BROADCAST filter — the sketch-side
+    alternative to shipping the benchmark gram set verbatim
+    (``pipeline_decontaminate``): at 100 TB the filter is 512 bytes per
+    benchmark no matter how many grams it holds, and the corpus never
+    shuffles. Hash positions come from md5 hex windows (``conv``), the
+    same cross-engine-reproducible trick as the samplers — which is what
+    makes a Bloom filter SQL-oracle-able at all (xxhash64 isn't portable
+    to the oracle). Emits per-doc flagged-gram counts NEXT TO the exact
+    semi-join counts, so the false-positive envelope (``n_flagged >=
+    n_exact``) is part of the checked result."""
+    from .functions.text import token_ngrams
+
+    docs = _table(spark, sf_dir, "documents")
+    # short docs (<8 tokens) yield an empty shingle array and drop out of
+    # the explode naturally — same universe as the oracle's len(toks)>=8
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams(F.col("text"), 8))).alias("gram"),
+    )
+    is_bench = F.col("doc_id") % 20 == 0
+    bench_g = grams.filter(is_bench).select("gram").distinct()
+
+    def slot_mask(j: int):
+        # F.shiftleft takes a literal shift count; a per-row shift needs
+        # the SQL expression form (same trick as simhash's bit weights)
+        p_sql = f"CAST(conv(substring(md5(gram), {1 + 3 * j}, 3), 16, 10) AS INT)"
+        # 63-bit words: the oracle's engine checks signed overflow at
+        # 1 << 63, so both sides pack 63 bits per BIGINT word
+        return F.expr(
+            f"struct(CAST(floor({p_sql} / 63) AS INT) AS slot, "
+            f"shiftleft(CAST(1 AS BIGINT), {p_sql} % 63) AS mask)"
+        )
+
+    bloom = (
+        bench_g.select(
+            F.explode(F.array(*[slot_mask(j) for j in range(3)])).alias("sm")
+        )
+        .select("sm.slot", "sm.mask")
+        .groupBy("slot")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    corpus = grams.filter(~is_bench)
+    probes = corpus.select(
+        "doc_id", "gram",
+        F.explode(F.array(*[slot_mask(j) for j in range(3)])).alias("sm"),
+    ).select("doc_id", "gram", "sm.slot", "sm.mask")
+    per_gram = (
+        probes.join(F.broadcast(bloom), "slot", "left")
+        .withColumn(
+            "bit",
+            F.coalesce(
+                F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)
+            ),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("bit").alias("flagged"))
+    )
+    exact = (
+        corpus.join(bench_g, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_exact"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        )
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams", "n_flagged",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "emb_prefix_recall",
+    """
+    WITH dims AS (SELECT unnest([16, 32, 64]) AS d),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ee AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS a,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    qx AS (
+      SELECT CAST(unnest(qe) AS DOUBLE) AS b,
+             generate_subscripts(qe, 1) AS i
+      FROM q
+    ),
+    s AS (
+      SELECT dims.d, ee.vec_id, sum(a * b) AS dp
+      FROM ee JOIN qx USING (i) CROSS JOIN dims
+      WHERE ee.i <= dims.d
+      GROUP BY dims.d, ee.vec_id
+    ),
+    r AS (
+      SELECT d, vec_id,
+             row_number() OVER (PARTITION BY d ORDER BY dp DESC, vec_id) AS rk
+      FROM s
+    ),
+    tk AS (SELECT d, vec_id FROM r WHERE rk <= 10),
+    ov AS (
+      SELECT a.d,
+             sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+      FROM tk a LEFT JOIN (SELECT vec_id FROM tk WHERE d = 64) f USING (vec_id)
+      GROUP BY a.d
+    )
+    SELECT d AS prefix_dim, CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(n_overlap / 10.0, 4) AS recall_at_10
+    FROM ov
+    ORDER BY prefix_dim
+    """,
+)
+def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension audit: top-10 neighbors (by dot
+    product) of a query using only the first 16/32 dims vs the full 64 —
+    recall@10 per truncation, the measurement behind choosing a cheap
+    prefix dim for a first-pass ANN stage (MRL, Kusupati et al., 2022).
+    One corpus scan exploded ×3 truncations; ranking windows partition by
+    truncation; the 64-dim band is its own control row (recall 1.0 by
+    construction). At scale the per-truncation ranking is the same
+    TakeOrdered shape as ``emb_cosine_topk``."""
+    from pyspark.sql import Window
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias("d"),
+            F.col("embedding"),
+            F.col("_q"),
+        )
+        .select(
+            "d",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.expr("slice(embedding, 1, d)"),
+                    F.expr("slice(_q, 1, d)"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dp"),
+        )
+    )
+    w = Window.partitionBy("d").orderBy(F.col("dp").desc(), F.col("vec_id"))
+    tk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    full = tk.filter(F.col("d") == 64).select("vec_id", F.lit(1).alias("_hit"))
+    return (
+        tk.join(full, "vec_id", "left")
+        .groupBy(F.col("d").cast("int").alias("prefix_dim"))
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "prefix_dim",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 4).alias("recall_at_10"),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+@register(
+    "pipeline_diversity_metrics",
+    """
+    WITH sc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT sum(c) AS n, count(*) AS k FROM sc),
+    ent AS (
+      SELECT round(-sum((c / CAST(n AS DOUBLE))
+                        * log2(c / CAST(n AS DOUBLE))), 4) AS source_entropy_bits
+      FROM sc CROSS JOIN tot
+    ),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM sc
+    ),
+    gini AS (
+      SELECT round((2.0 * sum(CAST(i AS DOUBLE) * c))
+                   / (CAST(k AS DOUBLE) * sum(c))
+                   - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE), 4) AS source_gini
+      FROM rk CROSS JOIN tot GROUP BY k
+    ),
+    lc AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+    ts AS (
+      SELECT round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_source_share
+      FROM sc
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs, CAST(tot.k AS BIGINT) AS n_sources,
+           CAST(lc.n_langs AS BIGINT) AS n_langs,
+           ts.top_source_share, ent.source_entropy_bits, gini.source_gini
+    FROM tot CROSS JOIN lc CROSS JOIN ts CROSS JOIN ent CROSS JOIN gini
+    """,
+)
+def q_pipeline_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus diversity card: source count/entropy/Gini/top-share
+    plus language count — the mixture-health metrics a pretraining data
+    report leads with. Everything reduces over the tiny per-source count
+    table (map-side partial counts; the wire carries one row per source),
+    so cost is a corpus scan regardless of scale. Gini uses the rank
+    formula over integer counts — exact until the single final division —
+    and entropy rounds to 4dp (double log-sum over a handful of sources)."""
+    from pyspark.sql import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    sc = docs.groupBy("source").agg(F.count("*").alias("c"))
+    # per-source share needs the corpus total alongside each row: window
+    # totals can't nest inside aggregates, so total rides in via a 1-row
+    # broadcast instead (the tiny-dimension pattern, not a window)
+    tot = sc.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.max("c").alias("_maxc"),
+    )
+    share = F.col("c") / F.col("n_docs").cast("double")
+    ent = (
+        sc.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(share * F.log2(share)), 4).alias("source_entropy_bits"))
+    )
+    rk = sc.select(
+        "c", F.row_number().over(Window.orderBy("c", "source")).alias("i")
+    )
+    gini = rk.agg(
+        F.round(
+            (2.0 * F.sum(F.col("i").cast("double") * F.col("c")))
+            / (F.count("*").cast("double") * F.sum("c"))
+            - (F.count("*").cast("double") + 1.0)
+            / F.count("*").cast("double"),
+            4,
+        ).alias("source_gini")
+    )
+    langs = docs.agg(F.count_distinct("lang").alias("n_langs"))
+    return (
+        tot.crossJoin(langs)
+        .crossJoin(ent)
+        .crossJoin(gini)
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            F.round(F.col("_maxc") / F.col("n_docs").cast("double"), 4).alias(
+                "top_source_share"
+            ),
+            "source_entropy_bits",
+            "source_gini",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -262,6 +262,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivfpq_residual_topk",  # same 1-row probe stage, residual codes
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
         "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
+        "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
+        "pipeline_diversity_metrics",  # 1-row stat-card cross joins
     }
     python_ok = {
         "mm_binary_meta",

@@ -241,3 +241,44 @@ def test_chat_render_token_split_and_determinism(spark):
         assert len(r["rendered_md5"]) == 32
         assert r["n_user_tokens"] == min(n_toks[r["doc_id"]], 30)
         assert r["n_user_tokens"] + r["n_asst_tokens"] == n_toks[r["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# batch 3: bloom prefilter, prefix recall, diversity metrics
+
+
+def test_bloom_prefilter_fp_envelope(spark):
+    from ambient_sound_analysis_api_spark.registry import q_pipeline_bloom_prefilter
+
+    rows = q_pipeline_bloom_prefilter(spark, SF).collect()
+    assert rows
+    # Bloom filters admit false positives but never false negatives:
+    # every exactly-shared gram must be flagged
+    for r in rows:
+        assert r["n_exact"] <= r["n_flagged"] <= r["n_grams"]
+    assert sum(r["n_exact"] for r in rows) > 0  # the probe actually fires
+
+
+def test_prefix_recall_full_dim_is_control(spark):
+    from ambient_sound_analysis_api_spark.registry import q_emb_prefix_recall
+
+    rows = {r["prefix_dim"]: r for r in q_emb_prefix_recall(spark, SF).collect()}
+    assert set(rows) == {16, 32, 64}
+    assert rows[64]["n_overlap"] == 10 and rows[64]["recall_at_10"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["n_overlap"] <= 10
+
+
+def test_diversity_metrics_invariants(spark):
+    import math
+
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_diversity_metrics,
+    )
+
+    r = q_pipeline_diversity_metrics(spark, SF).collect()[0]
+    assert r["n_docs"] > 0 and r["n_sources"] > 0 and r["n_langs"] > 0
+    # Shannon entropy is bounded by log2(k); Gini lives in [0, 1)
+    assert 0.0 <= r["source_entropy_bits"] <= math.log2(r["n_sources"]) + 1e-9
+    assert 0.0 <= r["source_gini"] < 1.0
+    assert 0.0 < r["top_source_share"] <= 1.0
