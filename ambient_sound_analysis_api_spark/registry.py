@@ -6760,6 +6760,230 @@ def q_pipeline_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_canonical_best_quality",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    lab AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    qs AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '\\s+') AS qtoks,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS p_ratio
+      FROM documents
+    ),
+    qv AS (
+      SELECT doc_id,
+             (least(n_tok / 50.0, 1.0)
+              + least((CASE WHEN n_tok > 0 THEN
+                  len(list_filter(qtoks, x -> list_contains(
+                    ['the','a','of','and','to','in','is','it','that','for'], x)))
+                  / n_tok ELSE 0.0 END) * 5.0, 1.0)
+              + (1.0 - least(p_ratio * 4.0, 1.0))) / 3.0 AS quality
+      FROM qs
+    ),
+    best AS (
+      SELECT lab.cluster_id, lab.doc_id, qv.quality,
+             row_number() OVER (
+               PARTITION BY lab.cluster_id
+               ORDER BY qv.quality DESC, lab.doc_id
+             ) AS rn
+      FROM lab JOIN qv ON lab.doc_id = qv.doc_id
+    ),
+    m AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id)
+    SELECT b.cluster_id, b.doc_id AS keep_id,
+           round(b.quality, 4) AS keep_quality,
+           CAST(m.n_members AS BIGINT) AS n_members
+    FROM best b JOIN m USING (cluster_id)
+    WHERE b.rn = 1
+    ORDER BY b.cluster_id
+    """,
+)
+def q_pipeline_canonical_best_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware canonicalization: near-dup clusters (3-gram Jaccard
+    edges → connected components) keep their HIGHEST-quality member
+    instead of the arbitrary min-id (``pipeline_canonical_corpus``'s
+    rule) — what a curation pipeline actually wants when collapsing a dup
+    cluster: keep the cleanest copy, drop the rest. Quality scores are
+    bit-identical across engines (the ``text_lang_quality`` contract), so
+    the argmax is deterministic with a doc_id tie-break. Adds one small
+    per-cluster ranking window on top of the CC labels."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score
+    from .operators.graph import connected_components
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    labels = connected_components(
+        edges, docs.select("doc_id"), node_col="doc_id"
+    )
+    qual = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    j = labels.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    members = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(members, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.round("quality", 4).alias("keep_quality"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "pipeline_mixture_weights",
+    """
+    WITH sc AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM sc),
+    pw AS (SELECT source, c, sqrt(c / t.n) AS w FROM sc CROSS JOIN tot t),
+    z AS (SELECT sum(w) AS z FROM pw)
+    SELECT pw.source, CAST(pw.c AS BIGINT) AS n_docs,
+           round(pw.c / t.n, 4) AS share,
+           round(pw.w / z.z, 4) AS weight_t05
+    FROM pw CROSS JOIN z CROSS JOIN tot t
+    ORDER BY pw.source
+    """,
+)
+def q_pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (α = 0.5, the
+    multilingual-sampling temperature trick: upweight rare sources by
+    sampling ∝ share^α, renormalized): per source, raw share and the
+    α=0.5 weight. The input to ``pipeline_mixture_sample``'s target
+    fractions when a run wants tempered rather than hand-set mixtures.
+    Reduces entirely over the per-source count table — corpus-scan cost,
+    one tiny aggregation, 1-row normalizer broadcasts."""
+    docs = _table(spark, sf_dir, "documents")
+    sc = docs.groupBy("source").agg(F.count("*").alias("c"))
+    tot = sc.agg(F.sum("c").cast("double").alias("n"))
+    pw = sc.crossJoin(F.broadcast(tot)).select(
+        "source", "c", "n", F.sqrt(F.col("c") / F.col("n")).alias("w")
+    )
+    z = pw.agg(F.sum("w").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            F.round(F.col("c") / F.col("n"), 4).alias("share"),
+            F.round(F.col("w") / F.col("z"), 4).alias("weight_t05"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             count(*) AS c
+      FROM events GROUP BY event_type, hr
+    ),
+    w AS (
+      SELECT event_type, hr, c,
+             sum(c) OVER wnd AS s1,
+             sum(c * c) OVER wnd AS s2,
+             count(c) OVER wnd AS k
+      FROM h
+      WINDOW wnd AS (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, c, CAST(k AS BIGINT) AS n_ref,
+           round(CAST(s1 AS DOUBLE) / k, 4) AS mean_trailing,
+           CASE WHEN CAST(s2 AS DOUBLE) / k
+                     - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 0
+                THEN round((c - CAST(s1 AS DOUBLE) / k)
+                           / sqrt(CAST(s2 AS DOUBLE) / k
+                                  - (CAST(s1 AS DOUBLE) / k)
+                                    * (CAST(s1 AS DOUBLE) / k)), 4)
+           END AS z,
+           coalesce(abs((c - CAST(s1 AS DOUBLE) / k)
+                        / sqrt(nullif(CAST(s2 AS DOUBLE) / k
+                               - (CAST(s1 AS DOUBLE) / k)
+                                 * (CAST(s1 AS DOUBLE) / k), 0.0))) > 3.0,
+                    false) AS is_anomaly
+    FROM w
+    WHERE k >= 12
+    ORDER BY event_type, hr
+    """,
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags over hourly event volumes: each hour's
+    count is z-scored against the PRIOR 24 hours (RANGE frame on the
+    integer hour key, so gaps in the series keep calendar semantics —
+    ROWS would silently stretch the baseline across missing hours). The
+    monitoring primitive for ingest-volume regressions. Mean/variance
+    come from integer sum/sum-of-squares over the frame — bit-exact in
+    both engines, no float accumulation ambiguity; only the final
+    divisions are floats (rounded 4dp). Warm-up hours (<12 reference
+    points) are excluded; zero-variance baselines yield NULL z and a
+    false flag rather than a division error."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    wnd = (
+        Window.partitionBy("event_type").orderBy("hr").rangeBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type", "hr", "c",
+        F.sum("c").over(wnd).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(wnd).alias("s2"),
+        F.count("c").over(wnd).alias("k"),
+    ).filter(F.col("k") >= 12)
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    z_raw = (F.col("c") - mean) / F.sqrt(var)
+    return w.select(
+        "event_type", "hr", "c",
+        F.col("k").alias("n_ref"),
+        F.round(mean, 4).alias("mean_trailing"),
+        F.when(var > 0, F.round(z_raw, 4)).alias("z"),
+        F.coalesce(
+            F.abs(
+                (F.col("c") - mean)
+                / F.sqrt(F.when(var != 0, var))
+            )
+            > 3.0,
+            F.lit(False),
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "hr")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -69,6 +69,12 @@ HEADLINE = [
     "pipeline_user_histories",
     "emb_pq_adc_topk",
     "pipeline_scd2_customers",
+    # session-5 breadth: block dedup with document rebuild (count shuffle +
+    # anti-join + order-preserving re-assembly), the broadcast Bloom-sketch
+    # probe, and the per-user transition-matrix window
+    "pipeline_block_dedup",
+    "pipeline_bloom_prefilter",
+    "agg_event_transitions",
 ]
 
 

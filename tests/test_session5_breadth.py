@@ -282,3 +282,50 @@ def test_diversity_metrics_invariants(spark):
     assert 0.0 <= r["source_entropy_bits"] <= math.log2(r["n_sources"]) + 1e-9
     assert 0.0 <= r["source_gini"] < 1.0
     assert 0.0 < r["top_source_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# batch 4: quality-keep canonicalization, mixture weights, anomaly z-score
+
+
+def test_canonical_best_quality_partitions_corpus(spark):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_canonical_best_quality,
+    )
+
+    rows = q_pipeline_canonical_best_quality(spark, SF).collect()
+    assert sum(r["n_members"] for r in rows) == 500  # clusters tile the corpus
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert 0.0 <= r["keep_quality"] <= 1.0
+
+
+def test_mixture_weights_normalize(spark):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_mixture_weights,
+    )
+
+    rows = q_pipeline_mixture_weights(spark, SF).collect()
+    assert len(rows) == 20
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 0.01
+    assert abs(sum(r["weight_t05"] for r in rows) - 1.0) < 0.01
+    # alpha=0.5 tempering pulls weights toward uniform: sources below the
+    # mean share gain weight, sources above lose it
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["share"] < mean_share - 0.001:
+            assert r["weight_t05"] > r["share"]
+        if r["share"] > mean_share + 0.001:
+            assert r["weight_t05"] < r["share"]
+
+
+def test_anomaly_zscore_warmup_and_flags(spark):
+    from ambient_sound_analysis_api_spark.registry import q_ts_anomaly_zscore
+
+    rows = q_ts_anomaly_zscore(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_ref"] >= 12
+        if r["z"] is None:
+            assert r["is_anomaly"] is False
+    assert any(r["z"] is not None for r in rows)
