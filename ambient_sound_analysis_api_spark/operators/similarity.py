@@ -459,7 +459,11 @@ def hard_negatives(
     is the big side, which never shuffles for scoring); ranking is a
     ``row_number`` window partitioned per query, so parallelism equals the
     query-batch size and each partition holds one query's candidates.
-    Ties broken by candidate id for determinism.
+    Ranking orders on a DECIMAL(32,12) cast of the cosine (not the raw
+    double): float summation order differs between engines, so near-tie
+    raw doubles can flip ranks; fixed-point rounding plus the id
+    tie-break makes the rank order engine-independent (the same contract
+    ``cluster_exemplars`` uses).
     """
     from pyspark.sql import Window
 
@@ -474,7 +478,7 @@ def hard_negatives(
         cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neg_id")
+        F.col("_cos").cast("decimal(32,12)").desc(), F.col("neg_id")
     )
     return (
         scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))

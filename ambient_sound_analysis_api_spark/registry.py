@@ -6001,7 +6001,8 @@ def q_pipeline_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              dp / (sqrt(na2) * sqrt(nb2)) AS c,
              row_number() OVER (
                PARTITION BY query_id
-               ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+               ORDER BY CAST(dp / (sqrt(na2) * sqrt(nb2)) AS DECIMAL(32,12)) DESC,
+                        vec_id
              ) AS neg_rank
       FROM s
     )
@@ -6506,10 +6507,12 @@ def q_pipeline_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter contamination prefilter, fully SQL-oracled: the held-out
     split's 8-gram set is folded into a 4096-bit / 3-hash Bloom filter
-    (64 BIGINT words built with one ``bit_or`` aggregation), and corpus
-    grams are probed against the BROADCAST filter — the sketch-side
-    alternative to shipping the benchmark gram set verbatim
-    (``pipeline_decontaminate``): at 100 TB the filter is 512 bytes per
+    (positions packed 63 bits per BIGINT word — signed-overflow-safe on
+    both engines — so slots 0..65, up to 66 words, built with one
+    ``bit_or`` aggregation), and corpus grams are probed against the
+    BROADCAST filter — the sketch-side alternative to shipping the
+    benchmark gram set verbatim
+    (``pipeline_decontaminate``): at 100 TB the filter is ~528 bytes per
     benchmark no matter how many grams it holds, and the corpus never
     shuffles. Hash positions come from md5 hex windows (``conv``), the
     same cross-engine-reproducible trick as the samplers — which is what
@@ -6607,7 +6610,9 @@ def q_pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT d, vec_id,
-             row_number() OVER (PARTITION BY d ORDER BY dp DESC, vec_id) AS rk
+             row_number() OVER (
+               PARTITION BY d ORDER BY CAST(dp AS DECIMAL(32,12)) DESC, vec_id
+             ) AS rk
       FROM s
     ),
     tk AS (SELECT d, vec_id FROM r WHERE rk <= 10),
@@ -6659,7 +6664,9 @@ def q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dp"),
         )
     )
-    w = Window.partitionBy("d").orderBy(F.col("dp").desc(), F.col("vec_id"))
+    w = Window.partitionBy("d").orderBy(
+        F.col("dp").cast("decimal(32,12)").desc(), F.col("vec_id")
+    )
     tk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
     full = tk.filter(F.col("d") == 64).select("vec_id", F.lit(1).alias("_hit"))
     return (

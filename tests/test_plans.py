@@ -264,6 +264,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
         "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
         "pipeline_diversity_metrics",  # 1-row stat-card cross joins
+        "pipeline_mixture_weights",  # 1-row total/normalizer broadcasts
     }
     python_ok = {
         "mm_binary_meta",
