@@ -79,3 +79,52 @@ def contamination_report(
             F.col("n_bench_docs"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Directed cross-source shingle-containment matrix: for every ordered
+    source pair (A, B), ``|shingles(A) ∩ shingles(B)| / |shingles(A)|`` —
+    the corpus-composition diagnostic behind "how much of source A is
+    boilerplate shared with source B" (and, run split-vs-split, the
+    aggregate form of benchmark decontamination).
+
+    Plan: one corpus scan shingles and hashes (``token_ngram_hashes`` —
+    8-byte longs on the wire, never gram strings; counts agree with the
+    string-keyed oracle modulo 64-bit collisions, the accepted
+    ``contamination_report`` design), one distinct collapses to the
+    (source, shingle-hash) universe, and the pair counts come from a
+    self-equi-join on the hash — each hash key fans out at most
+    |sources| × |sources| rows, so candidate volume is linear in the
+    distinct universe, never quadratic in rows. Sizes ride in via a
+    broadcast of the source-cardinality table (|sources| rows).
+    """
+    g = tracked_persist(
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(token_ngram_hashes(F.col(text_col), n)).alias("h"),
+        ).distinct()
+    )
+    sizes = g.groupBy("src").agg(F.count("*").alias("n_shingles"))
+    a = g.select(F.col("src").alias("source_a"), "h")
+    b = g.select(F.col("src").alias("source_b"), "h")
+    ov = (
+        a.join(b, "h")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return ov.join(
+        F.broadcast(sizes.withColumnRenamed("src", "source_a")), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
+        ).alias("containment"),
+    )

@@ -125,3 +125,101 @@ def connected_components(
             f"~2^{max_iter - 2} — check the edge set (or raise max_iter)"
         )
     return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "id",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected similarity graph.
+
+    Ranks nodes by importance within the near-duplicate graph — the
+    centrality signal a curation pipeline uses to pick the "most
+    representative" member of a template family (high-degree hubs of a
+    boilerplate cluster rank far above singletons). Simplified variant
+    without dangling-mass redistribution: isolated nodes hold the
+    teleport floor ``(1-d)/N`` and leak their damped mass, which is the
+    standard local-graph formulation (and keeps the oracle exactly
+    unrollable).
+
+    Cross-engine determinism (the same lock-step contract as the k-means
+    chains): every per-edge contribution is ``round(pr/deg, 9)`` cast to
+    DECIMAL(20,9), so the incoming-mass sum is exact and order-
+    independent; the new rank is one IEEE multiply-add re-rounded to 9
+    decimals, so both engines carry bit-identical ranks into the next
+    iteration.
+
+    Scale notes: the symmetric edge set with degrees is materialized ONCE
+    (single-pass explode of both orientations — union would re-run the
+    upstream pair generator per branch); each iteration is one equi-join
+    (rank table × edges) plus one aggregation — the canonical two-shuffle
+    PageRank round — and ``localCheckpoint`` truncates lineage per round.
+    Driver traffic is one scalar (the node count); ranks never leave the
+    cluster.
+    """
+    from pyspark.sql import Window
+
+    from .caching import tracked_persist
+
+    # one window shuffle attaches the degree to every edge row; persisted
+    # once (tracked — see caching.release_caches), every iteration reads it
+    sym_deg = tracked_persist(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .withColumn("d", F.count("*").over(Window.partitionBy("u")))
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(node_col),
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    base = (1.0 - damping) / n
+    pr = nodes.select(
+        F.col(node_col).alias("nid"), F.lit(1.0 / n).alias("pr")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            sym_deg.join(pr, sym_deg["u"] == pr["nid"])
+            .select(
+                F.col("v"),
+                F.round(F.col("pr") / F.col("d"), 9)
+                .cast("decimal(20,9)")
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = (
+            nodes.select(F.col(node_col).alias("nid"))
+            .join(contrib, F.col("nid") == F.col("v"), "left")
+            .select(
+                "nid",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("mass"), F.lit(0)).cast("double"),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    deg = sym_deg.groupBy("u").agg(F.count("*").alias("degree"))
+    return pr.join(deg, pr["nid"] == deg["u"], "left").select(
+        F.col("nid").alias(node_col),
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        F.col("pr").alias("pagerank"),
+    )

@@ -83,3 +83,49 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_word_len: int = 2
+) -> DataFrame:
+    """One BPE-training merge step: corpus-weighted adjacent-symbol pair
+    frequencies (Sennrich et al., 2016 — the statistic whose argmax picks
+    the next merge).
+
+    Runs on the WORD-FREQUENCY table, not the corpus: tokenizer training
+    folds the corpus to distinct words first (vocabulary-sized — millions
+    of rows at 100 TB, not billions), then counts each word's adjacent
+    character pairs weighted by the word's corpus frequency. The fold is
+    one map-side-combined ``groupBy``; pair extraction is a codegen
+    ``transform(sequence(...))`` over the tiny word table; the final
+    aggregation shuffles (pair, partial-sum) rows bounded by the symbol
+    alphabet squared. ``substring`` pair extraction matches the oracle's
+    1-based semantics exactly.
+
+    Returns ``(a, b, merged, pair_freq)`` unranked; callers rank/limit.
+    Single-character words carry no pairs and are dropped by
+    ``min_word_len`` (``sequence(1, 0)`` would run DESCENDING in Spark —
+    the guard is load-bearing, not cosmetic).
+    """
+    from ..functions.text import letter_tokens
+
+    words = df.select(
+        F.explode(letter_tokens(F.col(text_col))).alias("word")
+    ).filter(F.length("word") >= min_word_len)
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS a,"
+                " substring(word, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("freq", "p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("long").alias("pair_freq"))
+        .select("a", "b", F.concat("a", "b").alias("merged"), "pair_freq")
+    )

@@ -6991,6 +6991,248 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hr")
 
 
+def _pagerank_iter_ctes(n_iter: int = 3) -> str:
+    """Unrolled PageRank iteration CTEs (prev rank table -> next), mirroring
+    the engine's lock-step arithmetic: per-edge contribution rounded to 9dp
+    and summed in DECIMAL(20,9) (exact, order-independent), new rank one
+    IEEE multiply-add re-rounded to 9dp. The teleport term is written
+    ``(1 - 0.85) / n`` — the SAME op sequence the engine's Python driver
+    computes — because ``1.0 - 0.85 != 0.15`` in doubles."""
+    parts = []
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT s.v AS doc_id,
+             sum(CAST(round(p.pr / d.d, 9) AS DECIMAL(20,9))) AS mass
+      FROM sym s JOIN pr{i - 1} p ON s.u = p.doc_id JOIN deg d ON s.u = d.u
+      GROUP BY s.v
+    ),
+    pr{i} AS (
+      SELECT dd.doc_id,
+             round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(coalesce(c{i}.mass, 0) AS DOUBLE), 9) AS pr
+      FROM documents dd CROSS JOIN nn
+      LEFT JOIN c{i} ON c{i}.doc_id = dd.doc_id
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "graph_pagerank_dups",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    pr0 AS (
+      SELECT doc_id, CAST(1 AS DOUBLE) / nn.n AS pr
+      FROM documents CROSS JOIN nn
+    ),{_pagerank_iter_ctes(3)}
+    SELECT p.doc_id, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+           p.pr AS pagerank
+    FROM pr3 p LEFT JOIN deg ON deg.u = p.doc_id
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the Jaccard>=0.2 near-dup graph
+    (``operators.graph.pagerank``): 3 fixed iterations, damping 0.85, top
+    20 hubs — the "most representative member of a template family" signal.
+    Iterative-linear-algebra surface with a fully unrolled DuckDB oracle
+    (the same lock-step decimal contract as the k-means chains): per-edge
+    mass is round(pr/deg, 9) summed exactly in DECIMAL(20,9), so both
+    engines carry bit-identical ranks into each next iteration. Engine
+    plan: symmetric edge set + degree materialized once (single-pass
+    explode, one window shuffle), each round one equi-join + one
+    aggregation, lineage truncated per round."""
+    from .operators.graph import pagerank
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return (
+        pagerank(
+            edges, docs.select("doc_id"), node_col="doc_id",
+            n_iter=3, damping=0.85,
+        )
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_bpe_merge_pairs",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS freq FROM w
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    p AS (
+      SELECT freq,
+             unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i, 1))) AS a,
+             unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i + 1, 1))) AS b
+      FROM wf
+    ),
+    pc AS (SELECT a, b, sum(freq) AS pair_freq FROM p GROUP BY a, b)
+    SELECT a, b, a || b AS merged, CAST(pair_freq AS BIGINT) AS pair_freq
+    FROM pc
+    ORDER BY pair_freq DESC, a, b
+    LIMIT 20
+    """,
+)
+def q_pipeline_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step (``operators.lm.
+    bpe_pair_counts``): corpus-weighted adjacent-character pair counts,
+    top-20 merge candidates (count desc, pair asc). The corpus folds to
+    the word-frequency table FIRST (vocabulary-sized, not corpus-sized —
+    the fold every real BPE trainer does), pair extraction rides the tiny
+    word table as a codegen transform, and the final shuffle is bounded
+    by the symbol alphabet squared."""
+    from .operators.lm import bpe_pair_counts
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.col("pair_freq").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_preference_pairs",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC, event_id) AS rn_hi,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value ASC, event_id) AS rn_lo
+      FROM events WHERE value IS NOT NULL
+    ),
+    hi AS (
+      SELECT user_id, event_type, event_id AS chosen_id,
+             value AS chosen_value
+      FROM r WHERE rn_hi = 1
+    ),
+    lo AS (
+      SELECT user_id, event_type, event_id AS rejected_id,
+             value AS rejected_value
+      FROM r WHERE rn_lo = 1
+    )
+    SELECT h.user_id, h.event_type, h.chosen_id, l.rejected_id,
+           h.chosen_value, l.rejected_value,
+           round(h.chosen_value - l.rejected_value, 6) AS margin
+    FROM hi h JOIN lo l USING (user_id, event_type)
+    WHERE h.chosen_value > l.rejected_value
+    ORDER BY user_id, event_type
+    """,
+)
+def q_pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF-style preference-pair assembly: per (user, event_type) group,
+    chosen = highest-scored event, rejected = lowest-scored, kept only
+    when the margin is strictly positive — the (prompt, chosen, rejected)
+    construction step of a DPO/RLHF dataset, expressed over the events
+    table. Both extremes come from ONE window shuffle (same partition
+    key, two sort orders share the exchange); ties break on event_id so
+    pair identity is deterministic. NULL scores are filtered explicitly —
+    Spark orders NULLS FIRST ascending, DuckDB NULLS LAST, so unfiltered
+    NULLs would silently diverge between engines."""
+    from pyspark.sql import Window
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_type", "event_id", "value")
+    )
+    base = Window.partitionBy("user_id", "event_type")
+    w_hi = base.orderBy(F.col("value").desc(), F.col("event_id"))
+    w_lo = base.orderBy(F.col("value").asc(), F.col("event_id"))
+    r = ev.select(
+        "user_id", "event_type", "event_id", "value",
+        F.row_number().over(w_hi).alias("rn_hi"),
+        F.row_number().over(w_lo).alias("rn_lo"),
+    )
+    hi = r.filter(F.col("rn_hi") == 1).select(
+        "user_id", "event_type",
+        F.col("event_id").alias("chosen_id"),
+        F.col("value").alias("chosen_value"),
+    )
+    lo = r.filter(F.col("rn_lo") == 1).select(
+        "user_id", "event_type",
+        F.col("event_id").alias("rejected_id"),
+        F.col("value").alias("rejected_value"),
+    )
+    return (
+        hi.join(lo, ["user_id", "event_type"])
+        .filter(F.col("chosen_value") > F.col("rejected_value"))
+        .select(
+            "user_id", "event_type", "chosen_id", "rejected_id",
+            "chosen_value", "rejected_value",
+            F.round(
+                F.col("chosen_value") - F.col("rejected_value"), 6
+            ).alias("margin"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "pipeline_source_overlap",
+    r"""
+    WITH t AS (
+      SELECT source,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       FOR i IN range(1, len(toks) - 1)]) AS shingle
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS n_shingles FROM g GROUP BY source),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_overlap
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT ov.source_a, ov.source_b,
+           CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+           round(ov.n_overlap / CAST(s.n_shingles AS DOUBLE), 4) AS containment
+    FROM ov JOIN sizes s ON s.source = ov.source_a
+    ORDER BY source_a, source_b
+    """,
+)
+def q_pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed cross-source containment matrix (``operators.contamination.
+    source_overlap_matrix``): |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    for every ordered source pair — the corpus-composition diagnostic for
+    shared boilerplate between sources (and the aggregate form of split-
+    vs-split decontamination). Engine keys on xxhash64 shingle hashes
+    (8-byte longs on the wire; counts agree with the string-keyed oracle
+    modulo 64-bit collisions — the ``pipeline_decontaminate`` accepted
+    design); candidate volume is linear in the distinct (source, shingle)
+    universe because each hash fans out at most |sources|² rows."""
+    from .operators.contamination import source_overlap_matrix
+
+    docs = _table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, n=3).orderBy("source_a", "source_b")
+
+
 # ---------------------------------------------------------------------------
 
 
