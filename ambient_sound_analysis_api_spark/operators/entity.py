@@ -1,0 +1,94 @@
+"""Entity resolution: blocked fuzzy matching on string keys.
+
+The record-linkage step of a corpus/CRM hygiene pipeline: find record
+pairs whose *names* are within a small edit distance without ever
+materializing the O(n²) cross product. The candidate generator is the
+FastSS / deletion-neighborhood trick (Bocek et al., "Fast Similarity
+Search in Large Dictionaries", 2007): two strings within Levenshtein
+distance 1 necessarily share at least one member of each other's
+*deletion neighborhood* — the set containing the string itself plus
+every single-character-deletion variant:
+
+- equal strings share the string itself;
+- a substitution at position i makes ``del_i(a) == del_i(b)``;
+- an insertion/deletion means the shorter string *is* a deletion
+  variant of the longer one.
+
+So an equi-join on variant keys yields a candidate superset, and one
+codegen ``levenshtein`` verification pass makes it exact. At scale the
+join keys are ``xxhash64`` longs (8 bytes on the wire, like every other
+candidate generator in this engine — dedup.py, contamination.py), the
+explode is map-side and linear (``len+1`` variants per record), and
+block sizes are bounded by true near-match density rather than by any
+attribute's value skew — the property that makes this preferable to
+sorted-neighborhood or prefix blocking on adversarial inputs.
+
+Extension surface (the reference has no fuzzy matching); the registry's
+DuckDB oracle is the *unblocked* exact quadratic, so the correctness
+check also proves the blocking scheme has 100% recall at distance ≤ 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: Column) -> Column:
+    """array of the string plus all single-char-deletion variants.
+
+    ``transform`` over ``sequence(1, length)`` stays inside whole-stage
+    codegen — no Python, no UDF.
+    """
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            F.substring(col, i + 1, F.length(col)),
+        ),
+    )
+    return F.array_union(F.array(col), dels)
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Exact Levenshtein-≤``max_dist`` pairs via deletion-neighborhood
+    blocking (complete for ``max_dist=1``; for larger radii the variant
+    set would need to be iterated).
+
+    Returns (id_a, id_b, name_a, name_b, dist) with ``id_a < id_b``.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking is exact for max_dist=1 only")
+    base = df.select(
+        F.col(id_col).alias("rid"), F.col(name_col).alias("rname")
+    )
+    # candidate generator: explode hashed deletion variants, self-join on
+    # the 8-byte key. distinct() before the join caps per-record fan-in
+    # when several variants collide (equal strings share every variant).
+    variants = base.select(
+        "rid",
+        "rname",
+        F.explode(deletion_variants(F.col("rname"))).alias("variant"),
+    ).select("rid", "rname", F.xxhash64("variant").alias("vh"))
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.rid") < F.col("b.rid")))
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            F.col("a.rname").alias("name_a"),
+            F.col("b.rname").alias("name_b"),
+        )
+        .distinct()
+    )
+    # verification pass: codegen levenshtein makes the candidate superset
+    # exact (also discards any xxhash64 collision false-positives).
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)

@@ -129,3 +129,74 @@ def bpe_pair_counts(
         .agg(F.sum("freq").cast("long").alias("pair_freq"))
         .select("a", "b", F.concat("a", "b").alias("merged"), "pair_freq")
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 25
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks, 1990):
+    adjacent token pairs whose joint frequency beats the independence
+    assumption — the statistical phrase-mining step that seeds multi-word
+    vocabulary entries ("new york", "machine learning") for tokenizer and
+    n-gram pipelines.
+
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    stream and p(a), p(b) over the unigram stream. All counts are exact
+    integers aggregated map-side; the two corpus totals ride ONE 1-row
+    broadcast; the two unigram-count joins read the same count table.
+    ``min_count`` prunes the noisy low-frequency tail BEFORE the joins,
+    so the fan-out side of the count-table joins is the (tiny) surviving
+    collocation set, not the corpus. The ``ln`` is a single IEEE
+    evaluation of a ratio of exact integers, rounded to 6 decimals
+    (``operators.lm`` cross-engine contract).
+
+    Returns ``(a, b, n_ab, pmi)`` unranked; callers rank/limit.
+    """
+    from ..functions.text import letter_tokens
+
+    toks = df.select(letter_tokens(F.col(text_col)).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("token"))
+    ug = uni.groupBy("token").agg(F.count("*").alias("c_ug"))
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    totals = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        toks.select(
+            F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n_bi")
+        )
+    )  # 1 row × 1 row
+    ua = ug.select(F.col("token").alias("a"), F.col("c_ug").alias("c_a"))
+    ub = ug.select(F.col("token").alias("b"), F.col("c_ug").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    # The SMALL side of the count-table joins is the pruned collocation
+    # set, not the vocabulary (100M+ tokens at corpus scale — never
+    # broadcast-able); the hint rides bg so only vocab partitions that
+    # match stream, and AQE would pick the same plan unhinted.
+    return (
+        bg.hint("broadcast")
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+    )

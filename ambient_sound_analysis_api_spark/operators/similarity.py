@@ -492,3 +492,56 @@ def hard_negatives(
             F.round("_cos", 4).alias("cosine_sim"),
         )
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding column, blocked by a
+    coarse partition key (k-means cell / LSH bucket / shard label).
+
+    The kNN graph is the backbone structure of SemDeDup-style semantic
+    dedup, graph-based diversity sampling, and HNSW-ish index builds.
+    Exact all-pairs is O(n²); the standard scale recipe is exact kNN
+    *within* a coarse block (here ``block_col``, the same blocking
+    contract as ``dedup.embedding_near_pairs``) — candidates are a
+    self-equi-join on the block key, so the shuffle moves each block
+    once and no cartesian ever materializes. Scoring is the JVM
+    sequential fold (`cosine`), ranking is one window over the
+    already-block-partitioned data keyed on a fixed-point cast of the
+    4dp-rounded score (never raw doubles across engines) with neighbor-id
+    tie-break.
+
+    Returns (src_id, nbr_id, rank, cosine_sim) — k rows per source
+    vector (fewer when the block has < k+1 members).
+    """
+    from pyspark.sql import Window
+
+    a = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("src_id") != F.col("nbr_id"))
+    scored = pairs.select(
+        "src_id",
+        "nbr_id",
+        F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").cast("decimal(32,12)").desc(), F.col("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "rank", "cosine_sim")
+    )

@@ -7233,6 +7233,321 @@ def q_pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(docs, n=3).orderBy("source_a", "source_b")
 
 
+@register(
+    "pipeline_entity_resolution",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via FastSS deletion-neighborhood blocking
+    (``operators.entity.fuzzy_name_pairs``): name pairs within Levenshtein
+    distance 1, found by an equi-join on hashed single-char-deletion
+    variants + one codegen ``levenshtein`` verification — never the O(n²)
+    cross product. The oracle is the UNBLOCKED exact quadratic, so a green
+    hash also proves the blocking scheme has 100% recall at distance ≤ 1
+    (candidate volume, unlike sorted-neighborhood/prefix blocking, is
+    bounded by true near-match density, not attribute skew)."""
+    from .operators.entity import fuzzy_name_pairs
+
+    cust = _table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return fuzzy_name_pairs(cust).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH tf AS (
+      SELECT doc_id, token AS term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+      )
+      GROUP BY doc_id, token
+    )
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+           array_to_string(
+             list_transform(list_sort(list(doc_id))[1:20],
+                            x -> CAST(x AS VARCHAR)), ',') AS postings_head
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= 5
+    ORDER BY term
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (``operators.retrieval.inverted_index``): term →
+    exact document/collection frequencies + the head of the sorted posting
+    list, capped at 20 entries so row width stays bounded for stop-word
+    terms (the index row for "the" must not be a 100 MB string at corpus
+    scale). Two map-side-combined aggregations; postings sort is per-group
+    over the capped list, never a global sort."""
+    from .operators.retrieval import inverted_index
+
+    docs = _table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=5, postings_cap=20).orderBy("term")
+
+
+@register(
+    "text_bm25_topk",
+    """
+    WITH dl AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      )
+      WHERE term IN ('vector', 'hash', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(
+               round(ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                          / (dft.df + CAST(0.5 AS DOUBLE))), 6)
+               * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl.dl
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))), 6)
+               AS per_term
+      FROM tf
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+           count(*) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY CAST(CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE)
+                  AS DECIMAL(32,12)) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (``operators.retrieval.bm25_topk``, Lucene
+    variant: idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75): top-20
+    documents for the bag-of-terms query {vector, hash, merge}. The term
+    ``isin`` filter rides the explode so only query-term postings shuffle;
+    corpus stats are a 1-row broadcast. Cross-engine determinism: the idf
+    ``ln`` and each per-term score are 6dp-rounded (absorbing last-ulp
+    libm differences, the ``operators.lm`` contract), per-doc totals sum
+    in DECIMAL, and the top-k cut ranks on a fixed-point cast with doc_id
+    tie-break."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "hash", "merge"], k=20)
+
+
+@register(
+    "text_pmi_collocations",
+    """
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS token FROM t),
+    ug AS (SELECT token, count(*) AS c_ug FROM uni GROUP BY token),
+    totals AS (
+      SELECT (SELECT count(*) FROM uni) AS n_uni,
+             (SELECT sum(greatest(len(toks) - 1, 0)) FROM t) AS n_bi
+    ),
+    bg AS (
+      SELECT a, b, count(*) AS n_ab FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS a,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i + 1])) AS b
+        FROM t WHERE len(toks) >= 2
+      )
+      GROUP BY a, b
+      HAVING count(*) >= 25
+    )
+    SELECT bg.a, bg.b, CAST(bg.n_ab AS BIGINT) AS n_ab,
+           round(ln((CAST(bg.n_ab AS DOUBLE) / totals.n_bi)
+                    / ((CAST(ua.c_ug AS DOUBLE) / totals.n_uni)
+                       * (CAST(ub.c_ug AS DOUBLE) / totals.n_uni))), 6) AS pmi
+    FROM bg
+    JOIN ug ua ON bg.a = ua.token
+    JOIN ug ub ON bg.b = ub.token
+    CROSS JOIN totals
+    ORDER BY CAST(round(ln((CAST(bg.n_ab AS DOUBLE) / totals.n_bi)
+                    / ((CAST(ua.c_ug AS DOUBLE) / totals.n_uni)
+                       * (CAST(ub.c_ug AS DOUBLE) / totals.n_uni))), 6)
+                  AS DECIMAL(20,6)) DESC, bg.a, bg.b
+    LIMIT 20
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (``operators.lm.pmi_collocations``, Church &
+    Hanks 1990): top-20 adjacent-token pairs by pointwise mutual
+    information among pairs seen ≥ 25 times — the statistical phrase-
+    induction step for multi-word vocabulary entries. All counts are
+    exact integers; the single ``ln`` is 6dp-rounded; ranking is on a
+    fixed-point cast with (a, b) tie-break. The count-table joins stream
+    the vocabulary against the PRUNED collocation set (broadcast-hinted
+    small side — the vocabulary itself is never broadcast-able at corpus
+    scale)."""
+    from .operators.lm import pmi_collocations
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        pmi_collocations(docs, min_count=25)
+        .orderBy(F.col("pmi").cast("decimal(20,6)").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "emb_knn_graph",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             a.embedding AS va, b.embedding AS vb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    x AS (
+      SELECT src_id, nbr_id,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT src_id, nbr_id, unnest(va) AS ua, unnest(vb) AS ub FROM p)
+      GROUP BY src_id, nbr_id
+    ),
+    s AS (
+      SELECT src_id, nbr_id,
+             round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+      FROM x
+    ),
+    r AS (
+      SELECT src_id, nbr_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY src_id
+               ORDER BY CAST(cosine_sim AS DECIMAL(32,12)) DESC, nbr_id
+             ) AS rank
+      FROM s
+    )
+    SELECT src_id, nbr_id, rank, cosine_sim
+    FROM r WHERE rank <= 3
+    ORDER BY src_id, rank
+    """,
+)
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-nearest-neighbor graph (``operators.similarity.knn_graph``):
+    exact top-3 cosine neighbors per vector WITHIN its coarse ``label``
+    block — the backbone structure of SemDeDup-style semantic dedup and
+    graph-based diversity sampling. Candidates are a self-equi-join on
+    the block key (each block shuffles once, no cartesian); ranking is
+    one window over the already-block-partitioned stream keyed on the
+    fixed-point cast of the 4dp-rounded score with neighbor-id
+    tie-break."""
+    from .operators.similarity import knn_graph
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3).orderBy("src_id", "rank")
+
+
+@register(
+    "rec_item_cooccurrence",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    cnt AS (SELECT event_type, count(*) AS n FROM ev GROUP BY event_type),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ev),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM ev a JOIN ev b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           round((CAST(p.n_ab AS DOUBLE) * tot.n_users)
+                 / (CAST(ca.n AS DOUBLE) * cb.n), 4) AS lift,
+           round(CAST(p.n_ab AS DOUBLE) / (ca.n + cb.n - p.n_ab), 4)
+             AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON p.type_a = ca.event_type
+    JOIN cnt cb ON p.type_b = cb.event_type
+    CROSS JOIN tot
+    ORDER BY type_a, type_b
+    """,
+)
+def q_rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence statistics (the classic collaborative-
+    filtering / market-basket building block): for every event-type pair,
+    the number of users who did both, with lift and Jaccard association
+    scores. Per-user item sets come from one distinct (map-side
+    combined); the pair generator is a self-equi-join on user_id whose
+    fan-out is bounded by the per-user item-set size (≤ |item
+    vocabulary|), never a cartesian; item counts and the user total are
+    item-vocabulary-sized broadcasts. Both ratios are single IEEE
+    divisions of exact integers, 4dp-rounded."""
+    ev = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a = ev.select("user_id", F.col("event_type").alias("type_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    lift = F.round(
+        (F.col("n_ab").cast("double") * F.col("n_users"))
+        / (F.col("n_a").cast("double") * F.col("n_b")),
+        4,
+    )
+    jac = F.round(
+        F.col("n_ab").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_ab")),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b",
+            lift.alias("lift"), jac.alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
