@@ -53,3 +53,141 @@ def skew_report(
         .orderBy(F.col("n").desc(), "key")
         .limit(topk)
     )
+
+
+def drift_psi(
+    events: DataFrame,
+    split_a,
+    split_b_end,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two time periods, per group.
+
+    The standard production drift monitor (credit-scoring lineage, now the
+    default ingest-distribution check for training pipelines): bin the
+    metric into fixed-width bins over its GLOBAL range, compare the two
+    periods' bin proportions, and sum (p−q)·ln(p/q). PSI < 0.1 is stable,
+    0.1–0.25 drifting, > 0.25 actionable — per event type, this flags a
+    source whose value distribution silently shifted between periods.
+
+    Period A = [start, split), period B = [split, end) where ``split_a``
+    = (start, split) and ``split_b_end`` is the end bound. Plan shape:
+    the global min/max is a 1-row broadcast; binning is pure codegen on
+    the scan; per-(group, bin) counts are one map-side-combined
+    aggregation; the full group × bin grid comes from an ``explode`` of
+    ``sequence`` (never a cartesian join) so empty bins participate with
+    Laplace-smoothed proportions (c+1)/(n+bins) and PSI stays finite.
+    Cross-engine determinism: counts are exact integers, every
+    proportion is one double division, the ``ln`` is 6dp-rounded and the
+    bin terms sum in DECIMAL.
+
+    Returns ``(group, n_a, n_b, psi)``.
+    """
+    start, split = split_a
+    end = split_b_end
+    ev = events.filter(
+        (F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end))
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        (F.col(ts_col) < F.lit(split)).alias("in_a"),
+    )
+    rng = ev.agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "grp",
+        "in_a",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))  # constant metric
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("val") - F.col("lo"))
+                        * F.lit(float(n_bins))
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                ),
+            )
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("c_b"),
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    grid = totals.select(
+        "grp",
+        "n_a",
+        "n_b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    full = grid.join(counts, ["grp", "bin"], "left").select(
+        "grp",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+    )
+    p = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + n_bins)
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + n_bins)
+    term = F.round((p - q) * F.round(F.log(p / q), 6), 6).cast("decimal(20,6)")
+    return full.groupBy("grp").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).cast("double").alias("psi"),
+    )
+
+
+def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass numeric column profiler: per column, row count, null
+    count, exact distinct count, and min/max as doubles — the
+    data-quality card a pipeline materializes before trusting a new drop.
+
+    Plan: a SINGLE aggregation computes all per-column stats (one scan),
+    then a 1-row explode of struct literals melts it to long form — no
+    unpivot shuffle, no per-column scan. Honest cost note: N exact
+    ``count(DISTINCT)`` aggregates make Catalyst EXPAND the scan N-way
+    (N× the shuffle volume of a plain agg); that is the price of exact
+    cardinalities — the at-scale alternative is
+    ``approx_count_distinct`` (HLL++, one pass, ±2%), the same trade the
+    sketch queries (``agg_approx_sketches``) already demonstrate.
+
+    Returns ``(column_name, n_rows, n_null, n_distinct, min_v, max_v)``.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_v"),
+                F.col(f"mx_{c}").alias("max_v"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(
+        F.explode(structs).alias("p"), F.col("n_rows")
+    ).select(
+        "p.column_name",
+        "n_rows",
+        "p.n_null",
+        "p.n_distinct",
+        "p.min_v",
+        "p.max_v",
+    )

@@ -7548,6 +7548,180 @@ def q_rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_stats",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    p AS (SELECT id_a, id_b FROM jac_pairs),
+    tr AS (
+      SELECT p1.id_a AS u, p1.id_b AS v, p2.id_b AS w
+      FROM p p1
+      JOIN p p2 ON p2.id_a = p1.id_b
+      JOIN p p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    ),
+    tn AS (SELECT unnest([u, v, w]) AS node FROM tr),
+    tc AS (SELECT node, count(*) AS triangles FROM tn GROUP BY node),
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT id_a AS node FROM p UNION ALL SELECT id_b AS node FROM p)
+      GROUP BY node
+    )
+    SELECT deg.node AS doc_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round((CAST(2.0 AS DOUBLE) * coalesce(tc.triangles, 0))
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+    ORDER BY doc_id
+    """,
+)
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    Jaccard≥0.2 near-dup graph (``operators.graph.triangle_stats``) —
+    separates tight duplicate cliques (clustering → 1.0) from
+    hub-and-spoke boilerplate stars (clustering → 0). Engine plan is the
+    Suri-Vassilvitskii degree-ordered orientation: every triangle appears
+    exactly once as a wedge at its lowest-order vertex closed by one
+    semi-join, and wedge fan-out is bounded by oriented out-degree
+    (O(√m) even at hub nodes) — the shape that survives skewed dup
+    graphs at corpus scale. The oracle counts triangles by the naive
+    ordered three-way pair join, so a green hash proves the orientation
+    scheme loses/duplicates nothing."""
+    from .operators.graph import triangle_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return (
+        triangle_stats(edges)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_drift_psi",
+    """
+    WITH ev AS (
+      SELECT event_type AS grp, value AS val,
+             (ts < TIMESTAMP '2024-01-15 00:00:00') AS in_a
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00'
+    ),
+    rng AS (SELECT min(val) AS lo, max(val) AS hi FROM ev),
+    binned AS (
+      SELECT grp, in_a,
+             least(9, greatest(0,
+               CAST(floor((val - rng.lo) * CAST(10 AS DOUBLE)
+                          / (rng.hi - rng.lo)) AS BIGINT))) AS bin
+      FROM ev CROSS JOIN rng
+    ),
+    counts AS (
+      SELECT grp, bin,
+             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS c_b
+      FROM binned GROUP BY grp, bin
+    ),
+    totals AS (
+      SELECT grp, sum(c_a) AS n_a, sum(c_b) AS n_b
+      FROM counts GROUP BY grp
+    ),
+    grid AS (
+      SELECT totals.grp, totals.n_a, totals.n_b, gs.bin
+      FROM totals
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) gs
+    ),
+    filled AS (
+      SELECT g.grp, g.n_a, g.n_b,
+             coalesce(c.c_a, 0) AS c_a, coalesce(c.c_b, 0) AS c_b
+      FROM grid g LEFT JOIN counts c ON c.grp = g.grp AND c.bin = g.bin
+    )
+    SELECT grp AS event_type,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(round(
+             (CAST(c_a + 1 AS DOUBLE) / (n_a + 10)
+              - CAST(c_b + 1 AS DOUBLE) / (n_b + 10))
+             * round(ln((CAST(c_a + 1 AS DOUBLE) / (n_a + 10))
+                        / (CAST(c_b + 1 AS DOUBLE) / (n_b + 10))), 6),
+             6) AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM filled
+    GROUP BY grp
+    ORDER BY event_type
+    """,
+)
+def q_pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor
+    (``operators.diagnostics.drift_psi``): per event type, PSI of the
+    value distribution between Jan 1-15 and Jan 15-29 over 10 fixed-width
+    bins spanning the global range, with Laplace-smoothed proportions so
+    empty bins stay finite — the standard "did this source silently
+    shift?" ingest check (PSI > 0.25 = actionable). Global range is a
+    1-row broadcast, binning is pure codegen, the full group × bin grid
+    is an ``explode(sequence(...))`` (never a cartesian), bin terms are
+    6dp-rounded and summed in DECIMAL."""
+    from datetime import datetime as _dt
+
+    from .operators.diagnostics import drift_psi
+
+    ev = _events(spark, sf_dir)
+    out = drift_psi(
+        ev,
+        (_dt(2024, 1, 1), _dt(2024, 1, 15)),
+        _dt(2024, 1, 29),
+    )
+    return out.select(
+        F.col("grp").alias("event_type"), "n_a", "n_b", "psi"
+    ).orderBy("event_type")
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    arms = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"CAST(min({c}) AS DOUBLE) AS mn_{c}",
+            f"CAST(max({c}) AS DOUBLE) AS mx_{c}",
+        ]
+        arms.append(
+            f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_null,"
+            f" nd_{c} AS n_distinct, mn_{c} AS min_v, mx_{c} AS max_v FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(arms)
+        + "\n    ORDER BY column_name"
+    )
+
+
+@register("pipeline_table_profile", _profile_oracle())
+def q_pipeline_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric table profiler
+    (``operators.diagnostics.table_profile``) over the seven lineitem
+    measure/key columns: row count, nulls, EXACT distinct count, min/max
+    per column — the data-quality card materialized before trusting a
+    new data drop. A single aggregation computes every stat (one scan);
+    a 1-row struct explode melts it to long form with no unpivot
+    shuffle. The N-way Catalyst EXPAND behind N exact count-distincts is
+    the documented cost of exactness — ``approx_count_distinct`` is the
+    at-scale swap (``agg_approx_sketches`` demonstrates the sketch
+    path)."""
+    from .operators.diagnostics import table_profile
+
+    li = _table(spark, sf_dir, "lineitem")
+    return table_profile(li, _PROFILE_COLS).orderBy("column_name")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -268,6 +268,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
         "rec_item_cooccurrence",  # 1-row user-total broadcast
+        "pipeline_drift_psi",  # 1-row global-range broadcast
     }
     python_ok = {
         "mm_binary_meta",
