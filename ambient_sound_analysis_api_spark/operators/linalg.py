@@ -1,0 +1,175 @@
+"""Distributed linear algebra: one-pass covariance + power-iteration PCA.
+
+The top principal component of an embedding table is the workhorse
+diagnostic for representation collapse (one direction swallowing the
+variance), for whitening decisions, and for the "remove the dominant
+direction" post-processing step (Mu & Viswanath, 2018) common in
+embedding pipelines.
+
+Scale shape — the textbook two-phase split:
+
+- **Covariance is data-sized work**: one scan emits per-vector centered
+  dimension pairs and a d²-key aggregation (map-side partials) reduces
+  them — the shuffle moves at most ``d²`` partial sums per partition, so
+  wire cost is independent of row count. At d=64 that is a 4096-row
+  matrix; for d in the thousands you subsample rows or go randomized —
+  documented, not hidden.
+- **Iteration is model-sized work**: the d²-row covariance table is
+  broadcast; each power-iteration step is a d²×d join + d-key
+  aggregation — trivially small, and the loop is a FIXED 3 unrolled
+  steps so the whole fit has a plain chained-CTE DuckDB oracle (the
+  ``kmeans``/``pagerank`` contract: fixed iterations beat 'no oracle').
+
+Cross-engine determinism: dimension means are exact DECIMAL means;
+centered values round to 6dp and re-enter DECIMAL so covariance partial
+sums are order-independent; every iteration's matrix-vector products
+round per-term to 9dp and sum in DECIMAL(20,9) (the PageRank lock-step
+contract), and the normalization is a single sqrt/divide re-rounded to
+9dp. Both engines therefore carry bit-identical vectors into each next
+iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PCA_ITERATIONS = 3
+
+
+def _dims(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, i, x) long form; i is 1-based to match SQL subscripts."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "xr"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("xr").cast("double").alias("x"),
+    )
+
+
+def covariance_matrix(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Full covariance matrix as a long-form (i, j, c) DataFrame.
+
+    ``c(i,j) = Σ (x_i − μ_i)(x_j − μ_j) / n`` with exact-decimal
+    accumulation, 9dp-rounded.
+    """
+    dims = _dims(emb, id_col, vec_col)
+    mu = dims.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(32,12)")).cast("double")
+            / F.count("x")
+        ).alias("mu")
+    )
+    centered = dims.join(F.broadcast(mu), "i").select(
+        "vec_id",
+        "i",
+        F.round(F.col("x") - F.col("mu"), 6).cast("decimal(18,6)").alias("xc"),
+    )
+    n = emb.select(F.count("*").alias("n"))  # 1 row
+    a = centered.select("vec_id", F.col("i"), F.col("xc").alias("xa"))
+    b = centered.select(
+        "vec_id", F.col("i").alias("j"), F.col("xc").alias("xb")
+    )
+    return (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
+        )
+    )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = PCA_ITERATIONS,
+) -> DataFrame:
+    """Top principal component by ``n_iter`` unrolled power iterations.
+
+    Starts from the uniform unit vector (1/√d per dim — exact when d is
+    a power of two), applies ``v ← normalize(C·v)`` ``n_iter`` times, and
+    returns one row per dimension: ``(dim, loading, eigenvalue)`` where
+    ``eigenvalue`` is the Rayleigh quotient ``vᵀCv`` of the final vector
+    (v is unit-norm, so no denominator). The covariance table is
+    broadcast into every step: iteration cost is model-sized, never
+    data-sized.
+    """
+    # Every quantity that enters a product is snapped to DECIMAL(15,9)
+    # FIRST and multiplied exactly (DECIMAL(30,18) terms, exact sums) —
+    # never `round(product, 9)`-then-sum. The distinction is load-bearing:
+    # products of 9dp decimals are exact 18dp decimals whose 9dp rounding
+    # hits EXACT .5 ties systematically (e.g. v0 = 1/8 puts 1/8 of all
+    # c·v products on a tie), and HALF_UP vs multiply-based rounding
+    # breaks the cross-engine lock-step precisely on ties. Exact products
+    # have no rounding at all; the only double→decimal snaps left are on
+    # generic quotients/sums where a tie is measure-zero.
+    cov = F.broadcast(
+        covariance_matrix(emb, id_col, vec_col).select(
+            "i", "j", F.col("c").cast("decimal(15,9)").alias("cd")
+        )
+    )
+    spark = emb.sparkSession
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("i"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim))))
+        .cast("decimal(15,9)")
+        .alias("vd"),
+    )
+    raw = None
+    for _ in range(n_iter):
+        raw = (
+            cov.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("cd") * F.col("vd")).cast("double").alias("s")
+            )
+        )
+        nrm = raw.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("s") * F.col("s"), 12).cast("decimal(26,12)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = raw.crossJoin(F.broadcast(nrm)).select(
+            "i",
+            F.round(F.col("s") / F.col("nrm"), 9)
+            .cast("decimal(15,9)")
+            .alias("vd"),
+        )
+    # Rayleigh quotient via one more exact mat-vec: λ = v·(C·v).
+    r4 = (
+        cov.join(v.withColumnRenamed("i", "j"), "j")
+        .groupBy("i")
+        .agg(
+            F.round(F.sum(F.col("cd") * F.col("vd")).cast("double"), 9)
+            .cast("decimal(15,9)")
+            .alias("rd")
+        )
+    )
+    lam = (
+        r4.join(F.broadcast(v), "i")
+        .agg(
+            F.round(
+                F.sum(F.col("vd") * F.col("rd")).cast("double"), 6
+            ).alias("eigenvalue")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("vd").cast("double").alias("loading"),
+            "eigenvalue",
+        )
+    )

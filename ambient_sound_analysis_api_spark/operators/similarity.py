@@ -500,6 +500,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, blocked by a
     coarse partition key (k-means cell / LSH bucket / shard label).
@@ -518,9 +519,39 @@ def knn_graph(
 
     Returns (src_id, nbr_id, rank, cosine_sim) — k rows per source
     vector (fewer when the block has < k+1 members).
+
+    **Capacity bound** (``max_block_size``): pair work inside a block is
+    O(size²), so a block that grows 10× costs 100× — measured on the
+    10×-dup probe (NOTES.md: 6.2 s → 731 s). At scale the block key must
+    be CAPACITY-BOUNDED, not semantic: pass ``max_block_size`` to hash-
+    split oversized blocks into ⌈size/max⌉ sub-blocks before the
+    self-join. This restores linear cost in corpus size at fixed cap
+    (each row's pair fan-out ≤ cap) at the price of losing neighbors
+    that land in a sibling sub-block — the same recall-for-cost trade as
+    IVF's nlist choice, and the honest alternative to letting one hot
+    cell quadratically dominate a 1000-executor stage. Default ``None``
+    keeps the exact within-block semantics (the oracle-checked path).
     """
     from pyspark.sql import Window
 
+    if max_block_size is not None:
+        sizes = emb.groupBy(block_col).agg(F.count("*").alias("_bn"))
+        nsub = F.greatest(
+            F.lit(1), F.ceil(F.col("_bn") / F.lit(float(max_block_size)))
+        )
+        emb = (
+            emb.join(sizes, block_col)  # count table: AQE broadcasts it
+            .withColumn(
+                "_blk2",
+                F.concat_ws(
+                    "#",
+                    F.col(block_col).cast("string"),
+                    F.pmod(F.xxhash64(F.col(id_col)), nsub).cast("string"),
+                ),
+            )
+            .drop("_bn")
+        )
+        block_col = "_blk2"
     a = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("src_id"),

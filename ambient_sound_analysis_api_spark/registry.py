@@ -7722,6 +7722,193 @@ def q_pipeline_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(li, _PROFILE_COLS).orderBy("column_name")
 
 
+@register(
+    "ab_test_cuped",
+    """
+    WITH ev AS (
+      SELECT user_id AS uid, CAST(value AS DECIMAL(12,2)) AS val,
+             (ts < TIMESTAMP '2024-01-15 00:00:00') AS pre
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00'
+    ),
+    per_user AS (
+      SELECT uid,
+             sum(CASE WHEN pre THEN val END) AS sx,
+             count(CASE WHEN pre THEN 1 END) AS nx,
+             sum(CASE WHEN NOT pre THEN val END) AS sy,
+             count(CASE WHEN NOT pre THEN 1 END) AS ny
+      FROM ev GROUP BY uid
+    ),
+    units AS (
+      SELECT uid,
+             CAST(round(CAST(sx AS DOUBLE) / nx, 6) AS DECIMAL(12,6)) AS x,
+             CAST(round(CAST(sy AS DOUBLE) / ny, 6) AS DECIMAL(12,6)) AS y,
+             CASE WHEN substr(md5(CAST(uid AS VARCHAR)), 1, 3) < '800'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM per_user WHERE nx > 0 AND ny > 0
+    ),
+    gm AS (
+      SELECT count(*) AS n, sum(x) AS gsx, sum(y) AS gsy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM units
+    ),
+    pv AS (
+      SELECT variant, count(*) AS n_users, sum(x) AS svx, sum(y) AS svy
+      FROM units GROUP BY variant
+    )
+    SELECT pv.variant, CAST(pv.n_users AS BIGINT) AS n_users,
+           round(CAST(svy AS DOUBLE) / pv.n_users, 6) AS mean_y,
+           round(CAST(svy AS DOUBLE) / pv.n_users
+                 - (CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                              <> 0
+                         THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                              / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                                 - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    END)
+                   * (CAST(svx AS DOUBLE) / pv.n_users
+                      - CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS adj_mean_y,
+           round(CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                           <> 0
+                      THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                           / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(gsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 END, 6) AS theta
+    FROM pv CROSS JOIN gm
+    ORDER BY variant
+    """,
+)
+def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout
+    (``operators.experiments.cuped_adjusted_means``, Deng et al. WSDM'13):
+    users are deterministically md5-bucketed into variants A/B, the
+    pre-period (Jan 1-15) per-user mean is the covariate, the experiment
+    period (Jan 15-29) per-user mean is the metric, and
+    θ = cov(X,Y)/var(X) adjusts each variant's mean — the standard
+    experimentation-platform estimator. One scan builds both period sums
+    per user; global moments are a 1-row broadcast; all cross-moments
+    accumulate in exact DECIMAL over 6dp-rounded per-user means so
+    partition order cannot perturb θ."""
+    from datetime import datetime as _dt
+
+    from .operators.experiments import cuped_adjusted_means
+
+    ev = _events(spark, sf_dir)
+    return cuped_adjusted_means(
+        ev, _dt(2024, 1, 1), _dt(2024, 1, 15), _dt(2024, 1, 29)
+    ).orderBy("variant")
+
+
+def _pca_iter_ctes(n_iter: int = 3) -> str:
+    """Unrolled power-iteration CTEs (prev vector -> next), mirroring
+    ``operators.linalg.pca_top_component`` lock-step: matrix and vector
+    are snapped to DECIMAL(15,9) BEFORE multiplying, so every
+    matrix-vector term is an exact DECIMAL(30,18) product and the sums
+    are order-independent with NO per-term rounding — round-then-sum on
+    9dp×9dp products would land on exact .5 ties systematically (v0=1/8
+    puts 1/8 of all terms on one) and HALF_UP vs multiply-based rounding
+    diverges exactly there. The only double→decimal snaps are the
+    normalize quotient and the norm's squared terms, where ties are
+    measure-zero; both engines therefore carry bit-identical vectors
+    into each next iteration (the PageRank/k-means contract, tightened).
+    """
+    parts = []
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+    r{t} AS (
+      SELECT c.i, CAST(sum(c.cd * v.vd) AS DOUBLE) AS s
+      FROM covd c JOIN v{t - 1} v ON c.j = v.i
+      GROUP BY c.i
+    ),
+    n{t} AS (
+      SELECT sqrt(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(26,12)))
+                       AS DOUBLE)) AS nrm
+      FROM r{t}
+    ),
+    v{t} AS (
+      SELECT i, CAST(round(s / nrm, 9) AS DECIMAL(15,9)) AS vd
+      FROM r{t} CROSS JOIN n{t}
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_pca_top_component",
+    f"""
+    WITH edim AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT i, CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x)
+               AS mu
+      FROM edim GROUP BY i
+    ),
+    cdim AS (
+      SELECT e.vec_id, e.i,
+             CAST(round(e.x - m.mu, 6) AS DECIMAL(18,6)) AS xc
+      FROM edim e JOIN mu m USING (i)
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    cov AS (
+      SELECT a.i, b.i AS j,
+             round(CAST(sum(a.xc * b.xc) AS DOUBLE) / nn.n, 9) AS c
+      FROM cdim a JOIN cdim b ON a.vec_id = b.vec_id CROSS JOIN nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    covd AS (
+      SELECT i, j, CAST(c AS DECIMAL(15,9)) AS cd FROM cov
+    ),
+    v0 AS (
+      SELECT i, CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))
+                     AS DECIMAL(15,9)) AS vd
+      FROM range(1, 65) t(i)
+    ){_pca_iter_ctes(3)},
+    r4 AS (
+      SELECT c.i,
+             CAST(round(CAST(sum(c.cd * v.vd) AS DOUBLE), 9)
+                  AS DECIMAL(15,9)) AS rd
+      FROM covd c JOIN v3 v ON c.j = v.i
+      GROUP BY c.i
+    ),
+    lam AS (
+      SELECT round(CAST(sum(v.vd * r.rd) AS DOUBLE), 6) AS eigenvalue
+      FROM r4 r JOIN v3 v ON r.i = v.i
+    )
+    SELECT v3.i AS dim, CAST(v3.vd AS DOUBLE) AS loading, lam.eigenvalue
+    FROM v3 CROSS JOIN lam
+    ORDER BY dim
+    """,
+)
+def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table
+    (``operators.linalg.pca_top_component``): one-pass exact covariance
+    (d²-key aggregation — wire cost independent of row count) + 3
+    unrolled power iterations over the broadcast model-sized matrix,
+    returning per-dimension loadings and the Rayleigh-quotient
+    eigenvalue — the representation-collapse / dominant-direction
+    diagnostic for embedding pipelines (Mu & Viswanath 2018). The whole
+    fit has a chained-CTE DuckDB oracle (covariance → v0 → three
+    normalize(C·v) steps → vᵀCv), hash-checked like the k-means and
+    PageRank chains."""
+    from .operators.linalg import pca_top_component
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, dim=64, n_iter=3).orderBy("dim")
+
+
 # ---------------------------------------------------------------------------
 
 

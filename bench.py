@@ -75,6 +75,12 @@ HEADLINE = [
     "pipeline_block_dedup",
     "pipeline_bloom_prefilter",
     "agg_event_transitions",
+    # round-6 breadth: deletion-neighborhood blocking + levenshtein verify,
+    # degree-ordered wedge join over the near-dup graph, and the one-pass
+    # covariance + broadcast power-iteration PCA fit
+    "pipeline_entity_resolution",
+    "graph_triangle_stats",
+    "emb_pca_top_component",
 ]
 
 

@@ -124,3 +124,82 @@ def test_table_profile_single_scan_plan(spark):
     plan = buf.getvalue()
     assert plan.count("Scan ExistingRDD") <= 1
     assert "Union" not in plan
+
+
+def test_cuped_perfect_covariate_equalizes_variants(spark):
+    """When Y = 2X exactly, theta = 2 and the adjusted means of both
+    variants collapse to the same value (2·global mean of X) — the
+    variance-reduction identity that defines CUPED."""
+    from ambient_sound_analysis_api_spark.operators.experiments import (
+        cuped_adjusted_means,
+    )
+
+    rows = []
+    for uid in range(40):
+        x = float(1 + uid % 7)
+        rows.append((datetime(2024, 1, 3), uid, x))       # pre period
+        rows.append((datetime(2024, 1, 20), uid, 2 * x))  # experiment
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = cuped_adjusted_means(
+        ev, datetime(2024, 1, 1), datetime(2024, 1, 15), datetime(2024, 1, 29)
+    ).collect()
+    assert len(out) == 2
+    a, b = sorted(out, key=lambda r: r.variant)
+    assert abs(a.theta - 2.0) < 1e-6 and abs(b.theta - 2.0) < 1e-6
+    assert abs(a.adj_mean_y - b.adj_mean_y) < 1e-6
+    assert sum(r.n_users for r in out) == 40
+
+
+def test_cuped_excludes_single_period_users(spark):
+    from ambient_sound_analysis_api_spark.operators.experiments import (
+        cuped_adjusted_means,
+    )
+
+    rows = [
+        (datetime(2024, 1, 3), 1, 5.0),   # pre only -> excluded
+        (datetime(2024, 1, 20), 2, 5.0),  # post only -> excluded
+        (datetime(2024, 1, 3), 3, 5.0),
+        (datetime(2024, 1, 20), 3, 7.0),  # both -> kept
+        (datetime(2024, 1, 4), 4, 1.0),
+        (datetime(2024, 1, 21), 4, 3.0),  # both -> kept
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = cuped_adjusted_means(
+        ev, datetime(2024, 1, 1), datetime(2024, 1, 15), datetime(2024, 1, 29)
+    ).collect()
+    assert sum(r.n_users for r in out) == 2
+
+
+def test_covariance_matrix_exact_tiny(spark):
+    from ambient_sound_analysis_api_spark.operators.linalg import (
+        covariance_matrix,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.i, r.j): r.c for r in covariance_matrix(emb).collect()}
+    # mu = (1,1); centered = ±1 on both dims -> every cov cell = 1.0
+    assert out == {(1, 1): 1.0, (1, 2): 1.0, (2, 1): 1.0, (2, 2): 1.0}
+
+
+def test_pca_finds_dominant_direction(spark):
+    from ambient_sound_analysis_api_spark.operators.linalg import (
+        pca_top_component,
+    )
+
+    rows = [
+        (t, [float(t), 0.1 * t, 0.0, 0.0]) for t in range(-10, 11)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in pca_top_component(emb, dim=4).collect()}
+    # rank-1 covariance along (1, 0.1, 0, 0): loading concentrates on dim 1
+    assert abs(abs(out[1].loading) - 1 / (1.01) ** 0.5) < 1e-3
+    assert abs(out[2].loading / out[1].loading - 0.1) < 1e-3
+    assert abs(out[3].loading) < 1e-6 and abs(out[4].loading) < 1e-6
+    # unit norm
+    assert abs(sum(r.loading**2 for r in out.values()) - 1.0) < 1e-6
+    # Rayleigh quotient equals the data variance along the component
+    var_t = sum(t * t for t in range(-10, 11)) / 21
+    assert abs(out[1].eigenvalue - var_t * 1.01) < 0.05

@@ -269,6 +269,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
         "rec_item_cooccurrence",  # 1-row user-total broadcast
         "pipeline_drift_psi",  # 1-row global-range broadcast
+        "ab_test_cuped",  # 1-row global-moments broadcast
+        "emb_pca_top_component",  # 1-row n/norm/eigenvalue broadcasts
     }
     python_ok = {
         "mm_binary_meta",

@@ -183,3 +183,30 @@ def test_item_cooccurrence_exact_small_case(spark, sf_dir):
         assert 0 < r.n_ab <= min(r.n_a, r.n_b)
         expect_j = round(r.n_ab / (r.n_a + r.n_b - r.n_ab), 4)
         assert abs(r.jaccard - expect_j) < 1e-9
+
+
+def test_knn_graph_max_block_size_bounds_fanout(spark):
+    """With a capacity bound, every sub-block is <= cap so per-source
+    candidate fan-out is bounded; results stay deterministic and
+    self-free, and sources only pair within their own sub-block."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = knn_graph(emb, k=2, max_block_size=4).collect()
+    assert rows, "capped path must still produce neighbors"
+    per_src = {}
+    for r in rows:
+        assert r.src_id != r.nbr_id
+        per_src.setdefault(r.src_id, []).append(r.nbr_id)
+    # fan-out respects k
+    assert all(len(v) <= 2 for v in per_src.values())
+    # determinism: second run identical
+    rows2 = knn_graph(emb, k=2, max_block_size=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # sub-blocks partition the block: a pair in the capped graph must
+    # also be a pair of the exact graph run with unbounded k (same block)
+    exact = {
+        (r.src_id, r.nbr_id) for r in knn_graph(emb, k=11).collect()
+    }
+    assert all((r.src_id, r.nbr_id) in exact for r in rows)
