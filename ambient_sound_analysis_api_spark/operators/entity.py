@@ -47,6 +47,11 @@ def deletion_variants(col: Column) -> Column:
             F.substring(col, i + 1, F.length(col)),
         ),
     )
+    # guard: Spark's sequence(1, 0) runs DESCENDING, so an empty string
+    # would fabricate variants instead of having none.
+    dels = F.when(F.length(col) > 0, dels).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_union(F.array(col), dels)
 
 

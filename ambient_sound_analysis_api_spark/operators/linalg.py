@@ -125,7 +125,6 @@ def pca_top_component(
         .cast("decimal(15,9)")
         .alias("vd"),
     )
-    raw = None
     for _ in range(n_iter):
         raw = (
             cov.join(v.withColumnRenamed("i", "j"), "j")

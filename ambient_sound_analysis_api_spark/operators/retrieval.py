@@ -45,23 +45,32 @@ def inverted_index(docs: DataFrame, min_df: int = 5, postings_cap: int = 20) -> 
     exact over the whole corpus; the posting list is capped at
     ``postings_cap`` entries so row width stays bounded no matter how
     common the term — the index row for "the" must not be a 100 MB
-    string at 100 TB. One shuffle: the per-(doc,term) tf table is
-    map-side combined, then a single groupBy(term) builds df/cf and the
-    capped postings in the same aggregation.
+    string at 100 TB. The cap is enforced BEFORE any list materializes:
+    a ``row_number`` window ranks postings per term and only the head
+    survives into ``collect_list`` — ``slice(sort_array(collect_list))``
+    would gather a stop-word's entire billion-row posting set into one
+    aggregation buffer before discarding it. The window and both
+    aggregations hash-partition on ``term``, so Catalyst reuses one
+    exchange across them.
     """
+    from pyspark.sql import Window
+
     tf = term_frequencies(docs)
-    return (
-        tf.groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.array_join(
-                F.slice(F.sort_array(F.collect_list("doc_id")), 1, postings_cap),
-                ",",
-            ).alias("postings_head"),
-        )
-        .filter(F.col("df") >= min_df)
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        tf.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "term").filter(F.col("df") >= min_df)
 
 
 def bm25_topk(
