@@ -7909,6 +7909,182 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(emb, dim=64, n_iter=3).orderBy("dim")
 
 
+@register(
+    "streaming_interval_join",
+    f"""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL 300 SECOND
+    WHERE c.ts >= TIMESTAMP '{_WS}' AND c.ts < TIMESTAMP '{_WE}'
+      AND e.ts >= TIMESTAMP '{_WS}' AND e.ts < TIMESTAMP '{_WE}'
+    ORDER BY c.user_id, click_id, error_id
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM keyed interval join on real streaming machinery: per
+    user, every error within 5 minutes after a click — the
+    attribution/causality join of a production event feed, run as two
+    watermarked views of one ``readStream`` source joined with an
+    event-time bound (the bound is what lets Spark expire join state: a
+    click older than watermark−5min can never match again and is
+    dropped). This is the one structured-streaming join class the
+    streaming suite didn't yet cover (tumbling/sliding/session/dedup/
+    stateful/stream-STATIC exist); append output mode, as stream-stream
+    inner joins require. Oracle is the identical interval join in plain
+    batch SQL, so streaming/batch parity is hash-checked."""
+    from .streaming.windows import run_available_now
+
+    ev = _events(spark, sf_dir, WINDOW_START, WINDOW_END)
+    src = ev.select("event_id", "ts", "user_id", "event_type").filter(
+        F.col("event_type").isin("click", "error")
+    )
+
+    def interval_join(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+        errors = (
+            stream.filter(F.col("event_type") == "error")
+            .select(
+                F.col("user_id").alias("e_user"),
+                F.col("event_id").alias("error_id"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "10 minutes")
+        )
+        return clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts"))
+            & (F.col("e_ts") < F.col("c_ts") + F.expr("INTERVAL 300 SECONDS")),
+        ).select(
+            "user_id",
+            "click_id",
+            "error_id",
+            F.expr(
+                "(unix_micros(e_ts) - unix_micros(c_ts)) div 1000000"
+            ).alias("delay_s"),
+        )
+
+    return run_available_now(
+        spark, src, interval_join, output_mode="append"
+    ).orderBy("user_id", "click_id", "error_id")
+
+
+def _bpe_round_ctes(rnd: int, prev_sym: str) -> str:
+    """One unrolled BPE training round, mirroring ``operators.lm.bpe_train``
+    lock-step: dense re-index → lead pairing → weighted counts → best
+    merge (count desc, pair asc) → gaps-and-islands greedy-left apply."""
+    p = f"r{rnd}"
+    return f""",
+    {p}cur AS (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY i) AS j, s
+      FROM {prev_sym}
+    ),
+    {p}paired AS (
+      SELECT word, freq, j, s,
+             lead(s) OVER (PARTITION BY word ORDER BY j) AS s_next
+      FROM {p}cur
+    ),
+    {p}counts AS (
+      SELECT s AS a, s_next AS b, sum(freq) AS pair_freq
+      FROM {p}paired WHERE s_next IS NOT NULL GROUP BY s, s_next
+    ),
+    {p}best AS (
+      SELECT a AS ba, b AS bb, pair_freq AS bfreq
+      FROM {p}counts ORDER BY pair_freq DESC, a, b LIMIT 1
+    ),
+    {p}m AS (
+      SELECT pp.word, pp.freq, pp.j, pp.s,
+             (pp.s = b.ba AND pp.s_next = b.bb) AS is_match, b.ba, b.bb
+      FROM {p}paired pp CROSS JOIN {p}best b
+    ),
+    {p}mm AS (
+      SELECT *, CASE WHEN is_match THEN
+               row_number() OVER (PARTITION BY word, is_match ORDER BY j)
+             END AS mrn
+      FROM {p}m
+    ),
+    {p}isl AS (
+      SELECT *, CASE WHEN is_match THEN j - mrn END AS island FROM {p}mm
+    ),
+    {p}ap AS (
+      SELECT *, coalesce(is_match AND
+               (row_number() OVER (PARTITION BY word, island ORDER BY j)
+                % 2 = 1), FALSE) AS applied
+      FROM {p}isl
+    ),
+    {p}nx AS (
+      SELECT *, lag(applied) OVER (PARTITION BY word ORDER BY j)
+               AS applied_prev
+      FROM {p}ap
+    ),
+    {p}sym AS (
+      SELECT word, freq, j AS i,
+             CASE WHEN applied THEN ba || bb ELSE s END AS s
+      FROM {p}nx WHERE NOT coalesce(applied_prev, FALSE)
+    )"""
+
+
+@register(
+    "pipeline_bpe_train_rounds",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS freq FROM w
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    r0sym AS (
+      SELECT word, freq, i, substring(word, i, 1) AS s
+      FROM (
+        SELECT word, freq,
+               unnest(generate_series(1, length(word))) AS i
+        FROM wf
+      )
+    ){_bpe_round_ctes(1, "r0sym")}{_bpe_round_ctes(2, "r1sym")}{_bpe_round_ctes(3, "r2sym")}
+    SELECT round, a, b, a || b AS merged, CAST(pair_freq AS BIGINT) AS pair_freq
+    FROM (
+      SELECT 1 AS round, ba AS a, bb AS b, bfreq AS pair_freq FROM r1best
+      UNION ALL
+      SELECT 2, ba, bb, bfreq FROM r2best
+      UNION ALL
+      SELECT 3, ba, bb, bfreq FROM r3best
+    )
+    ORDER BY round
+    """,
+)
+def q_pipeline_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-round BPE trainer (``operators.lm.bpe_train``):
+    count → pick best merge (count desc, pair asc) → APPLY it greedy-left
+    to every word → repeat on the merged sequences.
+    ``pipeline_bpe_merge_pairs`` showed the statistic; this runs the
+    actual training loop, with the overlap semantics every regex-based
+    toy gets wrong done relationally (gaps-and-islands parity picks the
+    1st/3rd/... member of each consecutive-match chain, so "aaaa" +
+    (a,a) → "aa aa", never "a aa a") — and round N+1 provably counts
+    pairs over round N's MERGED symbols. Fully unrolled chained-CTE
+    oracle, hash-checked, like the k-means/PageRank/PCA fits. Scale:
+    everything rides the vocabulary-sized word-frequency table; the
+    chosen merge is a 1-row broadcast; no driver loop over words."""
+    from .operators.lm import bpe_train
+
+    docs = _table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_rounds=3).orderBy("round")
+
+
 # ---------------------------------------------------------------------------
 
 

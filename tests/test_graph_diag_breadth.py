@@ -203,3 +203,51 @@ def test_pca_finds_dominant_direction(spark):
     # Rayleigh quotient equals the data variance along the component
     var_t = sum(t * t for t in range(-10, 11)) / 21
     assert abs(out[1].eigenvalue - var_t * 1.01) < 0.05
+
+
+def _bpe(spark, texts, n_rounds=2):
+    from ambient_sound_analysis_api_spark.operators.lm import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        (r.round, r.a, r.b, r.merged, r.pair_freq)
+        for r in bpe_train(docs, n_rounds=n_rounds).orderBy("round").collect()
+    ]
+
+
+def test_bpe_train_two_rounds_builds_on_merged_symbol(spark):
+    """Round 2 must count pairs over the MERGED sequences: after (l,l)
+    wins round 1, 'hello'*N contains the pair (e, ll) — only reachable
+    if the merge was actually applied."""
+    out = _bpe(spark, ["hello"] * 10, n_rounds=2)
+    r1 = out[0]
+    # round 1: pairs he/el/ll/lo each freq 10 -> tie-break picks 'el'
+    assert r1[0] == 1 and (r1[1], r1[2]) == ("e", "l") and r1[4] == 10
+    # round 2 sequences are 'h el l o': candidate pairs (h,el), (el,l), (l,o)
+    r2 = out[1]
+    assert r2[0] == 2 and (r2[1], r2[2]) == ("el", "l")
+
+
+def test_bpe_train_greedy_left_on_runs(spark):
+    """'aaaa' with merge (a,a): naive counting sees 3 adjacent pairs, but
+    application must produce 'aa aa' (two symbols), so round 2's top pair
+    is (aa, aa) — the exact overlap semantics regex replacement gets
+    wrong."""
+    out = _bpe(spark, ["aaaa"] * 5, n_rounds=2)
+    r1, r2 = out
+    assert (r1[1], r1[2]) == ("a", "a") and r1[4] == 15  # 3 pairs x 5
+    assert (r2[1], r2[2]) == ("aa", "aa") and r2[4] == 5
+    # odd run: 'aaa' -> 'aa a', round 2 pair is (aa, a)
+    out3 = _bpe(spark, ["aaa"] * 4, n_rounds=2)
+    assert (out3[0][1], out3[0][2]) == ("a", "a") and out3[0][4] == 8
+    assert (out3[1][1], out3[1][2]) == ("aa", "a") and out3[1][4] == 4
+
+
+def test_bpe_train_frequency_weighting_and_tiebreak(spark):
+    """Pair counts weight by word frequency; exact ties break on (a, b)
+    ascending."""
+    out = _bpe(spark, ["ab ab ab", "cd cd cd"], n_rounds=1)
+    # (a,b) freq 3 ties (c,d) freq 3 -> (a,b) wins lexicographically
+    assert (out[0][1], out[0][2], out[0][4]) == ("a", "b", 3)
