@@ -8085,6 +8085,91 @@ def q_pipeline_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_rounds=3).orderBy("round")
 
 
+@register(
+    "pipeline_scd2_pit_join",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100.0, 2),
+             TIMESTAMP '2024-01-15 00:00:00',
+             CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    f AS (
+      SELECT user_id, ts FROM events
+      WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+    )
+    SELECT (d.c_custkey % 7 = 0) AS is_changed,
+           strftime(d.valid_from, '%Y-%m-%d') AS valid_from,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(d.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_acctbal
+    FROM f JOIN dim d
+      ON f.user_id = d.c_custkey
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY 1, 2
+    ORDER BY is_changed, valid_from
+    """,
+)
+def q_pipeline_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) fact enrichment against an SCD2 dimension —
+    the canonical warehouse lookup: each event joins the customer VERSION
+    valid at its event time (versions split at Jan 15 for keys %7==0, so
+    the interval predicate genuinely discriminates; every fact matches
+    exactly one version by the non-overlap invariant). Plan shape: a
+    plain equi-join on the natural key with the validity interval as a
+    post-join filter — correct AND scale-optimal for SCD2 because
+    versions-per-key is small (≤2 here), so fan-out is bounded and no
+    range-join machinery is needed; the dimension broadcasts when it
+    fits. Aggregated readout per (changed-cohort, version) with
+    decimal-exact balance means."""
+    ev = _events(spark, sf_dir, WINDOW_START, datetime(2024, 1, 29)).select(
+        "user_id", "ts"
+    )
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changed = F.col("c_custkey") % 7 == 0
+    v_old = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(datetime(2024, 1, 1)).alias("valid_from"),
+        F.when(changed, F.lit(datetime(2024, 1, 15))).alias("valid_to"),
+    )
+    v_new = cust.filter(changed).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit(datetime(2024, 1, 15)).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v_old.unionAll(v_new)
+    j = ev.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(
+            (F.col("c_custkey") % 7 == 0).alias("is_changed"),
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_acctbal"),
+        )
+        .orderBy("is_changed", "valid_from")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -251,3 +251,27 @@ def test_bpe_train_frequency_weighting_and_tiebreak(spark):
     out = _bpe(spark, ["ab ab ab", "cd cd cd"], n_rounds=1)
     # (a,b) freq 3 ties (c,d) freq 3 -> (a,b) wins lexicographically
     assert (out[0][1], out[0][2], out[0][4]) == ("a", "b", 3)
+
+
+def test_scd2_pit_join_matches_each_fact_exactly_once(spark, sf_dir):
+    """The SCD2 non-overlap invariant: summing n_events across version
+    cohorts must equal the raw fact count — no fact is duplicated across
+    versions or dropped inside the validity range."""
+    from pyspark.sql import functions as F2
+
+    from ambient_sound_analysis_api_spark.registry import (
+        WINDOW_START,
+        _events,
+        _table,
+        q_pipeline_scd2_pit_join,
+    )
+
+    out = q_pipeline_scd2_pit_join(spark, sf_dir).collect()
+    total_joined = sum(r.n_events for r in out)
+    ev = _events(spark, sf_dir, WINDOW_START, datetime(2024, 1, 29))
+    n_cust = _table(spark, sf_dir, "customer").count()
+    raw = ev.filter(F2.col("user_id") < n_cust).count()
+    assert total_joined == raw
+    # changed cohort must appear under BOTH validity versions
+    changed_versions = {r.valid_from for r in out if r.is_changed}
+    assert changed_versions == {"2024-01-01", "2024-01-15"}
