@@ -8170,6 +8170,115 @@ def q_pipeline_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_group_ols_trend",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 AS x,
+             CAST(value AS DECIMAL(12,2)) AS y
+      FROM events
+      WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+        AND isfinite(value)
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(x AS DECIMAL(20,0))) AS sx,
+             sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(20,0)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0))) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(86400 AS DOUBLE), 6) AS slope_per_day,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def q_agg_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS trend fit: per event type, the
+    least-squares slope (value-units/day) and intercept of value vs
+    event time over the 4-week window — the "is this metric drifting
+    and how fast" readout, fitted as ONE aggregation (the normal
+    equations need only n, Σx, Σy, Σxy, Σx², all map-side-combinable) —
+    a grouped model fit with zero iterations, zero joins, zero Python.
+    Cross-engine determinism: all five sums accumulate EXACTLY in
+    DECIMAL (x as seconds in DECIMAL(20,0), y in DECIMAL(12,2), exact
+    products), then slope/intercept are one fixed IEEE formula over the
+    five exact totals, 6dp-rounded — partition order cannot perturb
+    anything, and cancellation noise in the doubles is identical on
+    both engines because the inputs and op sequence are identical."""
+    from datetime import datetime as _dt
+
+    ev = _events(spark, sf_dir, WINDOW_START, _dt(2024, 1, 29)).filter(
+        is_finite(F.col("value"))
+    )
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(20,0)")
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope * F.lit(86400).cast("double"), 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@register("agg_countmin_heavy_hitters", None)
+def q_agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter estimates (``operators.cms``,
+    Cormode & Muthukrishnan 2005): a 4×512 counter grid built in ONE
+    map-side-combinable aggregation (2 KB of state regardless of corpus
+    size, cell-wise MERGEABLE across shards — the fixed-memory
+    distributed counting primitive), probed for the exact top-20 tokens.
+    No SQL oracle (xxhash64 cell placement is engine-internal); instead
+    the local gate's bounds checker asserts the two published CMS
+    guarantees against DuckDB exact counts: estimates NEVER
+    underestimate (deterministic), and overshoot stays within m·N/w
+    (m=8, P(violation) ≤ m^-d ≈ 0.02% per key — and deterministic for a
+    fixed corpus/hash family, so the gate cannot flake across runs)."""
+    from .functions.text import letter_tokens
+    from .operators.cms import cms_build, cms_estimate
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(letter_tokens(F.col("text"))).alias("token"))
+    sketch = cms_build(toks)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+        .select("token")
+    )
+    return cms_estimate(sketch, top).orderBy("token")
+
+
 # ---------------------------------------------------------------------------
 
 

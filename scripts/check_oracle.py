@@ -42,7 +42,7 @@ from ambient_sound_analysis_api_spark.oracle_compare import (  # noqa: E402
 from ambient_sound_analysis_api_spark.session import get_spark  # noqa: E402
 from ambient_sound_analysis_api_spark.sketch_bounds import (  # noqa: E402
     BOUNDS_QUERIES,
-    bounds_problems,
+    bounds_problems_for,
 )
 
 TABLES = [
@@ -107,7 +107,7 @@ def main() -> int:
                 "err": "no_oracle",
             }
             if name in BOUNDS_QUERIES:
-                probs = bounds_problems(con, scols, srows)
+                probs = bounds_problems_for(name, con, scols, srows)
                 if probs:
                     failures.append((name, "; ".join(probs)))
                     print(f"FAIL  {name}: " + "; ".join(probs))

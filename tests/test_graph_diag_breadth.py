@@ -275,3 +275,43 @@ def test_scd2_pit_join_matches_each_fact_exactly_once(spark, sf_dir):
     # changed cohort must appear under BOTH validity versions
     changed_versions = {r.valid_from for r in out if r.is_changed}
     assert changed_versions == {"2024-01-01", "2024-01-15"}
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from ambient_sound_analysis_api_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 1
+    toks = spark.createDataFrame(rows, "token string")
+    sketch = cms_build(toks)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    est = {r.token: r.est_count for r in cms_estimate(sketch, keys).collect()}
+    # 3 keys in 4x512 cells: no collisions -> exact
+    assert est == {"a": 50, "b": 30, "c": 1}
+
+
+def test_cms_mergeable_across_shards(spark):
+    """Cell-wise addition of two shard sketches equals the sketch of the
+    union — the property a distributed rollup relies on."""
+    from pyspark.sql import functions as F2
+
+    from ambient_sound_analysis_api_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    t1 = spark.createDataFrame([("x",)] * 10 + [("y",)] * 5, "token string")
+    t2 = spark.createDataFrame([("x",)] * 7 + [("z",)] * 3, "token string")
+    merged = (
+        cms_build(t1)
+        .unionAll(cms_build(t2))
+        .groupBy("seed", "cell")
+        .agg(F2.sum("c").alias("c"))
+    )
+    direct = cms_build(t1.unionAll(t2))
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], "token string")
+    e_m = {r.token: r.est_count for r in cms_estimate(merged, keys).collect()}
+    e_d = {r.token: r.est_count for r in cms_estimate(direct, keys).collect()}
+    assert e_m == e_d == {"x": 17, "y": 5, "z": 3}
