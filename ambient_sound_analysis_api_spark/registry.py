@@ -8279,6 +8279,167 @@ def q_agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top).orderBy("token")
 
 
+_EWMA_K = 12  # lookback depth; weights 2^-k are exact binary fractions
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL for the lag-chain EWMA — built from
+    the same literals as the Spark expression so both engines evaluate
+    the identical exact-arithmetic tree."""
+    nums, dens = [], []
+    for k in range(_EWMA_K):
+        w = repr(0.5**k)
+        src = "c" if k == 0 else f"lag(c, {k}) OVER w"
+        nums.append(
+            f"CASE WHEN {src} IS NOT NULL THEN {src} * {w} ELSE 0 END"
+        )
+        dens.append(f"CASE WHEN {src} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+@register(
+    "ts_ewma_hourly",
+    f"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             count(*) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c,
+           round(({_ewma_terms_sql()[0]})
+                 / ({_ewma_terms_sql()[1]}), 6) AS ewma
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ORDER BY event_type, hr
+    """,
+)
+def q_ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event volume per
+    type (α=1/2, 12-bucket lookback) — the recursive smoother every
+    monitoring stack runs, made window-expressible by truncating the
+    geometric tail (weight 2⁻¹² ≈ 0.02% — below the 6dp output
+    precision) and normalizing over the PRESENT lags so the series start
+    is unbiased. The α=1/2 choice is load-bearing for the oracle: every
+    weight 2⁻ᵏ is an exact binary fraction and hourly counts are
+    integers, so every term and both running sums are EXACT doubles —
+    no rounding contract needed anywhere before the final division.
+    One window shuffle (the 12 lags share a single frame); smoothing is
+    over observed buckets (empty hours are absent, not zero-filled —
+    documented semantics, identical on both engines)."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir, WINDOW_START, _dt(2024, 1, 29))
+    h = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_K):
+        src = F.col("c") if k == 0 else F.lag("c", k).over(w)
+        wt = F.lit(0.5**k)
+        num = num + F.when(src.isNotNull(), src * wt).otherwise(F.lit(0))
+        den = den + F.when(src.isNotNull(), wt).otherwise(F.lit(0))
+    return h.select(
+        "event_type", "hr", "c", F.round(num / den, 6).alias("ewma")
+    ).orderBy("event_type", "hr")
+
+
+@register(
+    "agg_hourly_corr_matrix",
+    f"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+      GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT hr FROM h),
+    types AS (SELECT DISTINCT event_type FROM h),
+    grid AS (SELECT hr, event_type FROM hours CROSS JOIN types),
+    filled AS (
+      SELECT g.hr, g.event_type, coalesce(h.c, 0) AS c
+      FROM grid g LEFT JOIN h ON h.hr = g.hr AND h.event_type = g.event_type
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n,
+             sum(a.c) AS sx, sum(b.c) AS sy,
+             sum(a.c * b.c) AS sxy,
+             sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+      FROM filled a JOIN filled b
+        ON a.hr = b.hr AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+    FROM p
+    ORDER BY type_a, type_b
+    """,
+)
+def q_agg_hourly_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of hourly event volumes (all
+    type pairs): do click spikes co-move with error spikes? Hourly
+    counts are zero-filled over the observed hour × type grid (a
+    1-row-broadcast nested-loop of two TINY derived frames — hours and
+    the type vocabulary), then every pair's r comes from six exact
+    integer sums in one self-equi-join on the hour — the same one-pass
+    closed-form contract as ``agg_group_ols_trend``, extended to the
+    full matrix. All sums are exact (integer counts), r is one fixed
+    IEEE formula, 6dp-rounded."""
+    from datetime import datetime as _dt
+
+    ev = _events(spark, sf_dir, WINDOW_START, _dt(2024, 1, 29))
+    h = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count("*").alias("c"))
+    hours = h.select("hr").distinct()
+    types = h.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    filled = grid.join(h, ["hr", "event_type"], "left").select(
+        "hr", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    a = filled.select(
+        "hr", F.col("event_type").alias("type_a"), F.col("c").alias("x")
+    )
+    b = filled.select(
+        "hr", F.col("event_type").alias("type_b"), F.col("c").alias("y")
+    )
+    p = (
+        a.join(b, "hr")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (n * F.col("sxy") - sx * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - sx * F.col("sx"))
+        * (n * F.col("syy") - sy * F.col("sy"))
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        F.round(corr, 6).alias("corr"),
+    ).orderBy("type_a", "type_b")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -315,3 +315,33 @@ def test_cms_mergeable_across_shards(spark):
     e_m = {r.token: r.est_count for r in cms_estimate(merged, keys).collect()}
     e_d = {r.token: r.est_count for r in cms_estimate(direct, keys).collect()}
     assert e_m == e_d == {"x": 17, "y": 5, "z": 3}
+
+
+def test_ewma_constant_series_is_identity(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import q_ts_ewma_hourly
+
+    rows = q_ts_ewma_hourly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ewma is not None
+    # first bucket of each type has no history: ewma == c exactly
+    first = {}
+    for r in rows:
+        first.setdefault(r.event_type, r)
+    for r in first.values():
+        assert r.ewma == float(r.c)
+
+
+def test_corr_matrix_bounds_and_symmetric_pairs(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.registry import (
+        q_agg_hourly_corr_matrix,
+    )
+
+    rows = q_agg_hourly_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 choose 2 event-type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+        # observed-hour grid (sparse at sf0.001: ~400 of 672 hours)
+        assert r.n_hours > 300
+        assert r.n_hours == rows[0].n_hours  # same grid for every pair

@@ -272,6 +272,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "ab_test_cuped",  # 1-row global-moments broadcast
         "emb_pca_top_component",  # 1-row n/norm/eigenvalue broadcasts
         "pipeline_bpe_train_rounds",  # 1-row best-merge broadcast per round
+        "agg_hourly_corr_matrix",  # tiny hours x type-vocabulary grid fill
     }
     python_ok = {
         "mm_binary_meta",
