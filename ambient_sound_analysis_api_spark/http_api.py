@@ -32,6 +32,7 @@ from .serving import Engine
 
 # route → response model (see models.SCHEMAS)
 ROUTE_MODELS = {
+    "/health": "health",
     "/options": "options",
     "/timeseries/broadband": "broadband_timeseries",
     "/timeseries/psd": "psd_timeseries",
@@ -169,6 +170,10 @@ def make_handler(
 
         def _dispatch(self, path: str, p: dict):
             e = engine
+            if path == "/health":
+                # liveness probe (reference app/api/health.py:9-11) — no
+                # engine work, so a wedged Spark session can't fail it
+                return {"status": "ok"}, {}
             if path == "/options":
                 return e.options(_q(p, "hydrophone")), {}
             if path == "/timeseries/broadband":

@@ -54,6 +54,9 @@ TOD_POINT = (str, float)
 _COVERAGE = {"first_start": str, "last_end": str, "file_count": int}
 
 SCHEMAS: dict[str, Any] = {
+    # GET /health — load-balancer liveness probe (reference
+    # app/models/responses.py:6-7 HealthResponse)
+    "health": {"status": str},
     # GET /options — {HYDROPHONE: {broadband: {dt: cov}, octave_bands:
     # {(df,dt): cov}, delta_hz: {(df,dt): cov}}}
     "options": MapOf(

@@ -226,7 +226,10 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    guard_max_out_degree: int | None = 4096,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge list (unique pairs, ``src < dst``).
@@ -249,6 +252,20 @@ def triangle_stats(
     Returns ``(node, degree, triangles, clustering)`` for every node with
     degree ≥ 1; ``clustering = 2·T / (deg·(deg−1))`` (0.0 for degree-1
     nodes), 6dp-rounded.
+
+    **Blowup guard** (``guard_max_out_degree``): wedge output is
+    Θ(Σ out-deg²) — exact, but on a dup-clique of size q every member
+    keeps ~q/2 oriented out-edges and the stage emits Θ(q³) wedges (the
+    measured 10×-dup probe: 77× time, output-bound). The documented
+    operating rule is "collapse exact/fingerprint duplicates first"; the
+    guard ENFORCES it: an in-plan ``assert_true`` on the oriented
+    out-degree fails the wedge stage's input fast (seconds, with an
+    actionable message) instead of letting a naive caller discover the
+    q³ wall hours into a 1000-executor stage. The check is an
+    aggregation on the same key the wedge join shuffles on, so it reuses
+    that exchange — no extra shuffle. ``None`` disables (for graphs with
+    known-legitimate hubs); the default 4096 bounds wedge fan-out per
+    node at ~16.7M rows.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.select(
@@ -263,16 +280,55 @@ def triangle_stats(
     )
     # oriented edge (s → t) with t's (degree, id) order key carried along
     # so the wedge join can order its two endpoints without re-joining deg.
-    oe = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_t"),
+    from .caching import tracked_persist
+
+    # persisted: consumed by the wedge join's two sides, the closing-edge
+    # semi-join, and the out-degree guard — without it each consumer
+    # recomputes the two degree joins from the scan
+    oe = tracked_persist(
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("deg_v"))
+            .otherwise(F.col("deg_u"))
+            .alias("deg_t"),
+        )
     )
     e1 = oe.select(
         F.col("s"),
         F.col("t").alias("t1"),
         F.col("deg_t").alias("k1"),
     )
+    if guard_max_out_degree is not None:
+        from pyspark.sql import Window
+
+        # out-degree as a count window over the wedge join's OWN partition
+        # key: the window's shuffle satisfies the join's distribution
+        # requirement, so the guard adds no extra exchange. The assertion
+        # lives in a FILTER (assert_true yields NULL on pass, so isNull()
+        # keeps every surviving row): in a projected-then-dropped column
+        # the optimizer would prune it away.
+        e1 = (
+            e1.withColumn(
+                "_od", F.count("*").over(Window.partitionBy("s"))
+            )
+            .filter(
+                F.assert_true(
+                    F.col("_od") <= F.lit(guard_max_out_degree),
+                    F.concat(
+                        F.lit("triangle_stats: oriented out-degree "),
+                        F.col("_od").cast("string"),
+                        F.lit(
+                            " exceeds guard_max_out_degree="
+                            f"{guard_max_out_degree} — collapse exact/"
+                            "fingerprint duplicates first, or raise/disable"
+                            " the guard"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_od")
+        )
     e2 = oe.select(
         F.col("s"),
         F.col("t").alias("t2"),

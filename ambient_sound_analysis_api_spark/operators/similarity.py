@@ -500,7 +500,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
-    max_block_size: int | None = None,
+    max_block_size: int | None = 1024,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, blocked by a
     coarse partition key (k-means cell / LSH bucket / shard label).
@@ -529,8 +529,15 @@ def knn_graph(
     (each row's pair fan-out ≤ cap) at the price of losing neighbors
     that land in a sibling sub-block — the same recall-for-cost trade as
     IVF's nlist choice, and the honest alternative to letting one hot
-    cell quadratically dominate a 1000-executor stage. Default ``None``
-    keeps the exact within-block semantics (the oracle-checked path).
+    cell quadratically dominate a 1000-executor stage.
+
+    The cap is ON by default (1024: ≤ ~1M pair rows per sub-block, a
+    comfortable single-task unit) because the blowup is the kind a naive
+    caller hits first on real data — the measured probe above was the
+    *default* path before this flip. Pass ``max_block_size=None`` to
+    opt out when blocks are known-bounded and exact within-block
+    semantics are required (the oracle-checked registry configuration,
+    where the hash split's ``xxhash64`` would not be SQL-portable).
     """
     from pyspark.sql import Window
 

@@ -7487,11 +7487,14 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block key (each block shuffles once, no cartesian); ranking is
     one window over the already-block-partitioned stream keyed on the
     fixed-point cast of the 4dp-rounded score with neighbor-id
-    tie-break."""
+    tie-break. Explicit ``max_block_size=None`` opt-out: the sf-scale
+    label blocks are bounded and the capacity split's hash isn't
+    SQL-portable — the operator DEFAULT is capped (probe-proven O(block²)
+    blowup otherwise)."""
     from .operators.similarity import knn_graph
 
     emb = _table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=3).orderBy("src_id", "rank")
+    return knn_graph(emb, k=3, max_block_size=None).orderBy("src_id", "rank")
 
 
 @register(

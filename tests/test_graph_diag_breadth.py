@@ -54,6 +54,28 @@ def test_triangle_k4_complete(spark):
     assert all(out[i].clustering == 1.0 for i in range(4))
 
 
+def test_triangle_out_degree_guard_trips_on_clique(spark):
+    """A clique pushes oriented out-degree to ~q/2 per member; with the
+    guard set below that, the wedge stage fails fast with an actionable
+    message instead of emitting Θ(q³) wedges."""
+    import pytest
+
+    q = 12  # members keep up to q-1 oriented out-edges
+    edges = [(a, b) for a in range(q) for b in range(a + 1, q)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(Exception, match="guard_max_out_degree"):
+        triangle_stats(e, guard_max_out_degree=4).collect()
+    # disabled guard → exact result: K12 has C(11,2) triangles per node
+    out = {
+        r.node: r
+        for r in triangle_stats(e, guard_max_out_degree=None).collect()
+    }
+    assert all(out[i].triangles == 55 for i in range(q))
+    # default guard (4096) untripped on the same graph, same answer
+    out2 = {r.node: r for r in triangle_stats(e).collect()}
+    assert all(out2[i].triangles == 55 for i in range(q))
+
+
 def _psi_events(spark, rows):
     return spark.createDataFrame(
         rows, "ts timestamp, event_type string, value double"

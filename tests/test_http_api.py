@@ -41,6 +41,12 @@ def _get(url: str):
         return json.loads(resp.read()), dict(resp.headers)
 
 
+def test_health_endpoint(api):
+    # reference app/api/health.py:9-11 — the load-balancer liveness probe
+    body, _ = _get(f"{api}/health")
+    assert body == {"status": "ok"}
+
+
 def test_options_endpoint(api):
     body, _ = _get(f"{api}/options")
     assert "CLICK" in body

@@ -207,6 +207,27 @@ def test_knn_graph_max_block_size_bounds_fanout(spark):
     # sub-blocks partition the block: a pair in the capped graph must
     # also be a pair of the exact graph run with unbounded k (same block)
     exact = {
-        (r.src_id, r.nbr_id) for r in knn_graph(emb, k=11).collect()
+        (r.src_id, r.nbr_id)
+        for r in knn_graph(emb, k=11, max_block_size=None).collect()
     }
     assert all((r.src_id, r.nbr_id) in exact for r in rows)
+
+
+def test_knn_graph_capacity_cap_is_default_on(spark):
+    """The probe-proven O(block²) blowup means the capacity bound must be
+    the DEFAULT; exact within-block semantics are the explicit opt-out."""
+    import inspect
+
+    default = inspect.signature(knn_graph).parameters["max_block_size"].default
+    assert default is not None and default >= 64
+    # a block larger than the cap gets hash-split: with cap=4 on a
+    # 12-row block, no source can pair with all 11 others
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0], 0) for i in range(12)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    capped = knn_graph(emb, k=11, max_block_size=4).collect()
+    per_src: dict = {}
+    for r in capped:
+        per_src.setdefault(r.src_id, set()).add(r.nbr_id)
+    assert max(len(v) for v in per_src.values()) < 11
