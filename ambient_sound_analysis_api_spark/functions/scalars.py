@@ -46,6 +46,21 @@ def parse_delta_f_expr(col: Column) -> Column:
     )
 
 
+def md5_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    non-negative BIGINT.
+
+    This is THE cross-engine hash family of the repo (samplers, Bloom
+    prefilter, MinHash/SimHash/LSH): the identical value is one SQL
+    expression away in any engine with md5 —
+    DuckDB ``('0x' || substr(md5(x), 1, 15))::BIGINT``. Engine-internal
+    hashes (xxhash64, murmur) are faster but unverifiable by an external
+    oracle; md5 costs ~100 ns on the short keys these operators hash and
+    keeps every hash-family operator SQL-oracle-able end to end.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def is_finite(col: Column) -> Column:
     """True where the double value is finite (not NaN/±inf).
 

@@ -159,6 +159,49 @@ def ngram_jaccard_pairs(
     )
 
 
+#: 2^61 - 1 (Mersenne prime): modulus of the portable MinHash family.
+MINHASH_MOD = (1 << 61) - 1
+
+# One family member — the classic ``a·x + c mod p`` MinHash permutation with
+# p = 2^61−1 — as SQL over the 60-bit base hash column ``h0``. Identical
+# text evaluates identically in Spark and DuckDB: pure signed-64-bit
+# arithmetic with every intermediate < 2^62 (no overflow on
+# overflow-checking engines, no wraparound on silent ones).
+#
+# The 91-bit product a·h0 is reduced with the Mersenne fold
+# x·2^61 + y ≡ x + y (mod 2^61−1):
+#   a·h0 = (a·hi)·2^30 + a·lo          (h0 = hi·2^30 + lo, both 30-bit)
+#   (a·hi)·2^30 = p1·2^61 + p0·2^30 ≡ p1 + p0·2^30
+#                                       (p = a·hi ≤ 2^60; p1 = p>>31 ≤ 2^29,
+#                                        p0 = p & (2^31−1) so p0·2^30 < 2^61)
+# A plain ``a·hi + b·lo + c`` WITHOUT the fold is NOT a usable family: the
+# sum never exceeds the modulus, so the map is order-preserving and every
+# member's argmin lands on the same "small" shingles — signatures of
+# unrelated docs collide and near-dup signatures miss (observed: 5× the
+# candidate pairs at sf0.001 AND a dropped true near-dup pair).
+_MINHASH_MEMBER_SQL = (
+    "((({a} * (h0 >> 30)) >> 31)"
+    " + ((({a} * (h0 >> 30)) & 2147483647) << 30)"
+    " + {a} * (h0 & 1073741823) + {c}) % "
+    f"{MINHASH_MOD}"
+)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic 30-bit (a, c) coefficients for the MinHash family,
+    drawn from md5 of the member index — derivable in any engine/language,
+    no RNG state. ``a`` is forced odd (a unit mod the Mersenne prime)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        digest = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(digest[:8], 16) % (1 << 30)) | 1
+        c = int(digest[16:24], 16) % (1 << 30)
+        out.append((a, c))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -168,24 +211,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: k independent hash minima over shingles.
 
-    Hash family: ``xxhash64(shingle, i)`` — JVM-side, no Python. Shingles
-    are exploded and the k minima are computed as ordinary hash-aggregate
-    ``min`` columns: fully whole-stage-codegen, map-side partial
-    aggregation, one shuffle keyed by doc id. (A per-row
+    Engine-portable hash family: each shingle is first collapsed to a
+    60-bit md5 base hash ``h0`` (``md5_hash60`` — the same
+    hash-before-shuffle trick as ``ngram_jaccard_pairs``: 8-byte longs
+    move, not strings; a collision merges two shingles with probability
+    ~|shingles|²/2⁶¹, ignored by design and REPRODUCED by the oracle,
+    which hashes the same way). Family member i is then the affine map
+
+        ``h_i = (a_i·(h0 >> 30) + b_i·(h0 & (2³⁰−1)) + c_i) mod (2⁶¹−1)``
+
+    with 30-bit constants drawn from md5 (``minhash_coeffs``). Every term
+    stays under 2⁶² so the arithmetic is exact in plain signed 64-bit —
+    no overflow, hence bit-identical in ANY engine with BIGINT (DuckDB
+    recomputes identical signatures; a per-member md5 chain was ~4.5×
+    slower for the same portability). The k minima are ordinary
+    hash-aggregate ``min`` columns: fully whole-stage-codegen, map-side
+    partial aggregation, one shuffle keyed by doc id. (A per-row
     ``transform``+``array_min`` formulation is an order of magnitude slower
     — higher-order functions run interpreted per element.) Output:
     ``(id, sig array<long> length k)``. Docs with no shingles get no row.
     """
+    from ..functions.scalars import md5_hash60
+    from ..functions.text import token_ngrams
+
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.array_distinct(token_ngram_hashes(F.col(text_col), n))
+            F.array_distinct(token_ngrams(F.col(text_col), n))
         ).alias("shingle"),
-    )
+    ).select("id", md5_hash60(F.col("shingle")).alias("h0"))
     mins = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(F.expr(_MINHASH_MEMBER_SQL.format(a=a, c=c))).alias(
+                f"h{i}"
+            )
+            for i, (a, c) in enumerate(minhash_coeffs(num_hashes))
         ]
     )
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
@@ -206,8 +266,13 @@ def minhash_lsh_pairs(
     Signatures are split into ``bands`` bands of ``num_hashes // bands``
     rows; docs sharing any full band land in the same bucket (equi-join on
     ``(band_idx, band_hash)``). Estimated Jaccard = fraction of matching
-    signature positions, filtered at ``threshold``.
+    signature positions, filtered at ``threshold`` (an exact k/num_hashes
+    binary fraction — identical as a double in any engine). Band hashes
+    use the portable md5 family over the comma-joined signature slice, so
+    the bucketing — not just the output — is oracle-reproducible.
     """
+    from ..functions.scalars import md5_hash60
+
     rows_per_band = num_hashes // bands
     # signature computation (k× array_min over hashed shingles) is the
     # expensive stage and is consumed by banding plus both sides of the
@@ -222,11 +287,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
+                        md5_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[
+                                        bi * rows_per_band + r
+                                    ].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for bi in range(bands)
@@ -269,28 +339,51 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document over whitespace tokens.
 
-    Each token contributes ±1 per bit position of ``xxhash64(token)``; the
-    sign of the per-bit sum forms the fingerprint. Entirely JVM-side: the
+    Each token contributes ±1 per bit position of its hash; the sign of
+    the per-bit sum forms the fingerprint. The token hash is the portable
+    md5 family (bits 0..59 from hex chars 1-15, bits 60..63 from chars
+    16-19), so the fingerprint — and the Hamming pairs built on it —
+    reproduces exactly in the DuckDB oracle. Entirely JVM-side: the
     per-bit votes are ``bits`` aggregate columns over the exploded tokens —
     one shuffle of map-side-combined partials (one row per doc per
     partition), never a ``bits``× row explosion (the naive per-(id, bit)
     vote explode shuffles 64× the token count; this form shuffles just the
     doc count). Near-dup docs differ in a few bits (Hamming distance).
+
+    Bit 63's weight is the signed two's-complement value −2⁶³ (a plain
+    literal added in, never ``1 << 63`` — which signed-overflow-checking
+    engines reject), so the packed BIGINT is bit-identical across engines.
     """
+    from ..functions.scalars import md5_hash60
+
+    if bits != 64:
+        raise ValueError("portable simhash is fixed at 64 bits")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     )
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
-    vote = lambda i: F.when(  # noqa: E731
-        F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1
-    ).otherwise(-1)
+    h = toks.select(
+        "id",
+        md5_hash60(F.col("tok")).alias("hlo"),
+        F.conv(F.substring(F.md5("tok"), 16, 4), 16, 10)
+        .cast("long")
+        .alias("hhi"),
+    )
+
+    def vote(i: int):
+        src = F.col("hlo") if i < 60 else F.col("hhi")
+        sh = i if i < 60 else i - 60
+        return F.when(
+            F.shiftright(src, sh).bitwiseAND(1) == 1, 1
+        ).otherwise(-1)
+
     sums = h.groupBy("id").agg(
         *[F.sum(vote(i)).alias(f"b{i}") for i in range(bits)]
     )
     fingerprint_bits = [
         F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"b{i}") > 0,
+            F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for i in range(bits)
     ]

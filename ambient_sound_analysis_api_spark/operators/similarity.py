@@ -30,6 +30,31 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def plane_projection(vec: Column, plane: Column) -> Column:
+    """Exact-decimal projection of ``vec`` onto a small-integer ``plane``
+    (weights in {-1, 0, +1}) — the SIGN decision of hyperplane LSH.
+
+    A float dot product's sign near zero depends on summation order, so a
+    bucket id computed in doubles is not a function of the data alone —
+    it can differ between engines (or between plan rewrites). Snapping
+    each component to DECIMAL(15,9) FIRST and summing exactly (the
+    repo-wide decimal contract) makes the sign — hence the bucket — a
+    pure function of the values, reproducible in any engine.
+    """
+    term = F.zip_with(
+        vec,
+        plane,
+        lambda x, w: (
+            F.round(x.cast("double"), 9).cast("decimal(15,9)")
+            * w.cast("decimal(2,0)")
+        ).cast("decimal(28,9)"),
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    return F.aggregate(
+        term, zero, lambda acc, v: (acc + v).cast("decimal(28,9)")
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -217,17 +242,19 @@ def lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (sign pattern over ``planes``).
 
-    ``planes`` must be generated deterministically by the caller (seeded);
-    the bucket is a small integer usable as a join/partition key. Cosine-near
-    vectors agree on most signs, so probing the query's bucket (plus
-    neighbors at Hamming distance 1) yields high recall at 1/2^p read cost.
+    ``planes`` must be generated deterministically by the caller (seeded,
+    small-integer weights); the bucket is a small integer usable as a
+    join/partition key. Cosine-near vectors agree on most signs, so probing
+    the query's bucket (plus neighbors at Hamming distance 1) yields high
+    recall at 1/2^p read cost. Sign decisions use the exact-decimal
+    ``plane_projection`` so the bucket is engine-reproducible.
     """
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
-        bucket = bucket + F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        bucket = bucket + F.when(
+            plane_projection(F.col(vec_col), p) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return emb.withColumn(bucket_col, bucket)
 
 
@@ -258,8 +285,10 @@ def lsh_bucket_table(
     ``(plane_id, plane)`` structs, sorted for determinism) and broadcast onto
     every embedding row — a 1-row broadcast join, no shuffle of ``emb`` and
     no row blowup. The bucket is then a JVM ``aggregate`` fold over the
-    packed planes: bit ``i`` set iff ``dot(vec, plane_i) >= 0``. Identical
-    bucket ids to ``lsh_bucket`` for the same planes (unit-tested).
+    packed planes: bit ``i`` set iff the exact-decimal projection onto
+    plane ``i`` is ≥ 0 (``plane_projection`` — engine-reproducible sign).
+    Identical bucket ids to ``lsh_bucket`` for the same planes
+    (unit-tested).
     """
     packed = planes_df.agg(
         F.sort_array(F.collect_list(F.struct("plane_id", "plane"))).alias("_planes")
@@ -272,7 +301,7 @@ def lsh_bucket_table(
         F.lit(0).cast("long"),
         lambda acc, p: acc
         + F.when(
-            dot(F.col(vec_col), p["plane"]) >= 0,
+            plane_projection(F.col(vec_col), p["plane"]) >= 0,
             F.call_function("shiftleft", F.lit(1).cast("long"), p["plane_id"]),
         ).otherwise(F.lit(0).cast("long")),
     )

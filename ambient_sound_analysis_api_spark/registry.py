@@ -41,7 +41,7 @@ from .functions.text import (
     token_count,
 )
 from .operators import aggregations as agg
-from .operators import dedup, joins, multimodal, similarity, timeseries
+from .operators import dedup, joins, multimodal, similarity, sketches, timeseries
 from .operators.planner import AUTO_INTERVAL_TARGET_POINTS, INTERVALS, expected_point_count
 from .sources.catalog import build_catalog
 
@@ -1512,21 +1512,142 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("dedup_minhash_lsh", None)
+# portable MinHash family constants shared verbatim with the oracle SQL
+_MINHASH_MOD = dedup.MINHASH_MOD
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {c})" for i, (a, c) in enumerate(dedup.minhash_coeffs(32))
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    h0 AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h0
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM g)
+    ),
+    coef(i, a, c) AS (VALUES {_MINHASH_COEF_VALUES}),
+    hi AS (
+      SELECT id, cf.i AS i,
+             min(((((cf.a * (h0 >> 30)) >> 31)
+                 + (((cf.a * (h0 >> 30)) & 2147483647) << 30)
+                 + cf.a * (h0 & 1073741823) + cf.c) % {_MINHASH_MOD})) AS h
+      FROM h0 CROSS JOIN coef cf
+      GROUP BY id, cf.i
+    ),
+    band AS (
+      SELECT id, CAST(i // 4 AS INT) AS band_idx,
+             ('0x' || substr(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15))::BIGINT AS band_hash
+      FROM hi GROUP BY id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) / 32.0 AS est_jaccard
+      FROM cand c
+      JOIN hi ha ON ha.id = c.id_a
+      JOIN hi hb ON hb.id = c.id_b AND hb.i = ha.i
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs with estimated Jaccard ≥
-    0.3. Uses xxhash64 (engine-internal hash family) — verified rows-only by
-    the driver; unit tests assert recall against the exact Jaccard op."""
+    0.3 — fully SQL-oracled: the hash family is the portable md5 window
+    (``md5_hash60``), so the oracle recomputes identical signatures, band
+    buckets, and estimates (the estimate itself is an exact k/32 binary
+    fraction). Unit tests additionally assert recall against the exact
+    Jaccard operator."""
     return dedup.minhash_lsh_pairs(
         _table(spark, sf_dir, "documents"),
         num_hashes=32, bands=8, n=3, threshold=0.3,
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash_hamming", None)
+@register(
+    "dedup_simhash_hamming",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hlo,
+             ('0x' || substr(md5(tok), 16, 4))::BIGINT AS hhi
+      FROM t
+    ),
+    v AS (
+      SELECT id, r.i AS i,
+             sum(CASE WHEN (CASE WHEN r.i < 60
+                            THEN (hlo >> CAST(r.i AS INT)) & 1
+                            ELSE (hhi >> CAST(r.i - 60 AS INT)) & 1 END) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(64) r(i)
+      GROUP BY id, r.i
+    ),
+    f AS (
+      SELECT id,
+             CAST(sum(CASE WHEN s > 0 AND i < 32
+                           THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)
+                  AS BIGINT) AS lo32,
+             CAST(sum(CASE WHEN s > 0 AND i >= 32
+                           THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)
+                  AS BIGINT) AS hi32
+      FROM v GROUP BY id
+    ),
+    band AS (
+      SELECT id, lo32, hi32, r.b AS band_idx,
+             CASE WHEN r.b < 4 THEN (lo32 >> CAST(8 * r.b AS INT)) & 255
+                  ELSE (hi32 >> CAST(8 * (r.b - 4) AS INT)) & 255
+             END AS band_val
+      FROM f CROSS JOIN range(8) r(b)
+    ),
+    p AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.lo32 AS la, a.hi32 AS hia, b.lo32 AS lb, b.hi32 AS hib
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) AS INT)
+             AS hamming
+    FROM p
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) <= 7
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 7 via pigeonhole
-    band blocking (engine-internal hash family — rows-only check)."""
+    band blocking — fully SQL-oracled: bit votes come from the portable md5
+    windows (bits 0-59 from hex chars 1-15, 60-63 from chars 16-19), so the
+    oracle recomputes identical fingerprints. The oracle carries the
+    fingerprint as two non-negative 32-bit halves (band extraction and
+    popcount on negative BIGINTs would hit engine-specific shift/division
+    semantics); the Spark side packs the signed 64-bit form the public
+    ``simhash`` op emits — the bands and Hamming distances are identical
+    by construction."""
     sim = dedup.simhash(_table(spark, sf_dir, "documents"))
     return dedup.hamming_near_pairs(sim, max_dist=7).orderBy("id_a", "id_b")
 
@@ -1932,40 +2053,127 @@ def q_session_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches", None)
+@register(
+    "agg_approx_sketches",
+    f"""
+    WITH ev AS (SELECT event_type, user_id, value FROM events),
+    hreg AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ev WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, h % 64 AS reg,
+             max(CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END) AS m
+      FROM hreg GROUP BY event_type, h % 64
+    ),
+    hll AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST(55 - m AS INT)) AS BIGINT) AS s_present,
+             count(*) AS n_regs
+      FROM regs GROUP BY event_type
+    ),
+    hll2 AS (
+      SELECT event_type,
+             {sketches.HLL_CONST!r} / CAST(s_present + (64 - n_regs) * {1 << 55} AS DOUBLE) AS e_raw,
+             CAST(64 - n_regs AS DOUBLE) AS v
+      FROM hll
+    ),
+    users AS (
+      SELECT event_type,
+             round(CASE WHEN e_raw <= 160.0 AND v > 0
+                        THEN 64.0 * round(ln(64.0 / v), 6)
+                        ELSE e_raw END, 4) AS approx_users
+      FROM hll2
+    ),
+    stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(value) AS n
+      FROM ev GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, s.lo, s.hi, s.n,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(least(127, floor((e.value - s.lo) / (s.hi - s.lo) * 128.0)) AS INT)
+             END AS bin
+      FROM ev e JOIN stats s USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    bins AS (
+      SELECT event_type, lo, hi, n, bin, count(*) AS c
+      FROM binned GROUP BY event_type, lo, hi, n, bin
+    ),
+    cums AS (
+      SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM bins
+    ),
+    edges AS (
+      SELECT *,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + (bin + 0.5) * (hi - lo) / 128.0 END AS edge
+      FROM cums
+    ),
+    quant AS (
+      SELECT event_type,
+             round(min(CASE WHEN cum >= 0.5 * n THEN edge END), 6) AS approx_p50,
+             round(min(CASE WHEN cum >= 0.99 * n THEN edge END), 6) AS approx_p99
+      FROM edges GROUP BY event_type
+    )
+    SELECT u.event_type, u.approx_users, q.approx_p50, q.approx_p99
+    FROM users u JOIN quant q USING (event_type)
+    ORDER BY u.event_type
+    """,
+)
 def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates per event_type: HyperLogLog++ distinct-user
-    estimate and approximate value percentiles — the fixed-memory,
-    merge-able one-pass forms that replace exact distinct/sort at 100 TB.
-    Estimates are engine-specific (rows-only check); accuracy vs the exact
-    answers is unit-tested.
+    """Sketch-based aggregates per event_type: distinct-user estimate and
+    value percentiles from fixed-memory, merge-able one-pass sketches — the
+    forms that replace exact distinct/sort at 100 TB.
+
+    The sketches are the EXPLICIT portable implementations
+    (``operators/sketches.py``: 64-register HyperLogLog over the md5 hash
+    family + 128-bin histogram quantiles), so the DuckDB oracle recomputes
+    the identical estimates — the registers and bins themselves are
+    oracle-checked, not just row counts. Spark's native HLL++/GK sketches
+    (``approx_count_distinct``/``percentile_approx``) remain the
+    engine-internal alternative; their accuracy is pinned by
+    ``tests/test_stateful_sessions.py::test_approx_sketches_accuracy``.
 
     Percentiles are emitted as two scalar columns (not one ``array<double>``)
     so order-insensitive canonicalizers can sort the result frame — pandas
     ``sort_values`` cannot factorize list-valued cells."""
+    from .operators import sketches as sk
+
     ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-            F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
-        )
-        .orderBy("event_type")
+    users = sk.hll_estimate(ev, "user_id", ["event_type"])
+    quants = sk.histogram_quantiles(
+        ev, "value", ["event_type"],
+        {"approx_p50": 0.5, "approx_p99": 0.99},
     )
+    return users.join(quants, "event_type").orderBy("event_type")
 
 
 def _lsh_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded, numpy-free).
+    """Deterministic sparse hyperplanes with engine-portable derivation.
 
-    A linear-congruential stream keeps the planes identical across runs and
-    processes — required for the driver's repeated rows-only checks."""
-    planes, state = [], 1234567
-    for _ in range(n_planes):
+    Achlioptas-style weights in {-1, 0, +1} (density 1/3 each of ±1),
+    drawn from ``md5("plane:<p>:<d>") mod 3`` — the repo's portable hash
+    family — so the DuckDB oracle re-derives the SAME planes from the same
+    rule in SQL (no literals shipped). Small-integer weights also make the
+    projection sign an exact-decimal computation (``plane_projection``),
+    which is what lets the bucket assignment itself be oracle-checked.
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
         row = []
-        for _ in range(dim):
-            state = (1103515245 * state + 12345) % (1 << 31)
-            row.append(state / float(1 << 31) - 0.5)
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+            m = h % 3
+            row.append(1.0 if m == 0 else (-1.0 if m == 1 else 0.0))
         planes.append(row)
     return planes
 
@@ -1994,7 +2202,8 @@ def _lsh_plane_table(spark: SparkSession) -> DataFrame:
     import uuid
 
     base = os.environ.get("SPARK_GRAFT_LSH_DIR", tempfile.gettempdir())
-    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    # v2: portable md5-derived ±1/0 planes (v1 was an LCG float family)
+    path = os.path.join(base, f"ambient_lsh_planes_v2_uid{os.getuid()}.parquet")
     success = os.path.join(path, "_SUCCESS")
     if os.path.exists(success):
         return spark.read.parquet(path)
@@ -2044,27 +2253,140 @@ def _publish_plane_table(
     return spark.read.parquet(path)
 
 
-@register("sim_lsh_hyperplane", None)
+# Shared oracle CTEs for the hyperplane-LSH pair: re-derive the md5 plane
+# weights in SQL (same rule as ``_lsh_planes``), assign every vector its
+# sign-pattern bucket via the exact-decimal projection, and score the
+# probed candidates with the emb_cosine_topk cosine pattern.
+_LSH_ORACLE_CTES = """pw AS (
+      SELECT p.p AS plane_id, d.d AS dim,
+             CASE (('0x' || substr(md5('plane:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 3)
+               WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+      FROM range(6) p(p) CROSS JOIN range(64) d(d)
+    ),
+    ex0 AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT e.vec_id, pw.plane_id, sum(e.x * CAST(pw.w AS DECIMAL(2,0))) AS s
+      FROM ex0 e JOIN pw ON pw.dim = e.dim
+      GROUP BY e.vec_id, pw.plane_id
+    ),
+    bucket AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(plane_id AS INT)) ELSE 0 END) AS BIGINT) AS b
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT b FROM bucket WHERE vec_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e
+      JOIN bucket bk ON bk.vec_id = e.vec_id
+      JOIN probes pr ON bk.b = pr.pb
+      WHERE e.vec_id <> 0
+    ),
+    cx AS (
+      SELECT c.vec_id, unnest(c.embedding) AS a,
+             generate_subscripts(c.embedding, 1) AS i
+      FROM cand c
+    ),
+    qx AS (SELECT unnest(qe) AS bb, generate_subscripts(qe, 1) AS i FROM q),
+    s AS (
+      SELECT vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(bb AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(bb AS DOUBLE) * CAST(bb AS DOUBLE)) AS nb2
+      FROM cx JOIN qx USING (i)
+      GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+    FROM s
+    ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+    LIMIT 5"""
+
+
+@register(
+    "sim_lsh_hyperplane",
+    f"""
+    WITH probes AS (
+      SELECT b AS pb FROM (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(plane_id AS INT)) ELSE 0 END) AS BIGINT) AS b
+        FROM (
+          SELECT e.vec_id, pw.plane_id, sum(e.x * CAST(pw.w AS DECIMAL(2,0))) AS s
+          FROM (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+            FROM embeddings WHERE vec_id = 0
+          ) e
+          JOIN (
+            SELECT p.p AS plane_id, d.d AS dim,
+                   CASE (('0x' || substr(md5('plane:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 3)
+                     WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+            FROM range(6) p(p) CROSS JOIN range(64) d(d)
+          ) pw ON pw.dim = e.dim
+          GROUP BY e.vec_id, pw.plane_id
+        ) GROUP BY vec_id
+      )
+    ),
+    {_LSH_ORACLE_CTES}
+    """,
+)
 def q_sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: probe only the query's sign-pattern bucket
     (~1/2^6 of the table) then exact cosine within it. The planes come from
     a persisted Parquet table (``_lsh_plane_table``) broadcast onto the
-    scan — fully data-driven bucketing, no plane literals in the plan.
-    Recall vs brute force is unit-tested; the driver check is rows-only (no
-    SQL oracle for the bucketing)."""
+    scan — fully data-driven bucketing, no plane literals in the plan —
+    and are derived from the portable md5 rule, with exact-decimal sign
+    decisions, so the ORACLE reproduces the bucketing (not just the output
+    shape). Recall vs brute force is unit-tested."""
     emb = _table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk_table(emb, 0, _lsh_plane_table(spark), k=5)
+    top = similarity.lsh_topk_table(emb, 0, _lsh_plane_table(spark), k=5)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
-@register("sim_lsh_multiprobe", None)
+@register(
+    "sim_lsh_multiprobe",
+    f"""
+    WITH qproj AS (
+      SELECT pw.plane_id, sum(e.x * CAST(pw.w AS DECIMAL(2,0))) AS s
+      FROM (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+        FROM embeddings WHERE vec_id = 0
+      ) e
+      JOIN (
+        SELECT p.p AS plane_id, d.d AS dim,
+               CASE (('0x' || substr(md5('plane:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 3)
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+        FROM range(6) p(p) CROSS JOIN range(64) d(d)
+      ) pw ON pw.dim = e.dim
+      GROUP BY pw.plane_id
+    ),
+    qb0 AS (
+      SELECT CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(plane_id AS INT)) ELSE 0 END) AS BIGINT) AS b
+      FROM qproj
+    ),
+    probes AS (
+      SELECT b AS pb FROM qb0
+      UNION ALL
+      SELECT xor(b, (1::BIGINT << CAST(r.i AS INT))) AS pb
+      FROM qb0 CROSS JOIN range(6) r(i)
+    ),
+    {_LSH_ORACLE_CTES}
+    """,
+)
 def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al. 2007): the query bucket plus its 6
     Hamming-1 neighbors — 7/64 of the table read instead of 1/64, recovering
     neighbors that fell just across one hyperplane. Recall ≥ single-probe by
-    construction (superset of candidates); rows-only driver check (no SQL
-    oracle for the hash family)."""
+    construction (superset of candidates). Fully SQL-oracled: md5-derived
+    planes + exact-decimal projections reproduce the probe set in DuckDB."""
     emb = _table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
+    top = similarity.lsh_topk_multiprobe(emb, 0, _lsh_plane_table(spark), k=5)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
 def _kmeans_ctes(

@@ -1,10 +1,11 @@
 """Error-bound checks for approximate-sketch queries against exact answers.
 
-``agg_approx_sketches`` (HyperLogLog++ distinct counts, approximate
-percentiles) cannot hash-match a DuckDB oracle — the estimates are
-engine-specific. But both sketches carry *published* error bounds, and the
-exact answers are one SQL query away; asserting the estimates land inside
-those bounds is a far stronger gate than a rows-only count:
+Engine-internal sketches (Spark's HLL++ ``approx_count_distinct``, GK
+``percentile_approx``, the count-min grid) cannot hash-match a DuckDB
+oracle — the estimates are engine-specific. But such sketches carry
+*published* error bounds, and the exact answers are one SQL query away;
+asserting the estimates land inside those bounds is a far stronger gate
+than a rows-only count:
 
 - ``approx_count_distinct(rsd=0.02)``: HLL++ standard error is the
   requested ``rsd``; we allow 5 standard deviations (±10%) plus an absolute
@@ -134,8 +135,12 @@ def _cms_problems(con, cols: list[str], rows: list[tuple]) -> list[str]:
     return problems
 
 
+# agg_approx_sketches left this table in round 7: it now runs the explicit
+# portable sketches (operators/sketches.py) and carries an exact DuckDB
+# oracle, a strictly stronger check than an error-bound envelope. The
+# ``bounds_problems`` checker above is retained for the accuracy unit test
+# of Spark's NATIVE sketch functions (tests/test_stateful_sessions.py).
 _CHECKERS = {
-    "agg_approx_sketches": bounds_problems,
     "agg_countmin_heavy_hitters": _cms_problems,
 }
 BOUNDS_QUERIES = set(_CHECKERS)

@@ -165,6 +165,13 @@ def main() -> int:
                       f"({time.time() - t0:.1f}s)")
             results[name] = entry
             continue
+        # golden-belt queries that ALSO carry a SQL oracle: --update-golden
+        # refreshes their committed fixtures (regression belt across
+        # rounds), then the normal oracle compare below still runs
+        if update_golden and name in GOLDEN_QUERIES:
+            path = record_golden(name, sf_dir, scols, srows)
+            print(f"golden-updated  {name}: {len(srows)} rows -> "
+                  f"{os.path.relpath(path, REPO)}")
         try:
             dcols, drows = fetch_duckdb(con, oracles[name])
         except Exception as e:  # noqa: BLE001

@@ -290,7 +290,7 @@ def test_plane_table_publication_race_safe(spark, tmp_path, monkeypatch):
     base = str(tmp_path / "lshbase")
     os.makedirs(base)
     monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
-    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    path = os.path.join(base, f"ambient_lsh_planes_v2_uid{os.getuid()}.parquet")
 
     # simulate a pre-rename crash artifact: dir exists, no _SUCCESS
     os.makedirs(path)
@@ -322,7 +322,7 @@ def test_plane_table_abandoned_lockfile_does_not_block(
     base = str(tmp_path / "lshstale")
     os.makedirs(base)
     monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
-    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    path = os.path.join(base, f"ambient_lsh_planes_v2_uid{os.getuid()}.parquet")
     lockfile = f"{path}.lock"
     with open(lockfile, "w") as fh:  # abandoned lock inode, arbitrarily old
         fh.write("")
@@ -348,7 +348,7 @@ def test_plane_table_flock_times_out_under_live_holder(
     base = str(tmp_path / "lshheld")
     os.makedirs(base)
     monkeypatch.setenv("SPARK_GRAFT_LSH_DIR", base)
-    path = os.path.join(base, f"ambient_lsh_planes_v1_uid{os.getuid()}.parquet")
+    path = os.path.join(base, f"ambient_lsh_planes_v2_uid{os.getuid()}.parquet")
     _lsh_plane_table(spark).count()  # publish once; lock inode now exists
 
     fd = os.open(f"{path}.lock", os.O_RDWR)
