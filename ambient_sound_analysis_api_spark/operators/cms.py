@@ -63,7 +63,10 @@ def cms_estimate(
 
     The sketch is model-sized (d·w rows) and broadcasts; the probe is a
     keys × d expansion joined on (seed, cell) — never a scan of the
-    corpus.
+    corpus. The join is LEFT with absent cells coalesced to 0: a key whose
+    hashed cell was never incremented has a true CMS estimate of 0, and an
+    inner join would silently drop it (or take the min over only its
+    non-empty cells) — wrong for any key not present in the corpus.
     """
     probes = keys.select(
         token_col,
@@ -82,7 +85,7 @@ def cms_estimate(
         ).alias("sc"),
     ).select(token_col, "sc.seed", "sc.cell")
     return (
-        probes.join(F.broadcast(sketch), ["seed", "cell"])
+        probes.join(F.broadcast(sketch), ["seed", "cell"], "left")
         .groupBy(token_col)
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )

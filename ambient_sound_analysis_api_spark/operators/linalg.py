@@ -12,8 +12,9 @@ Scale shape — the textbook two-phase split:
   dimension pairs and a d²-key aggregation (map-side partials) reduces
   them — the shuffle moves at most ``d²`` partial sums per partition, so
   wire cost is independent of row count. At d=64 that is a 4096-row
-  matrix; for d in the thousands you subsample rows or go randomized —
-  documented, not hidden.
+  matrix; for d in the thousands the per-vector d² pair expansion is the
+  bottleneck — use ``pca_top_component_datapass`` below, which never
+  materializes the matrix (O(n·d) per iteration).
 - **Iteration is model-sized work**: the d²-row covariance table is
   broadcast; each power-iteration step is a d²×d join + d-key
   aggregation — trivially small, and the loop is a FIXED 3 unrolled
@@ -171,4 +172,125 @@ def pca_top_component(
             F.col("vd").cast("double").alias("loading"),
             "eigenvalue",
         )
+    )
+
+
+def centered_dims(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, i, xc) long form with exact-decimal centering — the shared
+    input of both PCA paths. xc = round(x − μ_i, 6) as DECIMAL(14,6)."""
+    dims = _dims(emb, id_col, vec_col)
+    mu = dims.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(32,12)")).cast("double")
+            / F.count("x")
+        ).alias("mu")
+    )
+    return dims.join(F.broadcast(mu), "i").select(
+        "vec_id",
+        "i",
+        F.round(F.col("x") - F.col("mu"), 6).cast("decimal(14,6)").alias("xc"),
+    )
+
+
+def pca_top_component_datapass(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = PCA_ITERATIONS,
+) -> DataFrame:
+    """Top principal component WITHOUT materializing the covariance matrix —
+    the high-dimensional scale path ``covariance_matrix`` documents.
+
+    ``C·v = Σ_rows (x−μ)·((x−μ)·v) / n`` — so each power-iteration step is
+    ONE pass over the centered data: a per-row exact-decimal dot product
+    ``s = xc·v`` (d-key broadcast join, group by row id), then a d-key
+    aggregation of ``s·xc``. Per-iteration cost is O(n·d) rows shuffled on
+    d keys, versus the covariance path's one-off O(n·d²) pair expansion —
+    at d=4096 that is the difference between 4096 and 16.7M generated
+    rows per vector. The trade: 3 iterations = 3 data scans instead of
+    one scan + model-sized iterations, the right trade precisely when d²
+    dominates n·d (high d), which is when this path should be chosen.
+
+    Same fixed-iteration, exact-decimal lock-step contract as
+    ``pca_top_component`` (fully SQL-oracle-able); per-row dot products
+    snap to 6dp — via EXACT decimal rounding, since the uniform start
+    vector (1/8 per dim at d=64) puts first-iteration dot products on
+    systematic 6dp ties — before re-entering products so decimal
+    precision never overflows (s6: DECIMAL(16,6) × xc: DECIMAL(14,6) →
+    exact (31,12) terms, sums capped at DECIMAL(38,12)).
+
+    Returns ``(dim, loading, eigenvalue)`` like ``pca_top_component``;
+    the two paths agree to ~1e-5 (different rounding routes), which the
+    d=512 fixture test pins.
+    """
+    from .caching import tracked_persist
+
+    spark = emb.sparkSession
+    # persisted: every iteration and the Rayleigh quotient re-read it
+    centered = tracked_persist(centered_dims(emb, id_col, vec_col))
+    n = emb.count()  # scalar: row count is free metadata next to a scan
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("i"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim))))
+        .cast("decimal(15,9)")
+        .alias("vd"),
+    )
+
+    def mat_vec(vec: DataFrame) -> DataFrame:
+        """One exact C·v data pass: (i, s) with s = Σ_rows s_row·xc_i / n."""
+        # the 6dp snap is EXACT decimal rounding (round() on the exact
+        # sum, never a double round-trip): v0 = 1/8 puts first-iteration
+        # dot products on systematic 6dp ties, where double-mediated
+        # rounding diverges across engines but exact-decimal
+        # half-away-from-zero agrees (verified on both engines)
+        s_row = (
+            centered.join(F.broadcast(vec), "i")
+            .groupBy("vec_id")
+            .agg(
+                F.round(F.sum(F.col("xc") * F.col("vd")), 6)
+                .cast("decimal(16,6)")
+                .alias("s6")
+            )
+        )
+        return (
+            centered.join(s_row, "vec_id")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(F.col("s6") * F.col("xc")).cast("double")
+                    / F.lit(float(n))
+                ).alias("s")
+            )
+        )
+
+    for _ in range(n_iter):
+        raw = mat_vec(v)
+        nrm = raw.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("s") * F.col("s"), 12).cast("decimal(26,12)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = raw.crossJoin(F.broadcast(nrm)).select(
+            "i",
+            F.round(F.col("s") / F.col("nrm"), 9)
+            .cast("decimal(15,9)")
+            .alias("vd"),
+        )
+    r4 = mat_vec(v).select(
+        "i", F.round(F.col("s"), 9).cast("decimal(15,9)").alias("rd")
+    )
+    lam = r4.join(F.broadcast(v), "i").agg(
+        F.round(F.sum(F.col("vd") * F.col("rd")).cast("double"), 6).alias(
+            "eigenvalue"
+        )
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("dim"),
+        F.col("vd").cast("double").alias("loading"),
+        "eigenvalue",
     )

@@ -228,10 +228,16 @@ def bpe_train(
     Scale shape: everything runs on the word-FREQUENCY table (vocabulary-
     sized, the fold every real trainer does), as a per-round pipeline of
     three ``word``-partitioned windows (sequence re-index, pair lead,
-    island parity) + one vocabulary-sized aggregation; the chosen merge
-    is a 1-row broadcast into the apply step — never a driver-side loop
-    over words. Each round's state is (word, freq, position, symbol) —
-    rows only ever shrink as merges apply.
+    island parity) + one vocabulary-sized aggregation. The chosen merge is
+    COLLECTED per round (one row — the merge table IS model state, the
+    same model-sized-collect contract as the k-means centroids) and
+    applied as plan literals, and the symbol table is ``localCheckpoint``ed
+    each round — the repo's iterative-operator convention (``graph.py``,
+    ``clustering.py``). Without the checkpoint, round N's lineage re-ran
+    rounds 1..N−1's window chains once per downstream branch (~2×
+    redundant work at 3 rounds, growing quadratically with rounds). Each
+    round's state is (word, freq, position, symbol) — rows only ever
+    shrink as merges apply.
     """
     from pyspark.sql import Window
 
@@ -273,39 +279,33 @@ def bpe_train(
             .groupBy("s", "s_next")
             .agg(F.sum("freq").alias("pair_freq"))
         )
-        best = (
+        best_rows = (
             counts.orderBy(
                 F.col("pair_freq").desc(), F.col("s"), F.col("s_next")
             )
             .limit(1)
-            .select(
-                F.col("s").alias("ba"),
-                F.col("s_next").alias("bb"),
-                F.col("pair_freq").alias("bfreq"),
-            )
+            .collect()  # 1 row: the round's merge — model state
         )
-        merges.append(
-            best.select(
-                F.lit(rnd).alias("round"),
-                F.col("ba").alias("a"),
-                F.col("bb").alias("b"),
-                F.concat("ba", "bb").alias("merged"),
-                F.col("bfreq").alias("pair_freq"),
-            )
+        if not best_rows:
+            break  # no adjacent pairs left to merge
+        ba, bb, bfreq = (
+            best_rows[0]["s"],
+            best_rows[0]["s_next"],
+            best_rows[0]["pair_freq"],
         )
+        merges.append((rnd, ba, bb, ba + bb, bfreq))
         # greedy-left application: islands of consecutive match positions,
         # odd members apply, their successors are consumed.
-        m = paired.crossJoin(F.broadcast(best)).select(
+        m = paired.select(
             "word",
             "freq",
             "j",
             "s",
             (
-                (F.col("s") == F.col("ba"))
-                & (F.col("s_next") == F.col("bb"))
+                (F.col("s") == F.lit(ba)) & (F.col("s_next") == F.lit(bb))
             ).alias("is_match"),
-            F.col("ba"),
-            F.col("bb"),
+            F.lit(ba).alias("ba"),
+            F.lit(bb).alias("bb"),
         )
         w_match = Window.partitionBy("word").orderBy("j")
         mm = m.withColumn(
@@ -340,6 +340,9 @@ def bpe_train(
             "applied_prev",
             F.lag("applied").over(w_match),
         ).filter(~F.coalesce(F.col("applied_prev"), F.lit(False)))
+        # localCheckpoint: truncate the per-round window-chain lineage
+        # (repo iterative-operator convention) so round N never re-executes
+        # rounds 1..N-1
         sym = nxt.select(
             "word",
             "freq",
@@ -349,8 +352,7 @@ def bpe_train(
             )
             .otherwise(F.col("s"))
             .alias("s"),
-        )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionAll(mdf)
-    return out
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "round int, a string, b string, merged string, pair_freq bigint"
+    )

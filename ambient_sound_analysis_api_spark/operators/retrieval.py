@@ -52,16 +52,23 @@ def inverted_index(docs: DataFrame, min_df: int = 5, postings_cap: int = 20) -> 
     aggregation buffer before discarding it. The window and both
     aggregations hash-partition on ``term``, so Catalyst reuses one
     exchange across them.
+
+    The ``min_df`` filter is applied to the STATS side first and
+    semi-joined into the window input, so sub-threshold terms — typically
+    the overwhelming majority of the vocabulary (typos, hashes, ids) —
+    never pay for ranking or list assembly; only their cheap stats row is
+    computed and discarded.
     """
     from pyspark.sql import Window
 
     tf = term_frequencies(docs)
     stats = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
+    ).filter(F.col("df") >= min_df)
     w = Window.partitionBy("term").orderBy("doc_id")
     heads = (
-        tf.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        tf.join(stats.select("term"), "term", "left_semi")
+        .select("term", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= postings_cap)
         .groupBy("term")
         .agg(
@@ -70,7 +77,7 @@ def inverted_index(docs: DataFrame, min_df: int = 5, postings_cap: int = 20) -> 
             ).alias("postings_head")
         )
     )
-    return stats.join(heads, "term").filter(F.col("df") >= min_df)
+    return stats.join(heads, "term")
 
 
 def bm25_topk(

@@ -51,19 +51,17 @@ _RHO_SCALE = 55
 HLL_CONST = HLL_ALPHA * HLL_M * HLL_M * float(1 << _RHO_SCALE)
 
 
-def hll_estimate(
+def hll_registers(
     df: DataFrame, key: Column | str, group_cols: list[str]
 ) -> DataFrame:
-    """Portable HyperLogLog distinct-count estimate per group.
+    """Portable HLL register table per group: ``group_cols + (reg, m)``.
 
     Register index = low 6 bits of ``md5_hash60(key)``; rho = position of
     the first set bit in the remaining 54 (via ``length(bin(w))`` — string
-    length of the minimal binary form, identical in Spark and DuckDB).
-    The harmonic sum is kept as the exact integer Σ 2^(55−M_j) so the only
-    float operations are the final division and the small-range
-    ``64·ln(64/V)`` linear-counting branch (Flajolet et al. 2007, §4).
-
-    Returns ``group_cols + [approx_users]`` (estimate rounded to 4dp).
+    length of the minimal binary form, identical in Spark and DuckDB);
+    ``m`` = max rho per register. This IS the sketch state: ≤64 integer
+    rows per group, mergeable across any partitioning of the data by a
+    further ``max`` — the property the rollup operators build on.
     """
     key_col = F.col(key) if isinstance(key, str) else key
     h = md5_hash60(key_col.cast("string"))
@@ -71,12 +69,22 @@ def hll_estimate(
     rho = F.when(w == 0, F.lit(_RHO_SCALE)).otherwise(
         F.lit(_RHO_SCALE) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.filter(key_col.isNotNull())
         .select(*group_cols, (h % HLL_M).alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], out_col: str = "approx_users"
+) -> DataFrame:
+    """Distinct-count estimate from a register table (Flajolet et al. 2007):
+    the harmonic sum is kept as the exact integer Σ 2^(55−M_j) so the only
+    float operations are the final division and the small-range
+    ``64·ln(64/V)`` linear-counting branch (ln 6dp-rounded per the repo
+    contract). Registers absent from the table count as empty."""
     hll = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_SCALE} - m)")
@@ -94,7 +102,21 @@ def hll_estimate(
     )
     return hll.select(
         *group_cols,
-        F.round(F.when(small, lc).otherwise(e_raw), 4).alias("approx_users"),
+        F.round(F.when(small, lc).otherwise(e_raw), 4).alias(out_col),
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key: Column | str, group_cols: list[str]
+) -> DataFrame:
+    """Portable HyperLogLog distinct-count estimate per group
+    (build + estimate in one go; see ``hll_registers`` /
+    ``hll_estimate_from_registers``).
+
+    Returns ``group_cols + [approx_users]`` (estimate rounded to 4dp).
+    """
+    return hll_estimate_from_registers(
+        hll_registers(df, key, group_cols), group_cols
     )
 
 

@@ -314,6 +314,23 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert est == {"a": 50, "b": 30, "c": 1}
 
 
+def test_cms_absent_key_estimates_zero(spark):
+    """A key never inserted must estimate 0 (its cells are empty), not be
+    dropped or min'd over only-colliding cells — the CMS point-estimate
+    contract for out-of-corpus probes."""
+    from ambient_sound_analysis_api_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = spark.createDataFrame([("a",)] * 5, "token string")
+    sketch = cms_build(toks)
+    keys = spark.createDataFrame([("a",), ("zzz_absent",)], "token string")
+    est = {r.token: r.est_count for r in cms_estimate(sketch, keys).collect()}
+    assert est["a"] == 5
+    assert est["zzz_absent"] == 0
+
+
 def test_cms_mergeable_across_shards(spark):
     """Cell-wise addition of two shard sketches equals the sketch of the
     union — the property a distributed rollup relies on."""

@@ -271,7 +271,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "pipeline_drift_psi",  # 1-row global-range broadcast
         "ab_test_cuped",  # 1-row global-moments broadcast
         "emb_pca_top_component",  # 1-row n/norm/eigenvalue broadcasts
-        "pipeline_bpe_train_rounds",  # 1-row best-merge broadcast per round
+        "emb_pca_datapass",  # same 1-row norm/eigenvalue broadcasts
         "agg_hourly_corr_matrix",  # tiny hours x type-vocabulary grid fill
     }
     python_ok = {

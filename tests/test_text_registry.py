@@ -147,8 +147,9 @@ def test_registry_contract():
     oracles = registry.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # engine-internal hash ops are intentionally rows-only
-    assert "dedup_minhash_lsh" in qs and "dedup_minhash_lsh" not in oracles
+    # since round 7 the hash-family ops run on the portable md5 family and
+    # carry exact SQL oracles like everything else in the driver window
+    assert "dedup_minhash_lsh" in qs and "dedup_minhash_lsh" in oracles
 
 
 def test_mean_token_length(spark):
