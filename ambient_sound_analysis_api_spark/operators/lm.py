@@ -207,7 +207,8 @@ def bpe_train(
     n_rounds: int = 3,
     text_col: str = "text",
     min_word_len: int = 2,
-) -> DataFrame:
+    return_symbols: bool = False,
+):
     """Exact multi-round BPE training (Sennrich et al. 2016): run
     ``n_rounds`` full merge iterations — count adjacent symbol pairs,
     pick the most frequent (count desc, pair asc tie-break), APPLY the
@@ -353,6 +354,12 @@ def bpe_train(
             .otherwise(F.col("s"))
             .alias("s"),
         ).localCheckpoint()
-    return df.sparkSession.createDataFrame(
+    out = df.sparkSession.createDataFrame(
         merges, "round int, a string, b string, merged string, pair_freq bigint"
     )
+    if return_symbols:
+        # the ENCODED corpus state: (word, freq, i, s) after every trained
+        # merge has been applied greedy-left — what a tokenizer-apply pass
+        # over the same corpus would produce (word-frequency-level)
+        return out, sym
+    return out

@@ -8455,6 +8455,57 @@ def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    clusters AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 3) < 'ccc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 3) < 'e65'
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM clusters
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test split: the 80/10/10 hash split keyed
+    on the near-dup CLUSTER id instead of the document id, so a document
+    and its near-duplicates always land in the same split — keying on
+    doc_id lets a training doc's near-copy leak into the eval split, the
+    classic way benchmark numbers silently inflate. Composition of two
+    oracle-proven pieces: connected components over the Jaccard≥0.2 graph
+    (``dedup_clusters``) and the deterministic md5-bucket split
+    (``pipeline_train_test_split``); the split stays a pure function of
+    the data. The co-split invariant is unit-pinned; the oracle replays
+    the same transitive closure + hex-cut split in SQL."""
+    from .operators.graph import connected_components
+    from .operators.sampling import hash_split
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = connected_components(
+        edges, docs.select("doc_id"), node_col="doc_id"
+    )
+    return hash_split(clusters, F.col("cluster_id"), train=0.8, valid=0.1).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "streaming_interval_join",
     f"""
     SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
@@ -8628,6 +8679,56 @@ def q_pipeline_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     return bpe_train(docs, n_rounds=3).orderBy("round")
+
+
+@register(
+    "text_bpe_encode_pieces",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS freq FROM w
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    r0sym AS (
+      SELECT word, freq, i, substring(word, i, 1) AS s
+      FROM (
+        SELECT word, freq,
+               unnest(generate_series(1, length(word))) AS i
+        FROM wf
+      )
+    ){_bpe_round_ctes(1, "r0sym")}{_bpe_round_ctes(2, "r1sym")}{_bpe_round_ctes(3, "r2sym")}
+    SELECT s AS piece, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM r3sym
+    GROUP BY s
+    ORDER BY n_occurrences DESC, piece
+    LIMIT 15
+    """,
+)
+def q_text_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: the piece-frequency table
+    after encoding the corpus with the 3 trained BPE merges — i.e. the
+    trainer's apply step run to completion, reported as the top-15 pieces
+    by corpus occurrence (count desc, piece asc tie-break). Post-merge
+    multi-character pieces surfacing here is the observable proof the
+    greedy-left apply actually rewrote the symbol stream (a count-only
+    trainer can't show that). Same scale shape as training: everything
+    rides the vocabulary-sized word-frequency table; the encoded corpus
+    occurrence count is Σ word_freq per piece, never a corpus rescan.
+    Oracle = the trainer's unrolled CTE chain aggregated over the final
+    symbol table."""
+    from .operators.lm import bpe_train
+
+    docs = _table(spark, sf_dir, "documents")
+    _, sym = bpe_train(docs, n_rounds=3, return_symbols=True)
+    return (
+        sym.groupBy(F.col("s").alias("piece"))
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("piece"))
+        .limit(15)
+    )
 
 
 @register(

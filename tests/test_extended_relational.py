@@ -179,3 +179,27 @@ def test_connected_components_chain_and_singleton(spark):
     out = {r["id"]: r["cluster_id"]
            for r in connected_components(edges, nodes, node_col="id").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_leakage_safe_split_co_splits_near_dups(spark, sf_dir):
+    """The leakage guarantee itself: every member of a near-dup cluster
+    carries the same split label, and near-dup PAIRS never straddle
+    splits (keying the hash split on doc_id instead would violate this
+    for any multi-doc cluster spanning a bucket boundary)."""
+    from ambient_sound_analysis_api_spark.registry import (
+        q_pipeline_leakage_safe_split,
+    )
+
+    rows = q_pipeline_leakage_safe_split(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # multi-doc clusters exist at this sf, so the invariant is non-vacuous
+    sizes: dict = {}
+    for r in rows:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert max(sizes.values()) >= 2
+    # all three splits are populated
+    assert {r["split"] for r in rows} == {"train", "valid", "test"}
