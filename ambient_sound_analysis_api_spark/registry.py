@@ -8458,10 +8458,18 @@ def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_leakage_safe_split",
     f"""
     WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    dr AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents
+    ),
     sym AS (
       SELECT id_a AS u, id_b AS v FROM jac_pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM jac_pairs
+      UNION
+      SELECT doc_id AS u, rep AS v FROM dr WHERE doc_id <> rep
+      UNION
+      SELECT rep AS u, doc_id AS v FROM dr WHERE doc_id <> rep
     ),
     reach(a, b) AS (
       SELECT doc_id, doc_id FROM documents
@@ -8484,21 +8492,55 @@ def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/valid/test split: the 80/10/10 hash split keyed
     on the near-dup CLUSTER id instead of the document id, so a document
-    and its near-duplicates always land in the same split — keying on
+    and its (near-)duplicates always land in the same split — keying on
     doc_id lets a training doc's near-copy leak into the eval split, the
-    classic way benchmark numbers silently inflate. Composition of two
-    oracle-proven pieces: connected components over the Jaccard≥0.2 graph
-    (``dedup_clusters``) and the deterministic md5-bucket split
-    (``pipeline_train_test_split``); the split stays a pure function of
-    the data. The co-split invariant is unit-pinned; the oracle replays
-    the same transitive closure + hex-cut split in SQL."""
+    classic way benchmark numbers silently inflate.
+
+    The "dedup first" operating rule is ENCODED, not just documented:
+    exact duplicates collapse to their min-id representative BEFORE the
+    Jaccard shingle join (each copy links to its representative by an
+    exact-dup edge), so a doc with K exact copies contributes its shingle
+    set once instead of K times. Without the collapse, the 10×-dup scale
+    probe blew the candidate stage up 79× (every copy-pair meets on every
+    shared shingle — the known O(dup²) clique quadratic); with it the
+    probe is ~linear. Exact copies share identical shingle sets, so
+    connectivity — hence cluster ids and splits — is unchanged for any
+    doc long enough to carry shingles, and short exact copies (no
+    shingles) now correctly co-split with their representative too.
+
+    Composition of oracle-proven pieces: exact dedup (``dedup_exact``),
+    connected components over the Jaccard≥0.2 graph (``dedup_clusters``),
+    and the deterministic md5-bucket split
+    (``pipeline_train_test_split``). The co-split invariant is
+    unit-pinned; the oracle replays the closure over the
+    near-dup ∪ exact-dup edge set in SQL."""
+    from pyspark.sql import Window
+
     from .operators.graph import connected_components
     from .operators.sampling import hash_split
 
     docs = _table(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    doc_rep = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5("text")))
+        .alias("rep_id"),
+    )
+    uniq = docs.join(
+        doc_rep.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    nd_edges = dedup.ngram_jaccard_pairs(uniq, n=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    exact_edges = doc_rep.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("rep_id").alias("id_b")
+    )
     clusters = connected_components(
-        edges, docs.select("doc_id"), node_col="doc_id"
+        nd_edges.unionAll(exact_edges),
+        docs.select("doc_id"),
+        node_col="doc_id",
     )
     return hash_split(clusters, F.col("cluster_id"), train=0.8, valid=0.1).orderBy(
         "doc_id"
