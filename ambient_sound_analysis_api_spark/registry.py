@@ -8548,6 +8548,92 @@ def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_hll_rollup",
+    """
+    WITH ev AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ev
+    ),
+    regs AS (
+      SELECT event_type, day, h % 64 AS reg,
+             max(CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END) AS m
+      FROM h GROUP BY event_type, day, h % 64
+    ),
+    hll AS (
+      SELECT event_type, day,
+             CAST(sum(1::BIGINT << CAST(55 - m AS INT)) AS BIGINT) AS sp,
+             count(*) AS n_regs
+      FROM regs GROUP BY event_type, day
+    ),
+    est AS (
+      SELECT event_type, day,
+             {const!r} / CAST(sp + (64 - n_regs) * {scale} AS DOUBLE) AS e_raw,
+             CAST(64 - n_regs AS DOUBLE) AS v
+      FROM hll
+    )
+    SELECT event_type, day,
+           round(CASE WHEN e_raw <= 160.0 AND v > 0
+                      THEN 64.0 * round(ln(64.0 / v), 6)
+                      ELSE e_raw END, 4) AS approx_users
+    FROM est
+    ORDER BY event_type, day
+    """.format(const=sketches.HLL_CONST, scale=1 << 55),
+)
+def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count rollup: events arrive as micro-batches
+    (file source, maxFilesPerTrigger=1, availableNow) and a ``foreachBatch``
+    sink folds each batch's HLL registers into a crash-safe parquet store
+    via elementwise ``max`` + atomic swap (``streaming/hll.py``) — the one
+    daily statistic the algebraic-partials store can't carry (distinct
+    counts don't merge; registers do). Replay safety is BY ALGEBRA:
+    register merge is idempotent, so at-least-once redelivery cannot
+    double-count — contrast ``streaming_incremental_rollup``, whose sum
+    partials need the committed-batch-id check. Daily estimates served
+    FROM THE STORE hash-match the direct batch computation (the oracle),
+    proving the incremental merge loses nothing."""
+    import tempfile
+
+    from .operators import sketches as sk
+    from .streaming.hll import hll_rollup_query, read_store
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="hllroll_")
+    src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        hll_rollup_query(spark, stream, store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return sk.hll_estimate_from_registers(
+        read_store(spark, store), ["event_type", "day"]
+    ).orderBy("event_type", "day")
+
+
+@register(
     "streaming_interval_join",
     f"""
     SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,

@@ -91,3 +91,48 @@ def test_store_survives_failed_staging_write(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert _norm(read_store(spark, store)) == before
     assert last_merged_batch(spark, store) == 0
+
+
+# ---------------------------------------------------------- HLL register store
+
+
+def test_hll_register_store_merge_and_idempotent_replay(spark, tmp_path):
+    """Register merge is idempotent (max), so replaying a batch must leave
+    the store bit-identical — the property that makes the streaming HLL
+    store exactly-once WITHOUT a committed-batch-id check."""
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from ambient_sound_analysis_api_spark.streaming.hll import (
+        merge_register_batch,
+        read_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01", i) for i in range(100)],
+        "event_type string, day string, user_id long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", "2024-01-01", i) for i in range(50, 150)],
+        "event_type string, day string, user_id long",
+    )
+    merge_register_batch(spark, b1, 0, store)
+    merge_register_batch(spark, b2, 1, store)
+    after = sorted(map(tuple, read_store(spark, store).collect()))
+    est = hll_estimate_from_registers(
+        read_store(spark, store), ["event_type", "day"]
+    ).collect()[0]["approx_users"]
+    # replay batch 2 — at-least-once redelivery
+    merge_register_batch(spark, b2, 1, store)
+    replayed = sorted(map(tuple, read_store(spark, store).collect()))
+    assert replayed == after
+    # merged estimate equals the one-shot estimate over the union
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    direct = hll_estimate(
+        b1.union(b2), "user_id", ["event_type", "day"]
+    ).collect()[0]["approx_users"]
+    assert est == direct
