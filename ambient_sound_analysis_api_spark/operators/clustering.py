@@ -160,3 +160,94 @@ def semantic_dedup_pairs(
         vec_col=vec_col,
         arrow=arrow,
     )
+
+
+def kcenter_greedy(
+    emb,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Greedy k-center (furthest-point) selection — the classic 2-approx
+    coreset / diversity-sampling primitive (Gonzalez 1985; the selection
+    step of diversity-aware data curation): seed with the lowest-id
+    vector, then repeatedly pick the point FURTHEST from the chosen set
+    (max over points of min-distance-to-centers, ties to the lowest id).
+
+    Scale shape: each of the k−1 rounds is ONE scan computing the running
+    min-distance (a codegen decimal fold against the newest center as a
+    literal array) followed by a 1-row ``TakeOrderedAndProject`` collect —
+    driver traffic is k rows (model-sized, the k-means-centroid
+    contract); nothing quadratic ever forms.
+
+    Cross-engine determinism: vectors snap to DECIMAL(15,9) once; squared
+    distances are exact decimal sums (order-independent), so the argmax
+    and its tie-break reproduce bit-for-bit in the SQL oracle.
+
+    Returns one row per chosen center: ``(pick, vec_id, min_dist)`` —
+    ``min_dist`` is the (6dp-rounded, squared L2) distance to the
+    previously chosen set at selection time; NULL for the seed.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+        ).alias("xd"),
+    )
+
+    def dist_to(center_vals: list) -> F.Column:
+        c = F.array(
+            *[
+                F.lit(v).cast("decimal(15,9)")
+                for v in center_vals
+            ]
+        )
+        term = F.zip_with(
+            F.col("xd"),
+            c,
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        )
+        zero = F.lit(0).cast("decimal(38,18)")
+        return F.aggregate(
+            term, zero, lambda acc, v: (acc + v).cast("decimal(38,18)")
+        )
+
+    seed = base.orderBy("id").limit(1).collect()[0]
+    picks = [(1, int(seed["id"]), None)]
+    centers = [seed["xd"]]
+    df = base.withColumn("dmin", F.lit(None).cast("decimal(38,18)"))
+    for t in range(2, k + 1):
+        df = df.select(
+            "id",
+            "xd",
+            F.least(
+                F.coalesce("dmin", F.lit(None).cast("decimal(38,18)")),
+                dist_to(centers[-1]),
+            ).alias("dmin"),
+        ).localCheckpoint()
+        nxt = (
+            df.filter(~F.col("id").isin([p[1] for p in picks]))
+            .orderBy(F.col("dmin").desc(), F.col("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((t, int(nxt["id"]), nxt["dmin"]))
+        centers.append(nxt["xd"])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    rows = [
+        (
+            p,
+            i,
+            None
+            if d is None
+            else float(Decimal(d).quantize(q6, rounding=ROUND_HALF_UP)),
+        )
+        for p, i, d in picks
+    ]
+    return spark.createDataFrame(
+        rows, "pick int, vec_id long, min_dist double"
+    )

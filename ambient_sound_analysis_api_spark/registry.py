@@ -8548,6 +8548,186 @@ def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT CAST(sum(CAST({_DEC_PRICE} AS DECIMAL(26,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand LIKE 'Brand#1%' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand LIKE 'Brand#2%' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand LIKE 'Brand#3%' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema): a disjunction of
+    conjunctive brand/size/quantity bands across BOTH join sides — the
+    classic optimizer test for OR-predicate handling. The part-side
+    prefix of the disjunction (brand prefix ∈ {{1,2,3}}, size bands) is
+    inferrable and should prune the broadcast build side before the join;
+    the mixed-side residual evaluates post-join. Revenue follows the
+    exact-decimal sum contract."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    band = (
+        F.col("p_brand").startswith("Brand#1")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        F.col("p_brand").startswith("Brand#2")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        F.col("p_brand").startswith("Brand#3")
+        & F.col("p_size").between(1, 45)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(band).agg(
+        F.sum(_disc_price().cast("decimal(26,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+               / count(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey stands in for the phone
+    country code): prospective customers — above-average balance, never
+    ordered since 2001 — counted per country (the recency window
+    keeps the result non-vacuous at small SFs, where every high-balance
+    customer has SOME order). Three classic pieces in one plan: a scalar
+    aggregate subquery (1-row broadcast, exact-decimal mean per the repo
+    contract), a NOT EXISTS decorrelated to a LEFT ANTI join on the
+    orders key with the date predicate pushed into the anti-join build
+    side, and a grouped decimal-sum readout."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit(datetime(2001, 1, 1))),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@register(
+    "emb_kcenter_diversity",
+    """
+    WITH ed AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+      FROM embeddings
+    ),
+    p1 AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+    c1 AS (SELECT i, x FROM ed WHERE vec_id = (SELECT vec_id FROM p1)),
+    nd2 AS (
+      SELECT e.vec_id, sum((e.x - c.x) * (e.x - c.x)) AS nd
+      FROM ed e JOIN c1 c USING (i) GROUP BY e.vec_id
+    ),
+    d2 AS (SELECT vec_id, nd AS d FROM nd2),
+    p2 AS (
+      SELECT vec_id, d FROM d2
+      WHERE vec_id <> (SELECT vec_id FROM p1)
+      ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    c2 AS (SELECT i, x FROM ed WHERE vec_id = (SELECT vec_id FROM p2)),
+    nd3 AS (
+      SELECT e.vec_id, sum((e.x - c.x) * (e.x - c.x)) AS nd
+      FROM ed e JOIN c2 c USING (i) GROUP BY e.vec_id
+    ),
+    d3 AS (
+      SELECT d2.vec_id, least(d2.d, nd3.nd) AS d
+      FROM d2 JOIN nd3 USING (vec_id)
+    ),
+    p3 AS (
+      SELECT vec_id, d FROM d3
+      WHERE vec_id <> (SELECT vec_id FROM p1)
+        AND vec_id <> (SELECT vec_id FROM p2)
+      ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    c3 AS (SELECT i, x FROM ed WHERE vec_id = (SELECT vec_id FROM p3)),
+    nd4 AS (
+      SELECT e.vec_id, sum((e.x - c.x) * (e.x - c.x)) AS nd
+      FROM ed e JOIN c3 c USING (i) GROUP BY e.vec_id
+    ),
+    d4 AS (
+      SELECT d3.vec_id, least(d3.d, nd4.nd) AS d
+      FROM d3 JOIN nd4 USING (vec_id)
+    ),
+    p4 AS (
+      SELECT vec_id, d FROM d4
+      WHERE vec_id <> (SELECT vec_id FROM p1)
+        AND vec_id <> (SELECT vec_id FROM p2)
+        AND vec_id <> (SELECT vec_id FROM p3)
+      ORDER BY d DESC, vec_id LIMIT 1
+    )
+    SELECT 1 AS pick, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM p1
+    UNION ALL
+    SELECT 2, vec_id, CAST(round(d, 6) AS DOUBLE) FROM p2
+    UNION ALL
+    SELECT 3, vec_id, CAST(round(d, 6) AS DOUBLE) FROM p3
+    UNION ALL
+    SELECT 4, vec_id, CAST(round(d, 6) AS DOUBLE) FROM p4
+    ORDER BY pick
+    """,
+)
+def q_emb_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (furthest-point) diversity selection over the
+    embedding table (``operators.clustering.kcenter_greedy``, k=4) — the
+    2-approx coreset primitive behind diversity-aware data curation:
+    seed at the lowest id, then three rounds of "pick the point furthest
+    from the chosen set". Each round is one scan (decimal fold against
+    the newest center as a literal) + a 1-row TakeOrderedAndProject
+    collect; driver traffic is k rows. Exact-decimal distances make the
+    argmax and tie-breaks bit-reproducible, so even this
+    iterative-selection algorithm is value-hash-checked (the
+    k-means/PageRank/BPE fixed-iteration contract)."""
+    from .operators.clustering import kcenter_greedy
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=4).orderBy("pick")
+
+
+@register(
     "streaming_hll_rollup",
     """
     WITH ev AS (

@@ -111,3 +111,46 @@ def test_registry_kmeans_queries_stable_across_runs(spark, sf_dir):
     d1 = [tuple(r) for r in q_dedup_semantic_kmeans(spark, sf_dir).collect()]
     d2 = [tuple(r) for r in q_dedup_semantic_kmeans(spark, sf_dir).collect()]
     assert d1 == d2 and len(d1) > 0
+
+
+# ------------------------------------------------------ k-center greedy
+
+
+def test_kcenter_greedy_picks_far_points(spark):
+    """On a line with one far outlier and a tight cluster, the first pick
+    after the seed must be the outlier; subsequent picks spread across
+    the remaining extremes. Ties and distances are exact-decimal."""
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [0.2, 0.0]),
+        (3, [100.0, 0.0]),   # far outlier
+        (4, [0.0, 50.0]),    # second extreme
+        (5, [0.15, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pick"]: r for r in kcenter_greedy(emb, k=3).collect()}
+    assert out[1]["vec_id"] == 0 and out[1]["min_dist"] is None
+    assert out[2]["vec_id"] == 3
+    assert out[2]["min_dist"] == 10000.0  # 100^2 exactly
+    assert out[3]["vec_id"] == 4
+    assert out[3]["min_dist"] == 2500.0   # min(50^2 to seed, ...) = 2500
+
+
+def test_kcenter_greedy_tie_breaks_to_lowest_id(spark):
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+
+    rows = [
+        (0, [0.0]),
+        (7, [1.0]),
+        (9, [1.0]),  # same distance as 7 — id 7 must win
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pick"]: r["vec_id"] for r in kcenter_greedy(emb, k=2).collect()}
+    assert out[2] == 7
