@@ -8548,108 +8548,6 @@ def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "tpch_q19_disjunctive",
-    f"""
-    SELECT CAST(sum(CAST({_DEC_PRICE} AS DECIMAL(26,4))) AS DOUBLE) AS revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand LIKE 'Brand#1%' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity BETWEEN 1 AND 30)
-       OR (p.p_brand LIKE 'Brand#2%' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity BETWEEN 10 AND 40)
-       OR (p.p_brand LIKE 'Brand#3%' AND p.p_size BETWEEN 1 AND 45
-           AND l.l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape (adapted to this schema): a disjunction of
-    conjunctive brand/size/quantity bands across BOTH join sides — the
-    classic optimizer test for OR-predicate handling. The part-side
-    prefix of the disjunction (brand prefix ∈ {{1,2,3}}, size bands) is
-    inferrable and should prune the broadcast build side before the join;
-    the mixed-side residual evaluates post-join. Revenue follows the
-    exact-decimal sum contract."""
-    li = _table(spark, sf_dir, "lineitem")
-    p = _table(spark, sf_dir, "part")
-    j = li.join(p, li["l_partkey"] == p["p_partkey"])
-    band = (
-        F.col("p_brand").startswith("Brand#1")
-        & F.col("p_size").between(1, 25)
-        & F.col("l_quantity").between(1, 30)
-    ) | (
-        F.col("p_brand").startswith("Brand#2")
-        & F.col("p_size").between(1, 35)
-        & F.col("l_quantity").between(10, 40)
-    ) | (
-        F.col("p_brand").startswith("Brand#3")
-        & F.col("p_size").between(1, 45)
-        & F.col("l_quantity").between(20, 50)
-    )
-    return j.filter(band).agg(
-        F.sum(_disc_price().cast("decimal(26,4)"))
-        .cast("double")
-        .alias("revenue")
-    )
-
-
-@register(
-    "tpch_q22_global_sales",
-    """
-    WITH avg_bal AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
-               / count(c_acctbal) AS a
-      FROM customer WHERE c_acctbal > 0.0
-    )
-    SELECT c.c_nationkey AS cntrycode,
-           CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
-             AS totacctbal
-    FROM customer c CROSS JOIN avg_bal
-    WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-    GROUP BY c.c_nationkey
-    ORDER BY cntrycode
-    """,
-)
-def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (adapted: nationkey stands in for the phone
-    country code): prospective customers — above-average balance, never
-    ordered since 2001 — counted per country (the recency window
-    keeps the result non-vacuous at small SFs, where every high-balance
-    customer has SOME order). Three classic pieces in one plan: a scalar
-    aggregate subquery (1-row broadcast, exact-decimal mean per the repo
-    contract), a NOT EXISTS decorrelated to a LEFT ANTI join on the
-    orders key with the date predicate pushed into the anti-join build
-    side, and a grouped decimal-sum readout."""
-    c = _table(spark, sf_dir, "customer")
-    o = _table(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(20,2)")).cast("double")
-            / F.count("c_acctbal")
-        ).alias("a")
-    )
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
-        .join(
-            o.filter(F.col("o_orderdate") >= F.lit(datetime(2001, 1, 1))),
-            c["c_custkey"] == o["o_custkey"],
-            "left_anti",
-        )
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(20,2)"))
-            .cast("double")
-            .alias("totacctbal"),
-        )
-        .orderBy("cntrycode")
-    )
-
-
-@register(
     "emb_kcenter_diversity",
     """
     WITH ed AS (
