@@ -81,6 +81,14 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "graph_triangle_stats",
     "emb_pca_top_component",
+    # round-7 breadth: mergeable-sketch rollup (register max-merge), the
+    # cluster-keyed leakage-safe split (exact-dedup collapse + CC + hash
+    # split), tokenizer application over the trained merges, and the
+    # furthest-point selection loop (k scans + 1-row collects)
+    "agg_hll_daily_rollup",
+    "pipeline_leakage_safe_split",
+    "text_bpe_encode_pieces",
+    "emb_kcenter_diversity",
 ]
 
 
