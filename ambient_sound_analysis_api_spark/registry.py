@@ -8626,6 +8626,105 @@ def q_emb_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_int8_ann_recall",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS (SELECT i, max(abs(x)) AS s FROM ex GROUP BY i),
+    qv AS (
+      SELECT e.vec_id, e.i,
+             CASE WHEN s.s > 0
+                  THEN CAST(round(e.x * 127.0 / s.s) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM ex e JOIN sc s USING (i)
+    ),
+    qq AS (SELECT i, q FROM qv WHERE vec_id = 0),
+    scores AS (
+      SELECT v.vec_id, CAST(sum(v.q * q.q) AS BIGINT) AS int8_score
+      FROM qv v JOIN qq q USING (i)
+      WHERE v.vec_id <> 0
+      GROUP BY v.vec_id
+    ),
+    cx AS (SELECT vec_id, i, x FROM ex WHERE vec_id <> 0),
+    qx AS (SELECT i, x AS b FROM ex WHERE vec_id = 0),
+    s2 AS (
+      SELECT c.vec_id,
+             sum(c.x * q.b) AS dp,
+             sum(c.x * c.x) AS na2,
+             sum(q.b * q.b) AS nb2
+      FROM cx c JOIN qx q USING (i)
+      GROUP BY c.vec_id
+    ),
+    exact AS (
+      SELECT vec_id FROM s2
+      ORDER BY dp / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+      LIMIT 10
+    )
+    SELECT sc2.vec_id, sc2.int8_score,
+           (e.vec_id IS NOT NULL) AS in_exact_topk
+    FROM scores sc2 LEFT JOIN exact e USING (vec_id)
+    ORDER BY sc2.int8_score DESC, sc2.vec_id
+    LIMIT 10
+    """,
+)
+def q_emb_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-ANN recall audit — the acceptance gate for serving a 4×-
+    compressed int8 index instead of floats: rank by EXACT-INTEGER int8
+    dot product (per-dimension symmetric max-|x| scales, the
+    ``emb_quantize_int8`` scheme) and flag which of the int8 top-10 are
+    also in the exact float top-10. Integer scores make the quantized
+    ranking bit-reproducible (no float-sum ordering anywhere in the
+    ranked column), so the whole audit is SQL-oracled; the flag column
+    IS the recall readout (Σ flags / k). Plan: one scale pass, one
+    codegen quantize+fold scan with the 1-row quantized query broadcast,
+    one exact-cosine top-k subtree for the flags."""
+    from .operators.similarity import cosine_topk_by_id
+
+    emb = _table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("pos").agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
+    scales = [0.0] * 64
+    for r in dims.collect():  # model-sized: d values
+        scales[r["pos"]] = float(r["s"])
+    sc_sql = "array(" + ",".join(repr(v) for v in scales) + ")"
+    qx = F.expr(
+        "transform(embedding, (x, i) -> CASE WHEN element_at("
+        + sc_sql
+        + ", i + 1) > 0 THEN CAST(round(CAST(x AS DOUBLE) * 127.0 /"
+        " element_at(" + sc_sql + ", i + 1)) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+    qdf = emb.select("vec_id", qx.alias("qv"))
+    qq = qdf.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qqv"))
+    score = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact10 = (
+        cosine_topk_by_id(emb, query_id=0, k=10)
+        .select("vec_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        qdf.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", score.alias("int8_score"))
+        .join(F.broadcast(exact10), "vec_id", "left")
+        .select(
+            "vec_id",
+            "int8_score",
+            F.coalesce("_hit", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.col("int8_score").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
     "streaming_hll_rollup",
     """
     WITH ev AS (

@@ -265,6 +265,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
         "pipeline_diversity_metrics",  # 1-row stat-card cross joins
         "pipeline_mixture_weights",  # 1-row total/normalizer broadcasts
+        "emb_int8_ann_recall",  # 1-row quantized-query broadcast
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
         "rec_item_cooccurrence",  # 1-row user-total broadcast
