@@ -89,6 +89,8 @@ HEADLINE = [
     "pipeline_leakage_safe_split",
     "text_bpe_encode_pieces",
     "emb_kcenter_diversity",
+    # integer-ranked quantized-ANN audit (scale pass + codegen fold scan)
+    "emb_int8_ann_recall",
 ]
 
 
