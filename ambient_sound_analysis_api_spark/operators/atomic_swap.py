@@ -69,6 +69,55 @@ def swap_in(spark: SparkSession, staging: str, path: str) -> None:
         fs.delete(old, True)
 
 
+def recover_path(spark: SparkSession, path: str) -> str | None:
+    """Repair the one non-atomic window in :func:`swap_in`: between its two
+    renames the table exists only as ``<path>.__old__.<token>`` (plus the
+    fully staged replacement) — a crash exactly there leaves ``path``
+    missing, and a naive reader would treat the table as empty and silently
+    restart state from scratch (permanent undercount for the streaming
+    stores).
+
+    If ``path`` is missing but a COMPLETE sibling copy from an interrupted
+    swap exists (``<path>.__old__.*`` or ``<path>.__staging__.*`` carrying
+    Hadoop's ``_SUCCESS`` marker — incomplete writes never have it), the
+    newest complete copy (by modification time) is renamed back into
+    place. Preferring the newest is correct for both streaming stores: a
+    complete staging dir is the post-merge result (rollup's staged
+    ``_meta`` batch id travels with it, so a replayed batch is still
+    detected; the HLL store is idempotent by max-merge either way), and
+    when the current swap's staging is incomplete the ``__old__`` copy
+    wins, after which the at-least-once replay of the in-flight batch
+    re-merges it. Returns the recovered sibling's path, or None when
+    ``path`` exists or no complete copy was found (a no-op in normal
+    operation — one ``exists`` probe)."""
+    jvm = spark._jvm
+    fs, dst = _fs_and_path(spark, path)
+    if fs.exists(dst):
+        return None
+    parent = dst.getParent()
+    base = dst.getName()
+    if parent is None or not fs.exists(parent):
+        return None
+    cands = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith(f"{base}.__old__.") or name.startswith(
+            f"{base}.__staging__."
+        ):
+            marker = jvm.org.apache.hadoop.fs.Path(
+                str(st.getPath()) + "/_SUCCESS"
+            )
+            if fs.exists(marker):
+                cands.append((st.getModificationTime(), str(st.getPath())))
+    if not cands:
+        return None
+    cands.sort()
+    best = jvm.org.apache.hadoop.fs.Path(cands[-1][1])
+    if not fs.rename(best, dst):
+        raise IOError(f"recover rename {best} -> {dst} failed")
+    return cands[-1][1]
+
+
 def cleanup_staging(spark: SparkSession, staging: str) -> None:
     fs, p = _fs_and_path(spark, staging)
     fs.delete(p, True)

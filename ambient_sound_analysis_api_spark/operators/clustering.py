@@ -136,6 +136,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
+    max_block_size: int | None = 1024,
 ) -> DataFrame:
     """SemDeDup: k-means the embeddings, then emit near-duplicate pairs
     *within* clusters only.
@@ -147,6 +148,12 @@ def semantic_dedup_pairs(
     data-driven replacement for that operator's precomputed ``label``
     column: at 100 TB the pipeline is fit (model-sized driver state) →
     assign (one scan) → blocked pair join (shuffles on cluster id).
+
+    ``max_block_size`` (ON by default) hash-splits degenerate hot
+    clusters — k-means routinely produces one catch-all cell on skewed
+    data — before the pair join; see
+    :func:`..dedup.embedding_near_pairs`. ``None`` opts out (the
+    oracle-checked registry configuration).
     """
     from .dedup import embedding_near_pairs
 
@@ -159,6 +166,7 @@ def semantic_dedup_pairs(
         id_col=id_col,
         vec_col=vec_col,
         arrow=arrow,
+        max_block_size=max_block_size,
     )
 
 
@@ -214,25 +222,32 @@ def kcenter_greedy(
             term, zero, lambda acc, v: (acc + v).cast("decimal(38,18)")
         )
 
-    seed = base.orderBy("id").limit(1).collect()[0]
+    seed_rows = base.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_greedy: input has no rows")
+    seed = seed_rows[0]
     picks = [(1, int(seed["id"]), None)]
     centers = [seed["xd"]]
+    # seeded all-NULL; F.least skips NULLs, so round 1's least(dmin, d) = d
     df = base.withColumn("dmin", F.lit(None).cast("decimal(38,18)"))
     for t in range(2, k + 1):
         df = df.select(
             "id",
             "xd",
-            F.least(
-                F.coalesce("dmin", F.lit(None).cast("decimal(38,18)")),
-                dist_to(centers[-1]),
-            ).alias("dmin"),
+            F.least(F.col("dmin"), dist_to(centers[-1])).alias("dmin"),
         ).localCheckpoint()
-        nxt = (
+        nxt_rows = (
             df.filter(~F.col("id").isin([p[1] for p in picks]))
             .orderBy(F.col("dmin").desc(), F.col("id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not nxt_rows:
+            raise ValueError(
+                f"kcenter_greedy: k={k} exceeds the number of distinct "
+                f"input rows ({len(picks)} available)"
+            )
+        nxt = nxt_rows[0]
         picks.append((t, int(nxt["id"]), nxt["dmin"]))
         centers.append(nxt["xd"])
     from decimal import ROUND_HALF_UP, Decimal

@@ -28,6 +28,15 @@ from ..functions.text import (
 )
 from .caching import tracked_persist
 
+# Default hot-shingle (boilerplate) document-frequency cap for the shingle
+# self-join family. Candidate volume is O(df²) per distinct shingle, so one
+# shared header repeated across 10⁶ pages costs 10¹² pairs; df > 1000 means
+# ≤ ~500k pairs from any single shingle (a single-task unit) and, on real
+# corpora, identifies boilerplate rather than signal. df-count caps are
+# exactly expressible in SQL, so oracle replay keeps the capped form
+# hash-checked (unlike the xxhash64 block split in similarity.knn_graph).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -101,7 +110,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by token-n-gram Jaccard similarity.
 
@@ -126,8 +135,16 @@ def ngram_jaccard_pairs(
     the result is exact Jaccard over the reduced, discriminating shingle
     universe: identical docs still score 1.0, while pairs similar only
     through boilerplate drop out — the standard stop-shingle trade-off.
-    Default ``None`` = the full-universe exact form (the oracle-compared
-    configuration).
+
+    The cap is ON by default (``DEFAULT_MAX_SHINGLE_DF`` = 1000: pair
+    fan-out per shingle is bounded at ~500k, a single-task unit) because
+    the blowup is the failure a naive caller hits first on real corpora —
+    the 10×-boilerplate probe in NOTES.md measured the uncapped default
+    path going quadratic, mirroring the ``knn_graph`` ``max_block_size``
+    default flip. The cap is df-count based, hence exactly expressible in
+    portable SQL: the registry oracles replay the same ``df > cap``
+    shingle removal, so the capped form stays hash-checked. Pass
+    ``max_shingle_df=None`` to opt out (full-universe exact form).
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
@@ -218,10 +235,15 @@ def minhash_signatures(
     ~|shingles|²/2⁶¹, ignored by design and REPRODUCED by the oracle,
     which hashes the same way). Family member i is then the affine map
 
-        ``h_i = (a_i·(h0 >> 30) + b_i·(h0 & (2³⁰−1)) + c_i) mod (2⁶¹−1)``
+        ``h_i = (a_i·h0 + c_i) mod (2⁶¹−1)``
 
-    with 30-bit constants drawn from md5 (``minhash_coeffs``). Every term
-    stays under 2⁶² so the arithmetic is exact in plain signed 64-bit —
+    evaluated via a Mersenne fold of the 90-bit product (split h0 into
+    30-bit halves, fold the high partial product ``a·(h0>>30)·2³⁰`` back
+    under the prime — see ``_MINHASH_MEMBER_SQL``; a single coefficient
+    ``a`` multiplies BOTH halves, there is no independent high-half
+    coefficient). 30-bit constants ``(a_i, c_i)`` are drawn from md5
+    (``minhash_coeffs``). Every intermediate term stays under 2⁶² so the
+    arithmetic is exact in plain signed 64-bit —
     no overflow, hence bit-identical in ANY engine with BIGINT (DuckDB
     recomputes identical signatures; a per-member md5 chain was ~4.5×
     slower for the same portability). The k minima are ordinary
@@ -469,6 +491,7 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
+    max_block_size: int | None = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse blocks.
 
@@ -490,8 +513,38 @@ def embedding_near_pairs(
     pairs either way (equality unit-tested); the JVM path stays the default
     because its sequential fold is the bit-exact shape the SQL oracle
     replicates.
+
+    **Capacity bound** (``max_block_size``, ON by default): within-block
+    pair work is O(size²), so one hot block (a degenerate cluster label, a
+    catch-all LSH bucket) quadratically dominates the stage — the same
+    failure the 10×-dup probe measured on ``similarity.knn_graph`` before
+    its default flip. Oversized blocks are hash-split into ⌈size/max⌉
+    sub-blocks before the self-join, restoring linear cost at fixed cap;
+    the price is losing pairs that land in sibling sub-blocks (the IVF
+    nlist recall-for-cost trade). Pass ``max_block_size=None`` for exact
+    within-block semantics — the oracle-checked registry configuration,
+    where the split's ``xxhash64`` would not be SQL-portable.
     """
     from .similarity import dot, l2_norm
+
+    if max_block_size is not None:
+        sizes = emb.groupBy(block_col).agg(F.count("*").alias("_bn"))
+        nsub = F.greatest(
+            F.lit(1), F.ceil(F.col("_bn") / F.lit(float(max_block_size)))
+        )
+        emb = (
+            emb.join(sizes, block_col)  # count table: AQE broadcasts it
+            .withColumn(
+                "_blk2",
+                F.concat_ws(
+                    "#",
+                    F.col(block_col).cast("string"),
+                    F.pmod(F.xxhash64(F.col(id_col)), nsub).cast("string"),
+                ),
+            )
+            .drop("_bn")
+        )
+        block_col = "_blk2"
 
     # Precompute the L2 norm per vector (O(n) folds) so each candidate pair
     # costs ONE array fold (the dot product) instead of three — at 200k
@@ -649,7 +702,7 @@ def containment_pairs(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: directed pairs where one doc's n-gram shingle
     set is (mostly) contained in another's — containment(A→B) =
@@ -666,6 +719,8 @@ def containment_pairs(
     :func:`ngram_jaccard_pairs` — hot shingles (shared by more docs than
     the cap) leave the computation entirely, candidates and denominators
     alike, keeping containment exact over the reduced shingle universe.
+    Like the Jaccard form, the cap defaults ON (``DEFAULT_MAX_SHINGLE_DF``)
+    and is replayed by the SQL oracle; ``None`` opts out.
 
     The intersection count is symmetric, so it is aggregated ONCE over
     ``id_a < id_b`` candidates (halving the dominant self-join/aggregation

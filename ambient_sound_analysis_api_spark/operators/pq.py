@@ -162,18 +162,13 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
-    codes: DataFrame,
-    codebooks: list[list[list[float]]],
-    query: list[float],
-    topk: int = 20,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Approximate top-k by ADC: per-subspace query→centroid squared
-    distances become literal lookup arrays; each row's distance is m
-    ``element_at`` lookups summed in fixed subspace order (deterministic
-    IEEE evaluation both engines). Rounded to 6 decimals BEFORE the top-k
-    order so the cut is stable cross-engine."""
+def _adc_dist(
+    codebooks: list[list[list[float]]], query: list[float]
+) -> F.Column:
+    """The ADC distance column over ``code_0..code_{m-1}``: per-subspace
+    query→centroid squared distances precomputed driver-side into literal
+    lookup arrays (model-sized: m×k floats), each row costing m
+    ``element_at`` lookups summed in fixed subspace order."""
     terms = []
     for s, cb in enumerate(codebooks):
         d_sub = len(cb[0])
@@ -192,6 +187,22 @@ def pq_adc_topk(
     dist = terms[0]
     for t in terms[1:]:
         dist = dist + t
+    return dist
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    topk: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by ADC: per-subspace query→centroid squared
+    distances become literal lookup arrays; each row's distance is m
+    ``element_at`` lookups summed in fixed subspace order (deterministic
+    IEEE evaluation both engines). Rounded to 6 decimals BEFORE the top-k
+    order so the cut is stable cross-engine."""
+    dist = _adc_dist(codebooks, query)
     m = len(codebooks)
     return (
         codes.withColumn("adc_dist", F.round(dist, 6))
@@ -237,6 +248,138 @@ def ivfpq_topk(
     codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
     return pq_adc_topk(codes, codebooks, query, topk=k, id_col=id_col).select(
         id_col, "adc_dist"
+    )
+
+
+def ivfpq_recall_curve(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Recall@k vs nprobe acceptance curve for the IVF-PQ index — the
+    readout that decides the nprobe an IVF-PQ deployment serves at: for
+    each ``nprobe`` in the sweep, how many of the ADC top-k from the
+    ``nprobe`` nearest cells fall inside the EXACT squared-L2 top-k over
+    the float vectors. Completes the quantized-serving gate family
+    (``emb_int8_ann_recall`` audits the int8 index the same way).
+
+    One plan, not one-per-point: cells are ranked ONCE (nlist-row decimal
+    centroid table × 1-row query, both broadcast), candidates from the
+    ``max(nprobes)`` best cells are ADC-scored ONCE, and the sweep is a
+    broadcast fan-out of the tiny nprobe list — each candidate row joins
+    the probe values whose budget covers its cell rank, and a per-nprobe
+    ``row_number`` window takes the top k. Read cost stays
+    max(nprobes)/nlist of the table; nothing is rescanned per curve point.
+
+    Cross-engine determinism: ADC distances are 6dp-rounded before
+    ranking with an id tie-break (the ``pq_adc_topk`` contract); the
+    exact baseline ranks on order-independent exact DECIMAL squared-L2
+    (operands snapped to DECIMAL(15,9) first — the ``kcenter_greedy``
+    contract), so the whole curve is SQL-oracle-checkable. ``recall_at_k``
+    is hits/k of small integers — bit-identical IEEE division anywhere.
+
+    Returns ``(nprobe, n_hits, recall_at_k)``, one row per swept nprobe.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import ivf_cell_centroids
+
+    spark = emb.sparkSession
+    maxp = max(nprobes)
+
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.col("_qvec"),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wc = Window.orderBy(F.col("_d"), F.col("cell"))
+    cells = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", sqd.alias("_d"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= maxp)
+        .select("cell", "cell_rank")
+    )
+
+    cand = (
+        emb.join(F.broadcast(cells), emb[cell_col] == F.col("cell"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col, "cell_rank")
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.col("cell_rank"),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    ).withColumn("adc_dist", F.round(_adc_dist(codebooks, query), 6))
+
+    probes = spark.createDataFrame(
+        [(int(n),) for n in sorted(nprobes)], "nprobe int"
+    )
+    wn = Window.partitionBy("nprobe").orderBy(
+        F.col("adc_dist"), F.col(id_col)
+    )
+    topn = (
+        scored.join(
+            F.broadcast(probes), F.col("cell_rank") <= F.col("nprobe")
+        )
+        .withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") <= k)
+    )
+
+    # exact float baseline: order-independent exact decimal squared-L2
+    xd = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+    )
+    base = emb.select(F.col(id_col), xd.alias("_xd"))
+    qd = base.filter(F.col(id_col) == query_id).select(
+        F.col("_xd").alias("_qd")
+    )
+    dexact = F.aggregate(
+        F.zip_with(
+            F.col("_xd"),
+            F.col("_qd"),
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    exact = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qd))
+        .select(F.col(id_col), dexact.alias("_de"))
+        .orderBy(F.col("_de"), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.lit(1).cast("long").alias("_hit"))
+    )
+
+    return (
+        topn.join(F.broadcast(exact), id_col, "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
     )
 
 

@@ -530,6 +530,7 @@ def knn_graph(
     vec_col: str = "embedding",
     block_col: str = "label",
     max_block_size: int | None = 1024,
+    warn_on_truncation: bool = True,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, blocked by a
     coarse partition key (k-means cell / LSH bucket / shard label).
@@ -567,11 +568,33 @@ def knn_graph(
     opt out when blocks are known-bounded and exact within-block
     semantics are required (the oracle-checked registry configuration,
     where the hash split's ``xxhash64`` would not be SQL-portable).
+
+    Because the split silently trades recall (a default-flip semantic
+    change for pre-cap callers), ``warn_on_truncation=True`` counts
+    oversized blocks up front — one extra scan + tiny aggregate, small
+    next to the O(size²) self-join — and emits a one-time ``UserWarning``
+    naming how many blocks were split, so callers learn the cap engaged
+    instead of discovering degraded recall downstream. Pass ``False`` to
+    keep the call fully lazy (e.g. inside plan-only tooling).
     """
     from pyspark.sql import Window
 
     if max_block_size is not None:
         sizes = emb.groupBy(block_col).agg(F.count("*").alias("_bn"))
+        if warn_on_truncation:
+            import warnings
+
+            n_over = sizes.filter(F.col("_bn") > max_block_size).count()
+            if n_over:
+                warnings.warn(
+                    f"knn_graph: {n_over} block(s) exceed max_block_size="
+                    f"{max_block_size} and were hash-split; neighbors "
+                    "across sibling sub-blocks are not scored (bounded "
+                    "recall loss). Pass max_block_size=None for exact "
+                    "within-block kNN.",
+                    UserWarning,
+                    stacklevel=2,
+                )
         nsub = F.greatest(
             F.lit(1), F.ceil(F.col("_bn") / F.lit(float(max_block_size)))
         )

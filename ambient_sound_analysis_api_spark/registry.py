@@ -178,10 +178,47 @@ _DECMEAN_DUCK = "CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value
 _SPECS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 # session-keyed fit caches: fitted index artifacts (Bloom words, PQ
-# codebooks) per sf_dir, so repeated invocations of the same query measure
-# probe/query cost, not refit — an index is fit once and queried many times
-_BLOOM_FIT_MEMO: dict[str, list[int]] = {}
+# codebooks) per dataset, so repeated invocations of the same query measure
+# probe/query cost, not refit — an index is fit once and queried many times.
+# Keys include a cheap file-stat fingerprint of the source table, not just
+# its path: a dataset regenerated in-place at the same sf_dir must refit
+# (a stale codebook over new data would be silently wrong), and the
+# fingerprint change also evicts the dead entry (one artifact per path).
+_BLOOM_FIT_MEMO: dict[tuple, list[int]] = {}
 _PQ_FIT_MEMO: dict[tuple, list] = {}
+
+
+def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(path, mtime_ns, size) of a table's parquet file — or the aggregate
+    over part files when the table is a directory. Changes whenever the
+    data is rewritten, at the cost of one stat call."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            total = 0
+            newest = 0
+            for entry in os.scandir(path):
+                st = entry.stat()
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+            return (path, newest, total)
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def _memo_put(memo: dict, key: tuple, value) -> None:
+    """Insert a fit artifact under ``key = (fingerprint, *params)``,
+    evicting entries for the same table path whose fingerprint is now
+    stale so regenerated datasets don't leak dead artifacts."""
+    path = key[0][0]
+    stale = [k for k in memo if k[0][0] == path and k != key]
+    for k in stale:
+        del memo[k]
+    memo[key] = value
 
 
 def register(name: str, oracle: str | None):
@@ -1025,17 +1062,36 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(_table(spark, sf_dir, "documents")).orderBy("fp")
 
 
-_NGRAM_JACCARD_CTES = r"""t AS (
+def _ngram_jaccard_ctes(source: str = "documents") -> str:
+    """Shared oracle CTE chain for the token-3-gram Jaccard family.
+
+    Replays ``dedup.ngram_jaccard_pairs``'s DEFAULT configuration exactly,
+    including the default-ON hot-shingle cap (shingles carried by more
+    than ``DEFAULT_MAX_SHINGLE_DF`` docs leave candidates AND set sizes —
+    a pure count predicate, so it is portably SQL-expressible; the cap
+    never binds at the test SFs, max df ≈ 25, but the replay keeps the
+    capped form hash-checked whenever it does). ``source`` is the doc
+    relation the Spark side actually shingles — ``documents`` for most
+    queries, the exact-dedup representative set for the leakage-safe
+    split (df counts differ between the two when copies exist, so the
+    cap must bind on the same universe)."""
+    return rf"""t AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-      FROM documents
+      FROM {source}
     ),
     g AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
       FROM t WHERE len(toks) >= 3
     ),
-    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    hot AS (
+      SELECT shingle FROM e0
+      GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_SHINGLE_DF}
+    ),
+    e AS (SELECT doc_id, shingle FROM e0
+          WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -1050,6 +1106,18 @@ _NGRAM_JACCARD_CTES = r"""t AS (
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
     )"""
+
+
+_NGRAM_JACCARD_CTES = _ngram_jaccard_ctes()
+
+# The leakage-safe split shingles the exact-dedup REPRESENTATIVE set, not
+# all documents (the round-7 dedup-first collapse), so its oracle's df cap
+# must count over that same universe.
+_NGRAM_JACCARD_CTES_UNIQ = _ngram_jaccard_ctes(
+    source="(SELECT d.doc_id, d.text FROM "
+    "(SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS rep"
+    " FROM documents) d WHERE d.doc_id = d.rep)"
+)
 
 
 @register(
@@ -1914,9 +1982,13 @@ _EMB_COSINE_PAIRS_SQL = """
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by the coarse ``label``
     cell so the O(n²) all-pairs never materializes (the k-means/LSH-blocked
-    semantic-dedup pattern for training corpora)."""
+    semantic-dedup pattern for training corpora). Opts out of the
+    capacity split (``max_block_size=None``): exact within-block pairs
+    are the SQL-replayable form (the split's xxhash64 isn't portable),
+    and label blocks here are known-bounded."""
     return dedup.embedding_near_pairs(
-        _table(spark, sf_dir, "embeddings"), threshold=0.3
+        _table(spark, sf_dir, "embeddings"), threshold=0.3,
+        max_block_size=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -1930,7 +2002,8 @@ def q_dedup_embedding_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFram
     ``tests/test_extended_relational.py``), so it carries the identical SQL
     oracle as the JVM entry above."""
     return dedup.embedding_near_pairs(
-        _table(spark, sf_dir, "embeddings"), threshold=0.3, arrow=True
+        _table(spark, sf_dir, "embeddings"), threshold=0.3, arrow=True,
+        max_block_size=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -2584,7 +2657,11 @@ def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import semantic_dedup_pairs
 
     emb = _table(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(emb, k=8, n_iter=4, threshold=0.3)
+    # max_block_size=None: exact within-cluster pairs are the form the
+    # unrolled-Lloyd's oracle replays (the split's xxhash64 isn't portable)
+    pairs = semantic_dedup_pairs(
+        emb, k=8, n_iter=4, threshold=0.3, max_block_size=None
+    )
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -5207,11 +5284,11 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pq import pq_adc_topk, pq_encode, pq_fit
 
     emb = _table(spark, sf_dir, "embeddings")
-    key = (sf_dir, 4, 8, 2)
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
     books = _PQ_FIT_MEMO.get(key)
     if books is None:
         books = pq_fit(emb, m=4, k=8, n_iter=2)
-        _PQ_FIT_MEMO[key] = books
+        _memo_put(_PQ_FIT_MEMO, key, books)
     codes = pq_encode(emb, books)
     qrow = emb.orderBy("vec_id").limit(1).select("embedding").first()
     query = [float(x) for x in qrow[0]]
@@ -5905,7 +5982,7 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_containment",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
@@ -5917,7 +5994,13 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FOR i IN range(1, len(toks) - 1)]) AS shingles
       FROM t WHERE len(toks) >= 3
     ),
-    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    e0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM g),
+    hot AS (
+      SELECT shingle FROM e0
+      GROUP BY shingle HAVING count(*) > {dedup.DEFAULT_MAX_SHINGLE_DF}
+    ),
+    e AS (SELECT doc_id, shingle FROM e0
+          WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS inter
@@ -6907,12 +6990,13 @@ def q_pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fitted filter is an index artifact — fit once per (dataset) and
     # memoize, the same session-keyed fit-cache pattern as the PQ
     # codebooks, so repeated invocations time the probe, not the refit.
-    words = _BLOOM_FIT_MEMO.get(sf_dir)
+    bloom_key = (_dataset_fingerprint(sf_dir, "documents"),)
+    words = _BLOOM_FIT_MEMO.get(bloom_key)
     if words is None:
         words = [0] * 66
         for r in bloom.collect():
             words[r["slot"]] = r["word"]
-        _BLOOM_FIT_MEMO[sf_dir] = words
+        _memo_put(_BLOOM_FIT_MEMO, bloom_key, words)
     words_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
     bit_sql = (
         f"(element_at({words_sql}, CAST(_p{{j}} / 63 AS INT) + 1)"
@@ -8457,7 +8541,7 @@ def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_leakage_safe_split",
     f"""
-    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES_UNIQ},
     dr AS (
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
       FROM documents
@@ -8721,6 +8805,102 @@ def q_emb_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("int8_score").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "emb_ivfpq_recall_curve",
+    f"""
+    WITH {_pq_ctes()},
+    qmin AS (SELECT min(vec_id) AS qid FROM embeddings),
+    qiv AS (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = (SELECT qid FROM qmin)),
+    qdim AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+                    generate_subscripts(qe, 1) AS i FROM qiv),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    cdist AS (
+      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    crank AS (
+      SELECT label, row_number() OVER (ORDER BY d, label) AS cell_rank
+      FROM cdist
+    ),
+    probes(nprobe) AS (VALUES (1), (2), (4)),
+    cand AS (
+      SELECT e.vec_id, c.cell_rank
+      FROM embeddings e JOIN crank c USING (label)
+      WHERE e.vec_id <> (SELECT qid FROM qmin)
+    ),
+    scanned AS (
+      SELECT cand.vec_id, cand.cell_rank, round(adc.dist, 6) AS adc_dist
+      FROM cand JOIN adc USING (vec_id)
+    ),
+    topn AS (
+      SELECT p.nprobe, s.vec_id,
+             row_number() OVER (PARTITION BY p.nprobe
+                                ORDER BY s.adc_dist, s.vec_id) AS rn
+      FROM probes p JOIN scanned s ON s.cell_rank <= p.nprobe
+    ),
+    edec AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
+                  AS DECIMAL(15,9)) AS x
+      FROM embeddings
+    ),
+    qdec AS (SELECT i, x FROM edec WHERE vec_id = (SELECT qid FROM qmin)),
+    exdist AS (
+      SELECT e.vec_id, sum((e.x - q.x) * (e.x - q.x)) AS d
+      FROM edec e JOIN qdec q USING (i)
+      WHERE e.vec_id <> (SELECT qid FROM qmin)
+      GROUP BY e.vec_id
+    ),
+    exact AS (SELECT vec_id FROM exdist ORDER BY d, vec_id LIMIT 10)
+    SELECT t.nprobe,
+           CAST(sum(CASE WHEN exact.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN exact.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_k
+    FROM topn t LEFT JOIN exact ON exact.vec_id = t.vec_id
+    WHERE t.rn <= 10
+    GROUP BY t.nprobe
+    ORDER BY t.nprobe
+    """,
+)
+def q_emb_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10-vs-nprobe acceptance curve for the IVF-PQ index
+    (``operators/pq.py::ivfpq_recall_curve``) — the readout that picks the
+    nprobe an IVF-PQ deployment serves at, completing the
+    quantized-serving gate family started by ``emb_int8_ann_recall``.
+    Cells are ranked once, candidates from the 4 best cells ADC-scored
+    once, and the {{1,2,4}} sweep is a broadcast fan-out of a 3-row probe
+    list with per-nprobe top-10 windows; the exact baseline ranks on
+    order-independent exact DECIMAL squared-L2. The oracle unrolls the
+    entire composite — four subspace k-means fits, encode argmins, ADC
+    lookups, centroid ranking, the probe fan-out, and the exact-decimal
+    baseline — so every point of the curve is value-hash-checked. Reuses
+    the per-dataset PQ codebook memo (index fit once, queried many
+    times)."""
+    from .operators.pq import ivfpq_recall_curve, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_recall_curve(
+        emb, books, query, query_id=qid, k=10, nprobes=(1, 2, 4)
     )
 
 

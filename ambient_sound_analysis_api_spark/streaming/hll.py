@@ -14,9 +14,17 @@ Exactly-once is FREE here, by algebra: ``foreachBatch`` is at-least-once
 on retry, but register merge is idempotent (``max(max(S, B), B) =
 max(S, B)``), so a re-delivered batch cannot change the store — unlike
 the sum-based partials store, which needs the committed-batch-id check.
-The swap still uses the staging + atomic-rename protocol
-(``operators/atomic_swap.py``) so a crash mid-merge leaves the previous
-store intact; readers never observe a half-written store.
+The swap uses the staging + atomic-rename protocol
+(``operators/atomic_swap.py``): readers never observe a PARTIAL store —
+every on-disk copy is complete — but the protocol's two renames leave one
+crash window where ``store_path`` itself is briefly absent (the registers
+live under ``<path>.__old__.<token>`` and the fully staged replacement).
+``read_store`` closes that window by recovering the newest complete
+sibling copy back into place (``atomic_swap.recover_path``) instead of
+silently restarting from an empty store; combined with max-merge
+idempotence on the batch replay, a kill at ANY point reproduces the
+batch-oracle registers (crash-injection-tested in
+``tests/test_streaming_hll.py``).
 """
 
 from __future__ import annotations
@@ -25,17 +33,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from ..operators.atomic_swap import staging_path, swap_in
+from ..operators.atomic_swap import recover_path, staging_path, swap_in
 from ..operators.sketches import hll_registers
 
 KEYS = ["event_type", "day"]
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """The current register store, or None before the first commit."""
+    """The current register store, or None before the first commit.
+
+    A missing path is NOT trusted as "no store yet": a crash inside the
+    swap's rename window leaves the registers under a sibling name, and
+    treating that as empty would permanently undercount. ``recover_path``
+    renames the newest complete sibling copy back first; only when no
+    complete copy exists anywhere is None returned."""
     try:
         return spark.read.parquet(store_path)
     except AnalysisException:
+        if recover_path(spark, store_path) is not None:
+            return spark.read.parquet(store_path)
         return None
 
 

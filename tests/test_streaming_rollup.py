@@ -136,3 +136,177 @@ def test_hll_register_store_merge_and_idempotent_replay(spark, tmp_path):
         b1.union(b2), "user_id", ["event_type", "day"]
     ).collect()[0]["approx_users"]
     assert est == direct
+
+
+# ------------------------------------------------- crash-injection: rename window
+
+
+def _tear_swap_at_rename_window(spark, store):
+    """Simulate kill -9 BETWEEN swap_in's two renames: the store has been
+    renamed aside to <store>.__old__.<token>, the staged replacement is
+    fully written, store path itself does not exist. Returns a swap_in
+    stand-in that performs exactly the first rename, then 'dies'."""
+
+    def torn_swap_in(spark_, staged, path):
+        jvm = spark_._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark_._jsc.hadoopConfiguration())
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}.__old__.deadbeef0000")
+        assert fs.rename(hpath, old)
+        raise RuntimeError("injected crash between swap renames")
+
+    return torn_swap_in
+
+
+def test_hll_store_crash_in_rename_window_recovers(spark, tmp_path, monkeypatch):
+    """Kill between the swap's two renames, then replay the batch: the
+    recovered store must equal the batch oracle — the exactly-once-by-
+    idempotent-max-merge claim proven under a real torn write (the
+    streaming twin of tests/test_atomic_write.py)."""
+    import ambient_sound_analysis_api_spark.streaming.hll as hllmod
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01", i) for i in range(100)],
+        "event_type string, day string, user_id long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", "2024-01-01", i) for i in range(50, 150)],
+        "event_type string, day string, user_id long",
+    )
+    hllmod.merge_register_batch(spark, b1, 0, store)
+
+    monkeypatch.setattr(hllmod, "swap_in", _tear_swap_at_rename_window(spark, store))
+    try:
+        hllmod.merge_register_batch(spark, b2, 1, store)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # the crash window is real: the store path itself is gone
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert not fs.exists(hpath)
+
+    # read_store recovers the newest complete copy instead of returning None
+    recovered = hllmod.read_store(spark, store)
+    assert recovered is not None
+
+    # at-least-once replay of the in-flight batch, then compare to oracle
+    hllmod.merge_register_batch(spark, b2, 1, store)
+    est = hll_estimate_from_registers(
+        hllmod.read_store(spark, store), ["event_type", "day"]
+    ).collect()[0]["approx_users"]
+    direct = hll_estimate(
+        b1.union(b2), "user_id", ["event_type", "day"]
+    ).collect()[0]["approx_users"]
+    assert est == direct
+
+
+def test_hll_store_crash_with_incomplete_staging_falls_back_to_old(
+    spark, tmp_path, monkeypatch
+):
+    """Same torn swap, but the staged replacement is ALSO incomplete (its
+    _SUCCESS marker missing — e.g. the staging write itself was the victim
+    of an earlier fault): recovery must choose the complete __old__ copy,
+    and the batch replay reconstructs the post-merge state."""
+    import ambient_sound_analysis_api_spark.streaming.hll as hllmod
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01", i) for i in range(80)],
+        "event_type string, day string, user_id long",
+    )
+    b2 = spark.createDataFrame(
+        [("b", "2024-01-02", i) for i in range(40)],
+        "event_type string, day string, user_id long",
+    )
+    hllmod.merge_register_batch(spark, b1, 0, store)
+
+    monkeypatch.setattr(hllmod, "swap_in", _tear_swap_at_rename_window(spark, store))
+    try:
+        hllmod.merge_register_batch(spark, b2, 1, store)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # strip _SUCCESS from every staged sibling -> staged copies look torn
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(hpath.getParent()):
+        name = st.getPath().getName()
+        if name.startswith("store.__staging__."):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(str(st.getPath()) + "/_SUCCESS"),
+                False,
+            )
+
+    recovered = hllmod.read_store(spark, store)
+    assert recovered is not None  # the complete __old__ copy won
+    # pre-merge state: only b1's day is present
+    assert {r["day"] for r in recovered.select("day").distinct().collect()} == {
+        "2024-01-01"
+    }
+
+    hllmod.merge_register_batch(spark, b2, 1, store)
+    est = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate_from_registers(
+            hllmod.read_store(spark, store), ["event_type", "day"]
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate(
+            b1.union(b2), "user_id", ["event_type", "day"]
+        ).collect()
+    }
+    assert est == direct
+
+
+def test_rollup_store_crash_in_rename_window_skips_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The partials store is NOT idempotent, so the crash window matters
+    even more: the recovered staged copy carries its _meta batch id, and
+    the replayed batch must be SKIPPED (merging it twice would
+    double-count)."""
+    import ambient_sound_analysis_api_spark.streaming.rollup as rollupmod
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 10:00:00", 1.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [("click", "2024-01-01 11:00:00", 2.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert rollupmod.merge_partials_batch(spark, b1, 0, store) is True
+
+    monkeypatch.setattr(
+        rollupmod, "swap_in", _tear_swap_at_rename_window(spark, store)
+    )
+    try:
+        rollupmod.merge_partials_batch(spark, b2, 1, store)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # recovery happens inside the replay gate itself
+    assert rollupmod.last_merged_batch(spark, store) == 1
+    # at-least-once redelivery of batch 1 is detected and skipped
+    assert rollupmod.merge_partials_batch(spark, b2, 1, store) is False
+    got = _norm(rollupmod.read_store(spark, store))
+    want = _norm(daily_partials(b1.union(b2)))
+    assert got == want
