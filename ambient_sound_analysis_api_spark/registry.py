@@ -6952,14 +6952,22 @@ def q_pipeline_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join count rides the SAME corpus pass as the probe (one broadcast
     hash join against the benchmark gram set + one per-doc aggregation),
     so the corpus text is tokenized exactly once."""
-    from .functions.text import token_ngrams
+    from .functions.text import array_ngrams, normalize_text, tokens
 
     docs = _table(spark, sf_dir, "documents")
     # short docs (<8 tokens) yield an empty shingle array and drop out of
-    # the explode naturally — same universe as the oracle's len(toks)>=8
+    # the explode naturally — same universe as the oracle's len(toks)>=8.
+    # The token array is explicitly pre-projected before array_ngrams (the
+    # fastest of the three shingling forms — see functions.text.bind_once):
+    # this query's floor IS the corpus tokenize scan, so the regexp chain
+    # must run exactly once per row.
     grams = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("_toks")
+    ).select(
         "doc_id",
-        F.explode(F.array_distinct(token_ngrams(F.col("text"), 8))).alias("gram"),
+        F.explode(F.array_distinct(array_ngrams(F.col("_toks"), 8))).alias(
+            "gram"
+        ),
     )
     is_bench = F.col("doc_id") % 20 == 0
     bench_g = grams.filter(is_bench).select("gram").distinct()
