@@ -49,6 +49,15 @@ class PaginatedKeyLister:
     first) and must return ``(keys, next_token)``; ``None`` ends that
     prefix. ``max_pages`` bounds runaway pagination (a pager that never
     returns ``None`` fails loudly instead of looping forever).
+
+    Driver memory is BOUNDED by ``chunk_size``, not the listing: pages
+    accumulate in a buffer that flushes every ``chunk_size`` keys —
+    either into an Arrow-batched in-plan chunk (default; the full key set
+    then lives JVM-side as union'd local relations, fine into the
+    low millions — 1M-key probe in NOTES.md) or, with ``stage_dir`` set,
+    into parquet chunk files read back as one ordinary splittable scan
+    (constant driver footprint; the "stage the inventory manifest"
+    production shape for listings that dwarf driver memory).
     """
 
     def __init__(
@@ -56,18 +65,46 @@ class PaginatedKeyLister:
         pager: Pager,
         prefixes: Iterable[str] = ("",),
         max_pages: int = 10_000,
+        chunk_size: int = 250_000,
+        stage_dir: "str | None" = None,
     ):
         self.pager = pager
         self.prefixes = list(prefixes)
         self.max_pages = max_pages
+        self.chunk_size = chunk_size
+        self.stage_dir = stage_dir
+
+    def _flush(self, spark: SparkSession, buf: list, out: list) -> None:
+        if not buf:
+            return
+        if self.stage_dir is None:
+            df = keys_from_listing(spark, buf, chunk_size=self.chunk_size)
+            out.append(df)
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"key": pa.array(buf, type=pa.string())}),
+                f"{self.stage_dir}/keys_chunk_{len(out):06d}.parquet",
+            )
+            out.append(None)  # count staged chunks
+        buf.clear()
 
     def list_keys(self, spark: SparkSession) -> DataFrame:
-        keys: list[str] = []
+        import os
+
+        if self.stage_dir is not None:
+            os.makedirs(self.stage_dir, exist_ok=True)
+        buf: list[str] = []
+        chunks: list = []
         for prefix in self.prefixes:
             token: str | None = None
             for _ in range(self.max_pages):
                 page, token = self.pager(prefix, token)
-                keys.extend(page)
+                buf.extend(page)
+                if len(buf) >= self.chunk_size:
+                    self._flush(spark, buf, chunks)
                 if token is None:
                     break
             else:
@@ -75,7 +112,17 @@ class PaginatedKeyLister:
                     f"listing for prefix {prefix!r} exceeded "
                     f"{self.max_pages} pages without completing"
                 )
-        return keys_from_listing(spark, keys)
+        self._flush(spark, buf, chunks)
+        if self.stage_dir is not None:
+            if not chunks:
+                return spark.createDataFrame([], "key string")
+            return spark.read.parquet(self.stage_dir).select("key")
+        if not chunks:
+            return spark.createDataFrame([], "key string")
+        out = chunks[0]
+        for df in chunks[1:]:
+            out = out.unionAll(df)
+        return out
 
 
 def s3_pager(client, bucket: str) -> Pager:

@@ -91,6 +91,10 @@ HEADLINE = [
     "emb_kcenter_diversity",
     # integer-ranked quantized-ANN audit (scale pass + codegen fold scan)
     "emb_int8_ann_recall",
+    # round-8: the IVF-PQ recall@10-vs-nprobe sweep — one cell ranking +
+    # one ADC scan fanned out over a broadcast 3-row probe list (memoized
+    # codebooks, so the entry times the curve, not the Lloyd refit)
+    "emb_ivfpq_recall_curve",
 ]
 
 

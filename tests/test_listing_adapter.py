@@ -108,3 +108,70 @@ def test_engine_accepts_injected_lister(spark, sf_dir, tmp_path):
     e_default = Engine(spark, root)
     e_injected = Engine(spark, root, key_lister=PaginatedKeyLister(one_page))
     assert e_injected.options() == e_default.options()
+
+
+def test_paginated_lister_chunked_flush_matches_unchunked(spark):
+    """chunk_size smaller than the listing: the buffer flushes mid-
+    pagination and the union of chunks must equal the one-shot listing."""
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        PaginatedKeyLister,
+    )
+
+    def pager(prefix, token):
+        i = int(token) if token else 0
+        keys = [f"archive/h/{i:03d}_{j:03d}.parquet" for j in range(10)]
+        return keys, (str(i + 1) if i + 1 < 7 else None)
+
+    small = PaginatedKeyLister(pager, chunk_size=25)
+    big = PaginatedKeyLister(pager, chunk_size=10_000)
+    a = sorted(r["key"] for r in small.list_keys(spark).collect())
+    b = sorted(r["key"] for r in big.list_keys(spark).collect())
+    assert a == b and len(a) == 70
+
+
+def test_paginated_lister_stage_dir_streams_to_parquet(spark, tmp_path):
+    """stage_dir: chunks land as parquet files (constant driver footprint)
+    and read back as one scan with the same keys."""
+    import os
+
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        PaginatedKeyLister,
+    )
+
+    def pager(prefix, token):
+        i = int(token) if token else 0
+        keys = [f"archive/h/{i:03d}_{j:03d}.parquet" for j in range(10)]
+        return keys, (str(i + 1) if i + 1 < 7 else None)
+
+    stage = str(tmp_path / "stage")
+    lister = PaginatedKeyLister(pager, chunk_size=25, stage_dir=stage)
+    got = sorted(r["key"] for r in lister.list_keys(spark).collect())
+    assert len(got) == 70 and got[0].startswith("archive/h/")
+    chunk_files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(chunk_files) == 3  # 25+25+20
+
+
+def test_parse_archive_keys_malformed_skip_is_unconditional(spark):
+    """Malformed keys must be SKIPPED regardless of plan shape: under ANSI
+    a plain cast of the empty regexp group throws when the optimizer
+    eagerly evaluates a LocalRelation projection (Arrow-built listings) —
+    the try_cast form must survive both plan shapes."""
+    import pandas as pd
+
+    from ambient_sound_analysis_api_spark.sources.catalog import (
+        parse_archive_keys,
+    )
+
+    keys = [
+        "archive/click/bush.parquet",      # malformed -> skipped
+        "archive/click/readme.txt",        # non-parquet -> skipped
+        "archive/click/20240101T000000_20240201T000000_1s_broadband.parquet",
+    ]
+    # Arrow/LocalRelation shape (optimizer-eager evaluation)
+    local = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    rows = parse_archive_keys(local).collect()
+    assert [r["delta_t"] for r in rows] == [1]
+    # RDD-backed shape (runtime evaluation)
+    rdd_df = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows2 = parse_archive_keys(rdd_df).collect()
+    assert [r["key"] for r in rows2] == [r["key"] for r in rows]

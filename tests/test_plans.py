@@ -266,6 +266,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "pipeline_diversity_metrics",  # 1-row stat-card cross joins
         "pipeline_mixture_weights",  # 1-row total/normalizer broadcasts
         "emb_int8_ann_recall",  # 1-row quantized-query broadcast
+        # 1-row query/centroid broadcasts + the 3-row nprobe list fanned
+        # out by a broadcast theta-join (cell_rank <= nprobe)
+        "emb_ivfpq_recall_curve",
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
         "rec_item_cooccurrence",  # 1-row user-total broadcast
@@ -333,3 +336,93 @@ def test_user_histories_single_hash_exchange(spark, sf_dir):
     # the only other hash exchange (rangepartitioning = presentation sort)
     assert len(hash_ex) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_split_engages_on_hot_key(spark):
+    """End-to-end proof the engine SURVIVES a skewed shuffle join, not just
+    diagnoses it (pipeline_skew_report): with one key owning half the rows,
+    AQE's runtime skew-join split must engage — the final adaptive
+    sort-merge join is marked skew=true and the hot partition is split
+    across multiple tasks. Thresholds are scaled down so local-mode data
+    trips the same machinery a 100 TB hot key would (the detection rule —
+    partition > max(threshold, factor x median) — is size-relative)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force a sort-merge join: skew split applies to shuffle joins
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        n = 400_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 5000)
+            .alias("key"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(5000).select(
+            F.col("id").alias("key"), (F.col("id") % 97).alias("dim")
+        )
+        joined = left.join(right, "key").groupBy().agg(
+            F.count("*").alias("n"), F.sum("dim").alias("s")
+        )
+        [row] = joined.collect()
+        assert row["n"] == n  # every left row matched exactly once
+
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, (
+            "AQE skew-join split did not engage:\n" + final_plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """salted_join's whole point is that the exchange hashes on
+    (key, salt), spreading a hot key over `salt` reducers — pin that the
+    partitioning expression actually carries the salt column."""
+    from ambient_sound_analysis_api_spark.operators.joins import salted_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small sides would broadcast (no shuffle to salt at all); force the
+        # shuffle join salting exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # key must be a real (non-constant) column: Catalyst folds literals
+        # out of hashpartitioning entirely
+        left = spark.range(1000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 10)
+            .alias("key"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(10).select(
+            F.col("id").alias("key"), F.lit(1).alias("w")
+        )
+        plan = explain_str(salted_join(left, right, on=["key"], salt=8))
+        assert "_salt" in plan
+        # the shuffle key includes the salt: hashpartitioning(key, _salt)
+        import re
+
+        m = re.findall(r"hashpartitioning\(key\S*, _salt\S*", plan)
+        assert m, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
