@@ -98,15 +98,26 @@ def bm25_topk(
     cast of the rounded score (ADVICE round-5: never rank on raw
     doubles across engines) with doc_id tie-break.
     """
+    from .caching import tracked_persist
+
     terms = [t.lower() for t in query_terms]
-    dl = docs.select(
-        "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
+    # dl and tf are each consumed by TWO subtrees (stats+scored, df+scored)
+    # and Spark shares no common subplans across references — without the
+    # persist every reference re-runs the corpus tokenize scan (measured:
+    # 4-5 parquet scans per query). Both tables are the post-tokenize,
+    # post-shuffle artifacts a production index would materialize anyway.
+    dl = tracked_persist(
+        docs.select(
+            "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
+        )
     )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )  # 1 row
-    tf = (
-        docs.select("doc_id", F.explode(letter_tokens(F.col("text"))).alias("term"))
+    tf = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(letter_tokens(F.col("text"))).alias("term")
+        )
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -146,3 +157,144 @@ def bm25_topk(
         )
         .limit(k)
     )
+
+
+def bm25_eval(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@k, MRR@k, and relevant-hit
+    count for a batch of bag-of-terms BM25 queries — the eval-harness
+    readout that decides whether a retrieval index is good enough to
+    serve (RAG corpus curation, index regression gates).
+
+    Relevance labels are deterministic term-coverage grades derived from
+    the data itself: ``rel = (distinct query terms present in doc) - 1``
+    (docs matching a single term are grade 0 = non-relevant; full
+    coverage of an m-term query grades m-1). Graded NDCG uses the
+    standard ``(2^rel - 1) / log2(rank + 1)`` gains; MRR is the
+    reciprocal rank of the first rel>=1 document in the BM25 top-k (0.0
+    when none).
+
+    ONE plan for the whole query batch, not one per query: the postings
+    table is filtered by a broadcast (query_id, term) join so only
+    query-term postings shuffle once; per-(query, doc) scores aggregate
+    from that stream; per-query ranking is a window partitioned by
+    query_id. Read cost is one corpus scan regardless of batch size —
+    the multi-query analog of ``bm25_topk``'s plan shape.
+
+    Cross-engine determinism: BM25 per-term scores follow ``bm25_topk``'s
+    contract (6dp-rounded ln, DECIMAL sums, fixed-point rank keys with
+    doc_id tie-breaks); each DCG gain term is 6dp-rounded BEFORE its
+    DECIMAL sum (absorbing last-ulp log2 differences); ndcg/mrr are
+    divisions of identical operands. Returns
+    ``(query_id, ndcg_at_k, mrr_at_k, n_rel_at_k)``.
+    """
+    from pyspark.sql import Window
+
+    from .caching import tracked_persist
+
+    spark = docs.sparkSession
+    qrows = [(int(qid), t.lower()) for qid, terms in queries for t in terms]
+    qtab = spark.createDataFrame(qrows, "query_id int, term string")
+
+    # persisted for the same multi-reference reason as bm25_topk: dl feeds
+    # stats AND the score join, tf feeds df AND the score join — without
+    # the persist each reference re-tokenizes the corpus (measured: 8
+    # parquet scans for a 3-query batch; 2 with)
+    dl = tracked_persist(
+        docs.select(
+            "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
+        )
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )  # 1 row
+    tf = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(letter_tokens(F.col("text"))).alias("term")
+        )
+        .join(F.broadcast(qtab.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(qtab), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfnorm = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    per_term = F.round(idf * tfnorm, 6).cast("decimal(20,6)")
+    qd = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(per_term).cast("double").alias("bm25"),
+        (F.count("*") - 1).cast("int").alias("rel"),
+    )
+
+    w_bm25 = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ranked = qd.select(
+        "query_id",
+        "doc_id",
+        "rel",
+        F.row_number().over(w_bm25).alias("rn"),
+        F.row_number().over(w_ideal).alias("rn_ideal"),
+    )
+
+    def gain(rel_col: F.Column, rank_col: F.Column) -> F.Column:
+        return F.round(
+            (F.pow(F.lit(2.0), rel_col.cast("double")) - F.lit(1.0))
+            / F.log2(rank_col.cast("double") + F.lit(1.0)),
+            6,
+        ).cast("decimal(20,6)")
+
+    zero = F.lit(0).cast("decimal(20,6)")
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("rn") <= k, gain(F.col("rel"), F.col("rn"))).otherwise(zero)
+        ).cast("double").alias("_dcg"),
+        F.sum(
+            F.when(
+                F.col("rn_ideal") <= k,
+                gain(F.col("rel"), F.col("rn_ideal")),
+            ).otherwise(zero)
+        ).cast("double").alias("_idcg"),
+        F.min(
+            F.when((F.col("rn") <= k) & (F.col("rel") >= 1), F.col("rn"))
+        ).alias("_first_rel"),
+        F.sum(
+            F.when((F.col("rn") <= k) & (F.col("rel") >= 1), 1).otherwise(0)
+        ).cast("long").alias("n_rel_at_k"),
+    )
+    return agg.select(
+        "query_id",
+        F.when(
+            F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), 6)
+        ).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+        F.when(
+            F.col("_first_rel").isNotNull(),
+            F.round(F.lit(1.0) / F.col("_first_rel").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("mrr_at_k"),
+        "n_rel_at_k",
+    ).orderBy("query_id")

@@ -9579,6 +9579,215 @@ def q_agg_hourly_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+@register(
+    "retrieval_ndcg_mrr",
+    r"""
+    WITH q(query_id, term) AS (VALUES
+      (1, 'vector'), (1, 'hash'), (1, 'merge'),
+      (2, 'stream'), (2, 'window'), (2, 'batch'),
+      (3, 'join'), (3, 'filter'), (3, 'sort')),
+    dl AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qq.query_id, tf.doc_id,
+             round(
+               round(ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                          / (dft.df + CAST(0.5 AS DOUBLE))), 6)
+               * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl.dl
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))), 6)
+               AS per_term
+      FROM tf
+      JOIN q qq USING (term)
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    qd AS (
+      SELECT query_id, doc_id,
+             CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+             CAST(count(*) - 1 AS INT) AS rel
+      FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rel,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY CAST(bm25 AS DECIMAL(32,12)) DESC, doc_id) AS rn,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, doc_id) AS rn_ideal
+      FROM qd
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN rn <= 10
+               THEN CAST(round((pow(CAST(2.0 AS DOUBLE), rel)
+                                - CAST(1.0 AS DOUBLE))
+                               / log2(rn + CAST(1.0 AS DOUBLE)), 6)
+                         AS DECIMAL(20,6))
+               ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS dcg,
+             CAST(sum(CASE WHEN rn_ideal <= 10
+               THEN CAST(round((pow(CAST(2.0 AS DOUBLE), rel)
+                                - CAST(1.0 AS DOUBLE))
+                               / log2(rn_ideal + CAST(1.0 AS DOUBLE)), 6)
+                         AS DECIMAL(20,6))
+               ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS idcg,
+             min(CASE WHEN rn <= 10 AND rel >= 1 THEN rn END) AS first_rel,
+             CAST(sum(CASE WHEN rn <= 10 AND rel >= 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_at_k
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_k,
+           CASE WHEN first_rel IS NOT NULL
+                THEN round(CAST(1.0 AS DOUBLE) / first_rel, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS mrr_at_k,
+           n_rel_at_k
+    FROM agg ORDER BY query_id
+    """,
+)
+def q_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (``operators.retrieval.bm25_eval``): NDCG@10,
+    MRR@10, and relevant-hit counts for a 3-query BM25 batch with
+    deterministic term-coverage relevance grades (rel = terms matched − 1)
+    — the eval-harness readout that gates a retrieval index for RAG/
+    curation use, completing the retrieval family (BM25 scoring → inverted
+    index → quality metrics). One corpus scan serves the whole batch: a
+    broadcast (query_id, term) join filters postings, per-query ranking is
+    a window, and both metric numerators are 6dp-rounded DCG gain terms
+    summed in DECIMAL (the lm/BM25 contract), so the whole eval —
+    ranking, graded gains, ideal ranking, reciprocal ranks — is
+    value-hash-checked against the unrolled SQL."""
+    from .operators.retrieval import bm25_eval
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_eval(
+        docs,
+        [
+            (1, ["vector", "hash", "merge"]),
+            (2, ["stream", "window", "batch"]),
+            (3, ["join", "filter", "sort"]),
+        ],
+        k=10,
+    )
+
+
+@register(
+    "dedup_lsh_calibration",
+    rf"""
+    WITH {_ngram_jaccard_ctes()},
+    h0 AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h0
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM g)
+    ),
+    coef(i, a, c) AS (VALUES {_MINHASH_COEF_VALUES}),
+    hi AS (
+      SELECT id, cf.i AS i,
+             min(((((cf.a * (h0 >> 30)) >> 31)
+                 + (((cf.a * (h0 >> 30)) & 2147483647) << 30)
+                 + cf.a * (h0 & 1073741823) + cf.c) % {_MINHASH_MOD})) AS h
+      FROM h0 CROSS JOIN coef cf
+      GROUP BY id, cf.i
+    ),
+    band AS (
+      SELECT id, CAST(i // 4 AS INT) AS band_idx,
+             ('0x' || substr(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15))::BIGINT AS band_hash
+      FROM hi GROUP BY id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    ),
+    u AS (
+      SELECT coalesce(c.id_a, e.id_a) AS id_a,
+             coalesce(c.id_b, e.id_b) AS id_b,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+             CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+      FROM cand c FULL OUTER JOIN jac_pairs e
+        ON c.id_a = e.id_a AND c.id_b = e.id_b
+    ),
+    m AS (
+      SELECT CAST(sum(in_lsh) AS BIGINT) AS n_candidates,
+             CAST(sum(in_exact) AS BIGINT) AS n_exact,
+             CAST(sum(in_lsh * in_exact) AS BIGINT) AS n_hits
+      FROM u
+    )
+    SELECT n_candidates, n_exact, n_hits,
+           CASE WHEN n_candidates > 0
+                THEN round(CAST(n_hits AS DOUBLE) / n_candidates, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS precision_val,
+           CASE WHEN n_exact > 0
+                THEN round(CAST(n_hits AS DOUBLE) / n_exact, 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS recall_val
+    FROM m
+    """,
+)
+def q_dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration gate — the dedup analog of the ANN recall audits
+    (``emb_int8_ann_recall`` / ``emb_ivfpq_recall_curve``): candidate
+    pairs from MinHash(32)/8-band LSH bucketing scored against the exact
+    3-gram Jaccard ≥ 0.2 operator AS DEPLOYED (default hot-shingle cap
+    included), yielding the precision (what fraction of band collisions
+    are true near-dups) and recall (what fraction of true near-dups the
+    banding surfaces) that decide a production (bands, rows) setting.
+    One full-outer join of the two oracle-proven pair sets + one global
+    aggregate; both inputs ride their own existing bucketed plans, so the
+    calibration adds no quadratic stage. Small-integer ratios round
+    identically everywhere, so the gate is value-hash-checked."""
+    from pyspark.sql import functions as _F
+
+    docs = _table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, n=3, threshold=0.0
+    ).select("id_a", "id_b", _F.lit(1).alias("in_lsh"))
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "id_a", "id_b", _F.lit(1).alias("in_exact")
+    )
+    u = cand.join(exact, ["id_a", "id_b"], "full_outer")
+    m = u.agg(
+        _F.sum("in_lsh").cast("long").alias("n_candidates"),
+        _F.sum("in_exact").cast("long").alias("n_exact"),
+        _F.sum(
+            _F.coalesce("in_lsh", _F.lit(0))
+            * _F.coalesce("in_exact", _F.lit(0))
+        ).cast("long").alias("n_hits"),
+    )
+    return m.select(
+        "n_candidates",
+        "n_exact",
+        "n_hits",
+        _F.when(
+            _F.col("n_candidates") > 0,
+            _F.round(
+                _F.col("n_hits").cast("double") / _F.col("n_candidates"), 6
+            ),
+        ).otherwise(_F.lit(0.0)).alias("precision_val"),
+        _F.when(
+            _F.col("n_exact") > 0,
+            _F.round(_F.col("n_hits").cast("double") / _F.col("n_exact"), 6),
+        ).otherwise(_F.lit(0.0)).alias("recall_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

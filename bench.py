@@ -93,8 +93,10 @@ HEADLINE = [
     "emb_int8_ann_recall",
     # round-8: the IVF-PQ recall@10-vs-nprobe sweep — one cell ranking +
     # one ADC scan fanned out over a broadcast 3-row probe list (memoized
-    # codebooks, so the entry times the curve, not the Lloyd refit)
+    # codebooks, so the entry times the curve, not the Lloyd refit) — and
+    # the multi-query BM25 eval (batched postings join + per-query windows)
     "emb_ivfpq_recall_curve",
+    "retrieval_ndcg_mrr",
 ]
 
 

@@ -270,6 +270,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # out by a broadcast theta-join (cell_rank <= nprobe)
         "emb_ivfpq_recall_curve",
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
+        "retrieval_ndcg_mrr",  # same 1-row corpus-stats broadcast, batched
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
         "rec_item_cooccurrence",  # 1-row user-total broadcast
         "pipeline_drift_psi",  # 1-row global-range broadcast

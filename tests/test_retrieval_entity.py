@@ -231,3 +231,51 @@ def test_knn_graph_capacity_cap_is_default_on(spark):
     for r in capped:
         per_src.setdefault(r.src_id, set()).add(r.nbr_id)
     assert max(len(v) for v in per_src.values()) < 11
+
+
+def test_bm25_eval_ndcg_mrr_hand_computed(spark):
+    """3-doc corpus, 2-term query: the doc covering BOTH terms (rel 1)
+    must outrank the single-term docs, so NDCG@10 and MRR are exactly 1.0
+    with one relevant hit; a query no doc fully covers scores all-zero."""
+    from ambient_sound_analysis_api_spark.operators.retrieval import bm25_eval
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    rows = {
+        r["query_id"]: r
+        for r in bm25_eval(
+            docs, [(1, ["x", "y"]), (2, ["x", "z"])], k=10
+        ).collect()
+    }
+    assert rows[1]["ndcg_at_k"] == 1.0
+    assert rows[1]["mrr_at_k"] == 1.0
+    assert rows[1]["n_rel_at_k"] == 1
+    # no doc contains both 'x' and 'z': every grade is 0
+    assert rows[2]["ndcg_at_k"] == 0.0
+    assert rows[2]["mrr_at_k"] == 0.0
+    assert rows[2]["n_rel_at_k"] == 0
+
+
+def test_bm25_eval_references_hit_the_postings_cache(spark, sf_dir):
+    """The query batch must NOT multiply corpus tokenize scans: dl and tf
+    are persisted, so every one of their multiple plan references reads
+    the cache (InMemoryTableScan) and the parquet tokenize executes only
+    while building each cache. (Textual 'Scan parquet' counting is
+    useless here — the cached child plan's description still contains the
+    scan node it was built from.)"""
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.retrieval import bm25_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_eval(docs, [(1, ["vector"]), (2, ["merge"]), (3, ["hash"])])
+    try:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # stats+score read dl from cache; df+score read tf from cache —
+        # at least 4 cache reads replace what were re-tokenize scans
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_caches()
