@@ -133,3 +133,151 @@ def _swap_partitions(
         if not (st.isDirectory() and name.startswith(prefix)):
             continue
         aswap.swap_in(spark, str(st.getPath().toString()), f"{path}/{name}")
+
+
+def forget_rows(
+    base: DataFrame, tombstones: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The relational core of right-to-be-forgotten erasure: every base
+    row whose key appears in ``tombstones`` is removed (left-anti join —
+    duplicate tombstones are harmless, the join is set-semantic). This is
+    what DELETE FROM ... WHERE key IN (...) executes underneath; the
+    crash-safe, partition-pruned storage form is :func:`forget_write`."""
+    return base.join(
+        tombstones.select(*keys).distinct(), keys, "left_anti"
+    )
+
+
+def forget_write(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+):
+    """DELETE the tombstoned keys from the Parquet table at ``path``,
+    crash-safely — the right-to-be-forgotten / GDPR-erasure write path,
+    the delete sibling of :func:`merge_write`.
+
+    With ``partition_col`` the rewrite is *partition-pruned on actual
+    containment*: a semi-join finds the partitions that really hold
+    tombstoned keys (not just partitions named by the request), only
+    those re-stage and atomically swap, and a partition whose every row
+    is erased is REMOVED outright (``partitionBy`` writes no dir for an
+    empty partition, so the swap loop alone would silently leave the old
+    data in place — the deleted-everything case needs the explicit
+    directory delete). Untouched partitions see zero IO: at 100 TB,
+    erasing one user's documents rewrites the handful of partitions that
+    contain them, not the corpus.
+
+    Without ``partition_col`` the whole table rewrites old-or-new
+    atomically (staging + rename, ``operators/atomic_swap.py``).
+
+    Returns the erasure manifest as a DataFrame —
+    ``(partition, rows_before, rows_deleted, rows_after)``, one row per
+    touched partition (one row total when unpartitioned) — the audit
+    artifact an erasure request is answered with. The manifest is
+    computed from the SAME pruned subset that rewrites, so it is exact.
+    """
+    from . import atomic_swap as aswap
+
+    base = spark.read.parquet(path)
+    tomb = tombstones.select(*keys).distinct()
+
+    def manifest_of(sub: DataFrame, part_expr) -> DataFrame:
+        flagged = sub.join(
+            F.broadcast(tomb.withColumn("__t", F.lit(1))), keys, "left"
+        )
+        return (
+            flagged.groupBy(part_expr.alias("partition"))
+            .agg(
+                F.count("*").alias("rows_before"),
+                F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias(
+                    "rows_deleted"
+                ),
+            )
+            .select(
+                "partition",
+                "rows_before",
+                "rows_deleted",
+                (F.col("rows_before") - F.col("rows_deleted")).alias(
+                    "rows_after"
+                ),
+            )
+        )
+
+    staging = aswap.staging_path(path)
+    try:
+        if partition_col is None:
+            manifest = manifest_of(base, F.lit("<table>")).collect()
+            survivors = forget_rows(base, tomb, keys)
+            survivors.write.parquet(staging)
+            aswap.swap_in(spark, staging, path)
+            return spark.createDataFrame(
+                manifest,
+                "partition string, rows_before long, rows_deleted long,"
+                " rows_after long",
+            )
+
+        # partitions that actually CONTAIN tombstoned keys (containment,
+        # not request-naming: a key listed but absent touches nothing)
+        touched = [
+            r[0]
+            for r in base.join(F.broadcast(tomb), keys, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return spark.createDataFrame(
+                [],
+                "partition string, rows_before long, rows_deleted long,"
+                " rows_after long",
+            )
+        non_null = [v for v in touched if v is not None]
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in touched):
+            cond = cond | F.col(partition_col).isNull()
+        sub = base.filter(cond)
+        manifest = manifest_of(
+            sub, F.col(partition_col).cast("string")
+        ).collect()
+        survivors = forget_rows(sub, tomb, keys)
+        survivors.write.partitionBy(partition_col).parquet(staging)
+
+        # capture the staged partition names BEFORE the swap renames them
+        # away, then swap rewritten partitions in, then remove touched
+        # partitions the staged write produced NO dir for (every row
+        # erased). Touched values compare as their str() form — the same
+        # stringification partitionBy uses for primitive partition values.
+        fs, sroot = aswap._fs_and_path(spark, staging)
+        staged_names = {
+            st.getPath().getName()
+            for st in fs.listStatus(sroot)
+            if st.getPath().getName().startswith(f"{partition_col}=")
+        }
+        _swap_partitions(spark, staging, path, partition_col)
+        _, troot = aswap._fs_and_path(spark, path)
+        touched_strs = {str(v) for v in touched if v is not None}
+        touched_null = any(v is None for v in touched)
+        for st in fs.listStatus(troot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(f"{partition_col}=")):
+                continue
+            val = aswap.unescape_partition_value(
+                name[len(partition_col) + 1 :]
+            )
+            hit = (val is None and touched_null) or (
+                val is not None and val in touched_strs
+            )
+            if hit and name not in staged_names:
+                fs.delete(st.getPath(), True)
+        return spark.createDataFrame(
+            manifest,
+            "partition string, rows_before long, rows_deleted long,"
+            " rows_after long",
+        )
+    finally:
+        aswap.cleanup_staging(spark, staging)

@@ -9788,6 +9788,83 @@ def q_dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_forget_audit",
+    """
+    WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    f AS (
+      SELECT d.lang, d.doc_id,
+             CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tdel
+      FROM documents d LEFT JOIN tomb t USING (doc_id)
+    ),
+    a AS (
+      SELECT lang, count(*) AS rows_before,
+             CAST(sum(tdel) AS BIGINT) AS rows_deleted
+      FROM f GROUP BY lang
+    ),
+    surv AS (
+      SELECT lang, doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM tomb)
+    ),
+    leak AS (
+      SELECT lang, count(*) AS n_leak
+      FROM surv SEMI JOIN tomb USING (doc_id)
+      GROUP BY lang
+    )
+    SELECT a.lang,
+           CAST(a.rows_before AS BIGINT) AS rows_before,
+           a.rows_deleted,
+           CAST(a.rows_before - a.rows_deleted AS BIGINT) AS rows_after,
+           CAST(coalesce(l.n_leak, 0) AS BIGINT) AS n_tomb_surviving
+    FROM a LEFT JOIN leak l USING (lang)
+    ORDER BY a.lang
+    """,
+)
+def q_pipeline_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit
+    (``operators.upsert.forget_rows`` / ``forget_write``): tombstoned
+    documents (synthetic erasure requests: doc_id % 97 == 0) are removed
+    by the anti-join DELETE core, and the audit reports per-language
+    rows_before / rows_deleted / rows_after PLUS ``n_tomb_surviving`` —
+    computed from the ACTUAL survivor set (semi-join back against the
+    tombstones), so the query self-verifies complete erasure rather than
+    asserting it. The storage form (``forget_write``) prunes the rewrite
+    to partitions that really contain tombstoned keys, removes
+    fully-erased partition dirs, and swaps atomically
+    (crash-safety + zero-IO-untouched-partitions pinned in
+    ``tests/test_atomic_write.py``)."""
+    from .operators.upsert import forget_rows
+
+    docs = _table(spark, sf_dir, "documents")
+    tomb = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    flagged = docs.join(
+        F.broadcast(tomb.withColumn("__t", F.lit(1))), "doc_id", "left"
+    )
+    audit = flagged.groupBy("lang").agg(
+        F.count("*").alias("rows_before"),
+        F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias("rows_deleted"),
+    )
+    survivors = forget_rows(docs, tomb, ["doc_id"])
+    leak = (
+        survivors.join(F.broadcast(tomb), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_leak"))
+    )
+    return (
+        audit.join(leak, "lang", "left")
+        .select(
+            "lang",
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+            F.coalesce("n_leak", F.lit(0)).cast("long").alias(
+                "n_tomb_surviving"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

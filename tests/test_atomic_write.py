@@ -195,3 +195,97 @@ def test_merge_write_null_partition_preserves_base_rows(spark, tmp_path):
     merge_write(spark, path, changes, ["k"], partition_col="day")
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(10, "A"), (11, "b"), (12, "c")}  # 11 survives, 12 untouched
+
+
+# ---------------------------------------------------------------- forget_write
+
+
+def _forget_fixture(spark, tmp_path, partitioned=True):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "docs")
+    rows = [(i, ["en", "de", "fr", "es"][i % 4], f"text {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    if partitioned:
+        df.write.partitionBy("lang").parquet(path)
+    else:
+        df.write.parquet(path)
+    return path
+
+
+def test_forget_write_partition_pruned_erasure(spark, tmp_path):
+    """Tombstones hitting two languages: those partitions rewrite, the
+    others' files are byte-identical untouched, the manifest is exact,
+    and zero tombstoned keys survive."""
+    import os
+
+    from ambient_sound_analysis_api_spark.operators.upsert import forget_write
+
+    path = _forget_fixture(spark, tmp_path)
+
+    def files_of(lang):
+        d = f"{path}/lang={lang}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_fr, before_es = files_of("fr"), files_of("es")
+    # erase doc_ids 0,4,8,12 (lang=en) and 1 (lang=de): en + de touched
+    tomb = spark.createDataFrame(
+        [(0,), (4,), (8,), (12,), (1,), (99999,)], "doc_id long"
+    )
+    manifest = {
+        r["partition"]: r
+        for r in forget_write(
+            spark, path, tomb, ["doc_id"], partition_col="lang"
+        ).collect()
+    }
+    assert set(manifest) == {"en", "de"}  # containment pruning: fr/es untouched
+    assert manifest["en"]["rows_deleted"] == 4
+    assert manifest["en"]["rows_after"] == 6
+    assert manifest["de"]["rows_deleted"] == 1
+
+    got = spark.read.parquet(path)
+    assert got.count() == 40 - 5
+    assert got.filter(got.doc_id.isin([0, 4, 8, 12, 1])).count() == 0
+    # untouched partitions: identical file lists AND mtimes (zero IO)
+    assert files_of("fr") == before_fr and files_of("es") == before_es
+
+
+def test_forget_write_removes_fully_erased_partition(spark, tmp_path):
+    """Erasing EVERY row of a partition must remove its directory —
+    partitionBy writes no dir for an empty partition, so the swap alone
+    would leave the old data behind."""
+    import os
+
+    from ambient_sound_analysis_api_spark.operators.upsert import forget_write
+
+    path = _forget_fixture(spark, tmp_path)
+    all_fr = [(i,) for i in range(40) if i % 4 == 2]  # lang=fr rows
+    tomb = spark.createDataFrame(all_fr, "doc_id long")
+    manifest = forget_write(
+        spark, path, tomb, ["doc_id"], partition_col="lang"
+    ).collect()
+    assert manifest[0]["partition"] == "fr"
+    assert manifest[0]["rows_after"] == 0
+    assert not os.path.exists(f"{path}/lang=fr")
+    got = spark.read.parquet(path)
+    assert got.count() == 30 and got.filter("lang = 'fr'").count() == 0
+
+
+def test_forget_write_unpartitioned_and_noop(spark, tmp_path):
+    from ambient_sound_analysis_api_spark.operators.upsert import forget_write
+
+    path = _forget_fixture(spark, tmp_path, partitioned=False)
+    tomb = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    m = forget_write(spark, path, tomb, ["doc_id"]).collect()
+    assert m[0]["rows_deleted"] == 2 and m[0]["rows_after"] == 38
+    assert spark.read.parquet(path).count() == 38
+
+    # a tombstone for keys the table doesn't contain touches nothing
+    path2 = _forget_fixture(spark, tmp_path.joinpath("x"), partitioned=True)
+    ghost = spark.createDataFrame([(12345,)], "doc_id long")
+    from ambient_sound_analysis_api_spark.operators.upsert import forget_write as fw
+    assert fw(spark, path2, ghost, ["doc_id"], partition_col="lang").count() == 0
+    assert spark.read.parquet(path2).count() == 40
