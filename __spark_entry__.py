@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Matching ANSI SQL for DuckDB; engine-internal hash-family ops
-    (MinHash/SimHash) are rows-only and intentionally omitted."""
+    """Matching ANSI SQL for DuckDB. Only the three deterministic
+    Arrow-kernel queries (FFT/phash: golden-file-checked) and the
+    count-min sketch (error-bounds-checked) omit SQL — every hash-family
+    op has carried an exact oracle since the round-7 portable-md5
+    re-keying."""
     return registry.oracle_sql()
