@@ -87,9 +87,12 @@ def recover_path(spark: SparkSession, path: str) -> str | None:
     detected; the HLL store is idempotent by max-merge either way), and
     when the current swap's staging is incomplete the ``__old__`` copy
     wins, after which the at-least-once replay of the in-flight batch
-    re-merges it. Returns the recovered sibling's path, or None when
-    ``path`` exists or no complete copy was found (a no-op in normal
-    operation — one ``exists`` probe)."""
+    re-merges it. Non-chosen sibling copies are deliberately LEFT on disk
+    (they are the only remaining backups until the next successful swap;
+    a later swap's normal cleanup does not know about them, so prune them
+    with ordinary directory hygiene). Returns the recovered sibling's
+    path, or None when ``path`` exists or no complete copy was found (a
+    no-op in normal operation — one ``exists`` probe)."""
     jvm = spark._jvm
     fs, dst = _fs_and_path(spark, path)
     if fs.exists(dst):
