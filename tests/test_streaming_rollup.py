@@ -310,3 +310,38 @@ def test_rollup_store_crash_in_rename_window_skips_replay(
     got = _norm(rollupmod.read_store(spark, store))
     want = _norm(daily_partials(b1.union(b2)))
     assert got == want
+
+
+def test_recover_path_is_noop_when_store_exists(spark, tmp_path):
+    """A stale complete staging sibling (crash BEFORE any rename) must
+    never displace a live store: recover_path only acts when the store
+    path itself is missing."""
+    from ambient_sound_analysis_api_spark.operators.atomic_swap import (
+        recover_path,
+    )
+
+    store = str(tmp_path / "store")
+    spark.range(5).write.parquet(store)
+    stale = str(tmp_path / "store.__staging__.cafecafe0000")
+    spark.range(999).write.parquet(stale)  # complete (_SUCCESS present)
+
+    assert recover_path(spark, store) is None
+    assert spark.read.parquet(store).count() == 5  # untouched
+
+    # once the store goes missing, the complete sibling IS recovered —
+    # and other siblings stay on disk (documented retention)
+    import shutil
+
+    shutil.rmtree(store)
+    other = str(tmp_path / "store.__old__.beefbeef0000")
+    spark.range(7).write.parquet(other)
+    recovered = recover_path(spark, store)
+    assert recovered is not None
+    assert spark.read.parquet(store).count() in (999, 7)
+    import os
+
+    leftovers = [
+        d for d in os.listdir(tmp_path)
+        if d.startswith("store.__") and os.path.isdir(tmp_path / d)
+    ]
+    assert len(leftovers) == 1  # the non-chosen sibling is retained
