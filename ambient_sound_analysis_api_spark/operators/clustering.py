@@ -137,6 +137,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     arrow: bool = False,
     max_block_size: int | None = 1024,
+    warn_on_truncation: bool = True,
 ) -> DataFrame:
     """SemDeDup: k-means the embeddings, then emit near-duplicate pairs
     *within* clusters only.
@@ -167,6 +168,7 @@ def semantic_dedup_pairs(
         vec_col=vec_col,
         arrow=arrow,
         max_block_size=max_block_size,
+        warn_on_truncation=warn_on_truncation,
     )
 
 

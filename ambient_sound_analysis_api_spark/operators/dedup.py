@@ -492,6 +492,7 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     arrow: bool = False,
     max_block_size: int | None = 1024,
+    warn_on_truncation: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse blocks.
 
@@ -524,11 +525,33 @@ def embedding_near_pairs(
     nlist recall-for-cost trade). Pass ``max_block_size=None`` for exact
     within-block semantics — the oracle-checked registry configuration,
     where the split's ``xxhash64`` would not be SQL-portable.
+
+    Because the split silently trades recall, ``warn_on_truncation=True``
+    (the :func:`..similarity.knn_graph` contract) counts oversized blocks
+    up front and emits a one-time ``UserWarning`` when the cap engages;
+    pass ``False`` to keep the call fully lazy.
     """
     from .similarity import dot, l2_norm
 
     if max_block_size is not None:
         sizes = emb.groupBy(block_col).agg(F.count("*").alias("_bn"))
+        if warn_on_truncation:
+            # same one-time heads-up contract as similarity.knn_graph: the
+            # hash split silently trades recall, so pre-cap callers learn
+            # the cap engaged instead of discovering missing pairs later
+            import warnings
+
+            n_over = sizes.filter(F.col("_bn") > max_block_size).count()
+            if n_over:
+                warnings.warn(
+                    f"embedding_near_pairs: {n_over} block(s) exceed "
+                    f"max_block_size={max_block_size} and were hash-split;"
+                    " pairs across sibling sub-blocks are not scored "
+                    "(bounded recall loss). Pass max_block_size=None for "
+                    "exact within-block semantics.",
+                    UserWarning,
+                    stacklevel=2,
+                )
         nsub = F.greatest(
             F.lit(1), F.ceil(F.col("_bn") / F.lit(float(max_block_size)))
         )

@@ -297,14 +297,27 @@ def ivfpq_recall_curve(
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
+    # Cell-ranking key under the repo's cross-engine contract: snap both
+    # operands to DECIMAL(15,9), square exactly, sum exactly in DECIMAL —
+    # the same shape as the exact baseline below. A raw DOUBLE sum would
+    # fold in array order here but in unspecified GROUP BY order in the
+    # SQL oracle, so a near-ulp tie between two cells could flip
+    # ``cell_rank`` and flake the hash check.
+    csnap = F.transform(
+        F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
+    )
+    qsnap = F.transform(
+        F.col("_qvec"),
+        lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+    )
     sqd = F.aggregate(
         F.zip_with(
-            F.col("centroid"),
-            F.col("_qvec"),
-            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+            csnap, qsnap, lambda a, b: ((a - b) * (a - b)).cast(
+                "decimal(38,18)"
+            )
         ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
     )
     wc = Window.orderBy(F.col("_d"), F.col("cell"))
     cells = (

@@ -221,13 +221,22 @@ def forget_write(
 
         # partitions that actually CONTAIN tombstoned keys (containment,
         # not request-naming: a key listed but absent touches nothing)
-        touched = [
-            r[0]
-            for r in base.join(F.broadcast(tomb), keys, "left_semi")
-            .select(partition_col)
+        # collect BOTH the raw value (for the pruning filter) and Spark's
+        # own cast-to-string form (for matching on-disk dir names):
+        # partitionBy stringifies through the engine's cast, which differs
+        # from Python's str() for booleans ('true' vs 'True') and similar
+        # primitives — a str()-based compare would silently skip the
+        # fully-erased-partition delete for such columns.
+        touched_rows = (
+            base.join(F.broadcast(tomb), keys, "left_semi")
+            .select(
+                F.col(partition_col).alias("_v"),
+                F.col(partition_col).cast("string").alias("_s"),
+            )
             .distinct()
             .collect()
-        ]
+        )
+        touched = [r["_v"] for r in touched_rows]
         if not touched:
             return spark.createDataFrame(
                 [],
@@ -250,8 +259,9 @@ def forget_write(
         # capture the staged partition names BEFORE the swap renames them
         # away, then swap rewritten partitions in, then remove touched
         # partitions the staged write produced NO dir for (every row
-        # erased). Touched values compare as their str() form — the same
-        # stringification partitionBy uses for primitive partition values.
+        # erased). Touched values compare via Spark's cast-to-string form
+        # (collected above) — the same stringification partitionBy uses
+        # when writing the dir name.
         fs, sroot = aswap._fs_and_path(spark, staging)
         staged_names = {
             st.getPath().getName()
@@ -260,7 +270,7 @@ def forget_write(
         }
         _swap_partitions(spark, staging, path, partition_col)
         _, troot = aswap._fs_and_path(spark, path)
-        touched_strs = {str(v) for v in touched if v is not None}
+        touched_strs = {r["_s"] for r in touched_rows if r["_s"] is not None}
         touched_null = any(v is None for v in touched)
         for st in fs.listStatus(troot):
             name = st.getPath().getName()

@@ -215,7 +215,7 @@ def _memo_put(memo: dict, key: tuple, value) -> None:
     evicting entries for the same table path whose fingerprint is now
     stale so regenerated datasets don't leak dead artifacts."""
     path = key[0][0]
-    stale = [k for k in memo if k[0][0] == path and k != key]
+    stale = [k for k in memo if k[0][0] == path and k[0] != key[0]]
     for k in stale:
         del memo[k]
     memo[key] = value
@@ -8833,7 +8833,14 @@ def q_emb_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY label, i
     ),
     cdist AS (
-      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      -- operands snapped to DECIMAL(15,9), squared and summed exactly:
+      -- same contract as exdist, so d is order-independent and the
+      -- cell ranking can never flake on cross-engine sum order
+      SELECT c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))) AS d
       FROM cent c JOIN qdim qd USING (i)
       GROUP BY c.label
     ),

@@ -96,6 +96,14 @@ class PaginatedKeyLister:
 
         if self.stage_dir is not None:
             os.makedirs(self.stage_dir, exist_ok=True)
+            # drop chunk files left over from a previous (interrupted or
+            # larger) run: this run only overwrites indexes it reaches, so
+            # stale higher-index chunks would silently re-enter the read.
+            for entry in os.scandir(self.stage_dir):
+                if entry.name.startswith("keys_chunk_") and entry.name.endswith(
+                    ".parquet"
+                ):
+                    os.unlink(entry.path)
         buf: list[str] = []
         chunks: list = []
         for prefix in self.prefixes:

@@ -289,3 +289,33 @@ def test_forget_write_unpartitioned_and_noop(spark, tmp_path):
     from ambient_sound_analysis_api_spark.operators.upsert import forget_write as fw
     assert fw(spark, path2, ghost, ["doc_id"], partition_col="lang").count() == 0
     assert spark.read.parquet(path2).count() == 40
+
+
+def test_forget_write_boolean_partition_fully_erased(spark, tmp_path):
+    """Spark stringifies a boolean partition value as 'true' in the dir
+    name while Python str(True) is 'True' — the fully-erased-partition
+    delete must compare via Spark's own cast, or the tombstoned rows
+    silently survive on disk while the manifest reports them deleted."""
+    import os
+
+    from ambient_sound_analysis_api_spark.operators.upsert import forget_write
+
+    path = str(tmp_path / "flags")
+    rows = [(i, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, flag boolean")
+    df.write.partitionBy("flag").parquet(path)
+    assert os.path.exists(f"{path}/flag=true")
+
+    tomb = spark.createDataFrame(
+        [(i,) for i in range(0, 10, 2)], "doc_id long"
+    )
+    manifest = forget_write(
+        spark, path, tomb, ["doc_id"], partition_col="flag"
+    ).collect()
+    assert len(manifest) == 1
+    assert manifest[0]["partition"] == "true"
+    assert manifest[0]["rows_deleted"] == 5 and manifest[0]["rows_after"] == 0
+    # the erased partition's directory must actually be gone
+    assert not os.path.exists(f"{path}/flag=true")
+    got = spark.read.parquet(path)
+    assert got.count() == 5 and got.filter("flag = true").count() == 0

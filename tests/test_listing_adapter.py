@@ -175,3 +175,33 @@ def test_parse_archive_keys_malformed_skip_is_unconditional(spark):
     rdd_df = spark.createDataFrame([(k,) for k in keys], "key string")
     rows2 = parse_archive_keys(rdd_df).collect()
     assert [r["key"] for r in rows2] == [r["key"] for r in rows]
+
+
+def test_paginated_lister_stage_dir_cleans_stale_chunks(spark, tmp_path):
+    """Chunk files left by a previous (interrupted or larger) run must not
+    re-enter the listing: a later, smaller run only overwrites the chunk
+    indexes it reaches, so without the startup cleanup the stale
+    higher-index chunks would contribute duplicate/phantom keys."""
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        PaginatedKeyLister,
+    )
+
+    def big_pager(prefix, token):
+        i = int(token) if token else 0
+        keys = [f"archive/h/{i:03d}_{j:03d}.parquet" for j in range(10)]
+        return keys, (str(i + 1) if i + 1 < 7 else None)
+
+    def small_pager(prefix, token):
+        return [f"archive/s/{j:03d}.parquet" for j in range(5)], None
+
+    stage = str(tmp_path / "stage")
+    PaginatedKeyLister(big_pager, chunk_size=25, stage_dir=stage).list_keys(
+        spark
+    ).count()  # leaves 3 chunk files behind
+    got = sorted(
+        r["key"]
+        for r in PaginatedKeyLister(
+            small_pager, chunk_size=25, stage_dir=stage
+        ).list_keys(spark).collect()
+    )
+    assert len(got) == 5 and all(k.startswith("archive/s/") for k in got)
