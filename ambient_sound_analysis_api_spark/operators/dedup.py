@@ -176,6 +176,192 @@ def ngram_jaccard_pairs(
     )
 
 
+def doc_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate membership table: ``(id, rep_id, n_copies)`` —
+    every document tagged with the min-id representative of its
+    md5(text) group and the group's copy count. One hash-partition pass
+    (a window over the content hash); the exact-copy EDGE set is the
+    ``id != rep_id`` subset. This is the collapse step the scale-safe
+    near-dup composition starts from."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("rep_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+def representative_near_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Scale-safe near-duplicate pairs: collapse exact copies FIRST, run
+    the token-n-gram Jaccard shingle join on one representative per
+    distinct text, and report multiplicities instead of materializing
+    the copy-expanded pair set.
+
+    The raw pair operators (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`) are output-quadratic in duplication by
+    CONTRACT: a corpus where every doc has 9 exact copies emits ~100×
+    the true-pair rows (measured 93× wall on the 10×-dup probe,
+    NOTES.md round 8) — every copy-pair meets on every shared shingle.
+    This operator is the production composition (previously buried
+    inside ``pipeline_leakage_safe_split``): exact copies share
+    identical shingle sets, so Jaccard between any two docs equals
+    Jaccard between their representatives, and the doc-level pair set
+    factors exactly into (rep-pair) × (copy multiplicities).
+
+    Output — one row per REPRESENTATIVE pair, never per doc pair:
+
+    - ``id_a < id_b`` rows: cross-group near-dup pairs with the rep-level
+      ``jaccard`` and ``n_expanded = n_copies_a · n_copies_b`` (how many
+      doc-level pairs the row stands for);
+    - ``id_a == id_b`` rows (the diagonal): within-group exact-copy
+      cliques — ``jaccard`` 1.0, ``n_expanded = C(n_copies, 2)`` —
+      emitted only when the group has ≥ 2 copies AND its representative
+      retains ≥ 1 shingle under the cap (a shingle-less doc pairs with
+      nothing in the raw operator either).
+
+    Together the rows partition the raw operator's output exactly:
+    :func:`expand_representative_pairs` reconstructs it row-for-row
+    (equivalence unit-tested), while Σ ``n_expanded`` answers the usual
+    question (how much duplication) at O(distinct-text) cost.
+
+    ``max_shingle_df`` counts document frequency over REPRESENTATIVES —
+    boilerplate is measured across distinct texts, not inflated by copy
+    counts (the same universe ``pipeline_leakage_safe_split``'s oracle
+    replays). Columns: ``(id_a, id_b, jaccard, n_copies_a, n_copies_b,
+    n_expanded)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    tagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.min(id_col).over(w).alias("_rep"),
+        F.count("*").over(w).alias("_nc"),
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, text_col, F.col("_nc").alias("n_copies")
+    )
+    shingles, sizes = _shingle_universe(
+        reps, n, text_col, id_col, max_shingle_df
+    )
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    mult = reps.select(F.col(id_col), F.col("n_copies"))
+    ma = mult.select(
+        F.col(id_col).alias("id_a"), F.col("n_copies").alias("n_copies_a")
+    )
+    mb = mult.select(
+        F.col(id_col).alias("id_b"), F.col("n_copies").alias("n_copies_b")
+    )
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "n_copies_a",
+            "n_copies_b",
+            (F.col("n_copies_a") * F.col("n_copies_b"))
+            .cast("long")
+            .alias("n_expanded"),
+        )
+    )
+    diag = (
+        mult.filter(F.col("n_copies") >= 2)
+        .join(
+            # n_shingles > 0: the uncapped sizes table carries
+            # zero-shingle docs (F.size of an empty array), which pair
+            # with nothing in the raw operator
+            sizes.filter(F.col("n_shingles") > 0)
+            .select(F.col("id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.col("n_copies").alias("n_copies_a"),
+            F.col("n_copies").alias("n_copies_b"),
+            (F.col("n_copies") * (F.col("n_copies") - 1) / 2)
+            .cast("long")
+            .alias("n_expanded"),
+        )
+    )
+    return cross.unionByName(diag)
+
+
+def expand_representative_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Expand :func:`representative_near_pairs` output back to doc-level
+    ``(id_a, id_b, jaccard)`` pairs via the :func:`doc_representatives`
+    membership table — the inverse of the collapse, row-for-row equal to
+    the raw :func:`ngram_jaccard_pairs` output at the same (n, threshold,
+    shingle-universe) configuration.
+
+    DELIBERATELY output-proportional (two equi-joins on rep ids): this is
+    the operation whose cost the collapsed form exists to avoid — call it
+    only when doc-level pairs are genuinely required downstream."""
+    ma = membership.select(
+        F.col("rep_id").alias("id_a"), F.col(id_col).alias("_da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("id_b"), F.col(id_col).alias("_db")
+    )
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .filter(
+            (F.col("id_a") != F.col("id_b")) | (F.col("_da") < F.col("_db"))
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
 #: 2^61 - 1 (Mersenne prime): modulus of the portable MinHash family.
 MINHASH_MOD = (1 << 61) - 1
 

@@ -396,6 +396,155 @@ def ivfpq_recall_curve(
     )
 
 
+def ivfpq_batch_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF-PQ ANN serving: top-k for a whole QUERY-BATCH
+    DataFrame in one plan — the production retrieval-tier shape
+    (mirrors ``retrieval_ndcg_mrr``'s one-scan multi-query BM25 batch),
+    replacing per-query invocations of the single-query
+    :func:`ivfpq_topk` / :func:`ivfpq_recall_curve` path.
+
+    Plan shape, independent of batch size B:
+
+    - **one centroid ranking per query**: the nlist-row decimal centroid
+      table joins the B-row batch (both model-sized, broadcast) and a
+      window over ``query_id`` ranks cells — B×nlist rows, never a
+      per-query job;
+    - **one candidates scan**: the fact table joins the broadcast
+      (query, cell, cell_rank) probe set once; a row fans out only to
+      the queries whose probe budget covers its cell (plan-tested: the
+      executed plan has exactly one candidates-side scan regardless of
+      B);
+    - **codes computed once**: the PQ encode (``_code_cols``) is
+      query-independent, so each candidate row is encoded once and
+      scored per query by m ``element_at`` lookups into a
+      query-id-keyed literal LUT map (B × m·k doubles — the batch is
+      collected driver-side, legitimate because a serving batch is
+      request-sized by definition, never corpus-sized);
+    - **top-k window over (query_id, nprobe)**: parallelism scales with
+      B × |nprobes| instead of funneling every candidate into the ≤3
+      nprobe partitions the single-query sweep used (the round-8
+      ``pq.py:335`` nit, fixed structurally here).
+
+    Cross-engine determinism: cell ranking on exact DECIMAL squared-L2
+    (operands snapped to DECIMAL(15,9) — the ``ivfpq_recall_curve``
+    contract), ADC distances 6dp-rounded before the per-(query, nprobe)
+    ``row_number`` with an id tie-break.
+
+    Returns ``(query_id, nprobe, vec_id, adc_dist, rn)`` — k rows per
+    (query, nprobe) curve point.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import ivf_cell_centroids
+
+    spark = emb.sparkSession
+    maxp = max(nprobes)
+    m = len(codebooks)
+    kk = len(codebooks[0])
+
+    qrows = [
+        (r[query_id_col], [float(x) for x in r[query_vec_col]])
+        for r in queries.select(query_id_col, query_vec_col).collect()
+    ]
+    if not qrows:
+        raise ValueError("empty query batch")
+
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    qb = spark.createDataFrame(
+        [(qid, qv) for qid, qv in qrows],
+        f"{query_id_col} long, _qvec array<double>",
+    )
+    csnap = F.transform(
+        F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
+    )
+    qsnap = F.transform(
+        F.col("_qvec"), lambda x: F.round(x, 9).cast("decimal(15,9)")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            csnap, qsnap, lambda a, b: ((a - b) * (a - b)).cast(
+                "decimal(38,18)"
+            )
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.col("_d"), F.col("cell"))
+    cells = (
+        qb.crossJoin(F.broadcast(cent))
+        .select(query_id_col, "cell", sqd.alias("_d"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= maxp)
+        .select(query_id_col, "cell", "cell_rank")
+    )
+
+    # per-query flat ADC LUT (m·k partial squared distances), shipped as
+    # one literal map keyed by query id — model-sized: B × m × k doubles
+    lut_entries = []
+    for qid, qv in qrows:
+        flat = []
+        for s, cb in enumerate(codebooks):
+            d_sub = len(cb[0])
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            for c in cb:
+                d = 0.0
+                for a, b in zip(qs, c):
+                    d = d + (float(a) - float(b)) * (float(a) - float(b))
+                flat.append(d)
+        lut_entries += [F.lit(qid), F.array(*[F.lit(v) for v in flat])]
+    lutmap = F.create_map(*lut_entries)
+
+    cand = (
+        emb.join(F.broadcast(cells), emb[cell_col] == F.col("cell"))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, vec_col, query_id_col, "cell_rank")
+    )
+    lut_arr = F.element_at(lutmap, F.col(query_id_col))
+    enc = cand.select(
+        F.col(id_col),
+        F.col(query_id_col),
+        F.col("cell_rank"),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    )
+    terms = [
+        F.element_at(lut_arr, F.lit(s * kk) + F.col(f"code_{s}") + 1)
+        for s in range(m)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    scored = enc.withColumn("adc_dist", F.round(dist, 6))
+
+    probes = spark.createDataFrame(
+        [(int(n),) for n in sorted(nprobes)], "nprobe int"
+    )
+    wn = Window.partitionBy(query_id_col, "nprobe").orderBy(
+        F.col("adc_dist"), F.col(id_col)
+    )
+    return (
+        scored.join(
+            F.broadcast(probes), F.col("cell_rank") <= F.col("nprobe")
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "nprobe", id_col, "adc_dist", "rn")
+    )
+
+
 def residual_vectors(
     emb: DataFrame,
     cents: DataFrame,

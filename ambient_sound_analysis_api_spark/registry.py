@@ -9872,6 +9872,196 @@ def q_pipeline_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_batch_ctes(
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    d_sub: int = 16,
+    nq: int = 3,
+) -> str:
+    """Batched PQ oracle: the ``_pq_ctes`` fit/encode chains plus
+    per-QUERY distance tables for the ``nq`` lowest vec_ids — qbd{s} is
+    keyed (query_id, cluster) and the ADC join fans out per query."""
+    parts = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        if s > 0:
+            parts.append(",")
+        parts.append(
+            _kmeans_ctes(n_iter=n_iter, k=k, vec=f"embedding[{lo}:{hi}]", p=f"s{s}")
+        )
+        parts.append(f""",
+    qb{s} AS (
+      SELECT e.vec_id AS query_id,
+             generate_subscripts(e.embedding[{lo}:{hi}], 1) AS i,
+             CAST(unnest(e.embedding[{lo}:{hi}]) AS DOUBLE) AS x
+      FROM embeddings e
+      WHERE e.vec_id IN (SELECT vec_id FROM qset)
+    ),
+    qbd{s} AS (
+      SELECT q.query_id, c.cluster, sum((q.x - c.m) * (q.x - c.m)) AS qd
+      FROM s{s}c{n_iter}d c JOIN qb{s} q USING (i)
+      GROUP BY q.query_id, c.cluster
+    )""")
+    code_cols = ", ".join(f"a{s}.cluster AS code_{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}af a{s} USING (vec_id)" for s in range(1, m))
+    adc_sum = " + ".join(f"qbd{s}.qd" for s in range(m))
+    adc_joins = " ".join(
+        f"JOIN qbd{s} ON codes.code_{s} = qbd{s}.cluster"
+        + ("" if s == 0 else " AND qbd" + str(s) + ".query_id = qbd0.query_id")
+        for s in range(m)
+    )
+    parts.append(f""",
+    codes AS (
+      SELECT a0.vec_id, {code_cols}
+      FROM s0af a0 {code_joins}
+    ),
+    adcb AS (
+      SELECT qbd0.query_id, codes.vec_id, {adc_sum} AS dist
+      FROM codes {adc_joins}
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_ivfpq_batch_topk",
+    f"""
+    WITH qset AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
+    {_pq_batch_ctes()},
+    bcent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    bqdim AS (
+      SELECT vec_id AS query_id, CAST(unnest(embedding) AS DOUBLE) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM qset)
+    ),
+    bcdist AS (
+      -- exact-decimal cell ranking key: the ivfpq_recall_curve contract
+      SELECT qd.query_id, c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))) AS d
+      FROM bcent c JOIN bqdim qd USING (i)
+      GROUP BY qd.query_id, c.label
+    ),
+    bcrank AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d, label) AS cell_rank
+      FROM bcdist
+    ),
+    bprobes(nprobe) AS (VALUES (1), (2)),
+    bcand AS (
+      SELECT c.query_id, e.vec_id, c.cell_rank
+      FROM embeddings e JOIN bcrank c USING (label)
+      WHERE e.vec_id <> c.query_id AND c.cell_rank <= 2
+    ),
+    bscan AS (
+      SELECT b.query_id, b.vec_id, b.cell_rank, round(a.dist, 6) AS adc_dist
+      FROM bcand b
+      JOIN adcb a ON a.vec_id = b.vec_id AND a.query_id = b.query_id
+    ),
+    btop AS (
+      SELECT p.nprobe, s.query_id, s.vec_id, s.adc_dist,
+             row_number() OVER (PARTITION BY s.query_id, p.nprobe
+                                ORDER BY s.adc_dist, s.vec_id) AS rn
+      FROM bprobes p JOIN bscan s ON s.cell_rank <= p.nprobe
+    )
+    SELECT query_id, nprobe, vec_id, adc_dist, CAST(rn AS INT) AS rn
+    FROM btop WHERE rn <= 5
+    ORDER BY query_id, nprobe, rn
+    """,
+)
+def q_emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ ANN serving (``operators/pq.py::ivfpq_batch_topk``):
+    top-5 × nprobe∈{{1,2}} for a 3-query batch in ONE plan — one
+    broadcast centroid ranking windowed per query, one candidates scan,
+    PQ codes computed once and scored via a query-keyed literal LUT map,
+    and the final top-k window partitioned by (query_id, nprobe) so
+    serving parallelism scales with the batch instead of funneling into
+    the nprobe-only partitions of the single-query path. The oracle
+    unrolls the full composite — four subspace k-means fits, encode
+    argmins, per-query ADC tables, exact-decimal cell ranking, the
+    probe fan-out — per query. Reuses the per-dataset PQ codebook memo
+    (fit once, serve many)."""
+    from .operators.pq import ivfpq_batch_topk, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    qb = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    return ivfpq_batch_topk(
+        emb, books, qb, k=5, nprobes=(1, 2)
+    ).orderBy("query_id", "nprobe", "rn")
+
+
+@register(
+    "dedup_representative_pairs",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES_UNIQ},
+    grp AS (
+      SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    ),
+    cross_pairs AS (
+      SELECT j.id_a, j.id_b, j.jaccard,
+             ga.n_copies AS n_copies_a, gb.n_copies AS n_copies_b,
+             CAST(ga.n_copies * gb.n_copies AS BIGINT) AS n_expanded
+      FROM jac_pairs j
+      JOIN grp ga ON ga.rep_id = j.id_a
+      JOIN grp gb ON gb.rep_id = j.id_b
+    ),
+    diag AS (
+      SELECT g.rep_id AS id_a, g.rep_id AS id_b,
+             CAST(1.0 AS DOUBLE) AS jaccard,
+             g.n_copies AS n_copies_a, g.n_copies AS n_copies_b,
+             CAST(g.n_copies * (g.n_copies - 1) // 2 AS BIGINT) AS n_expanded
+      FROM grp g
+      JOIN sizes s ON s.doc_id = g.rep_id
+      WHERE g.n_copies >= 2
+    )
+    SELECT * FROM cross_pairs
+    UNION ALL
+    SELECT * FROM diag
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_representative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe near-dup composition as a FIRST-CLASS operator
+    (``operators.dedup.representative_near_pairs``): exact copies
+    collapse to their min-id representative BEFORE the token-3-gram
+    Jaccard shingle join, and the output is one row per representative
+    pair with copy multiplicities (``n_expanded`` = doc-level pairs the
+    row stands for; the ``id_a == id_b`` diagonal covers within-group
+    copy cliques). The raw pair operators are output-quadratic in
+    duplication by contract — the round-8 10×-dup probe measured 93×
+    wall for ~1000× true pairs — while this form's output is bounded by
+    DISTINCT-text pairs, so dup-heavy crawl corpora get the ~linear plan
+    by default instead of only inside ``pipeline_leakage_safe_split``.
+    Expansion back to the raw doc-level pair set is
+    ``dedup.expand_representative_pairs`` (row-for-row equivalence
+    unit-pinned in ``tests/test_round9_hardening.py``)."""
+    return dedup.representative_near_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 
 

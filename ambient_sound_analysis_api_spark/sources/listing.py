@@ -133,6 +133,73 @@ class PaginatedKeyLister:
         return out
 
 
+class ShardedKeyLister:
+    """Executor-side prefix-sharded listing: page-walking fans out as one
+    task per prefix shard instead of a single driver loop.
+
+    The driver-side :class:`PaginatedKeyLister` is memory-bounded
+    (chunked/staged) but still O(n_keys) driver TIME — one Python loop
+    pulls every page. At 10M+ keys that serial walk is minutes of driver
+    wall while the cluster idles. Here the shard list (hash prefixes,
+    per-source prefixes — whatever partitions the namespace) becomes a
+    tiny DataFrame, ``mapInPandas`` walks each shard's pages inside its
+    own task, and keys stream out as ordinary Arrow batches: no key list
+    ever materializes on the driver OR whole in an executor (pages yield
+    as they arrive), and listing throughput scales with executor count
+    exactly like every other stage.
+
+    ``pager_factory`` is a zero-arg callable constructed ON THE EXECUTOR
+    (serialized by closure pickling) returning the same ``(prefix, token)
+    -> (keys, next_token)`` pager contract — a live client (boto3 etc.)
+    is NOT picklable, so the factory builds one per task (the standard
+    client-per-task pattern). The driver-path lister stays the fallback
+    for un-shardable namespaces (no listable prefix structure).
+
+    ``max_pages`` bounds runaway pagination per shard; the failure
+    surfaces as a task error, same contract as the driver path.
+    """
+
+    def __init__(
+        self,
+        pager_factory: Callable[[], Pager],
+        prefixes: Iterable[str],
+        max_pages: int = 10_000,
+    ):
+        self.pager_factory = pager_factory
+        self.prefixes = list(prefixes)
+        self.max_pages = max_pages
+        if not self.prefixes:
+            raise ValueError("ShardedKeyLister needs at least one prefix")
+
+    def list_keys(self, spark: SparkSession) -> DataFrame:
+        import pandas as pd
+
+        factory = self.pager_factory
+        max_pages = self.max_pages
+
+        def walk(batches):
+            pager = factory()
+            for pdf in batches:
+                for prefix in pdf["prefix"]:
+                    token = None
+                    for _ in range(max_pages):
+                        page, token = pager(prefix, token)
+                        if page:
+                            yield pd.DataFrame({"key": page})
+                        if token is None:
+                            break
+                    else:
+                        raise RuntimeError(
+                            f"listing for prefix {prefix!r} exceeded "
+                            f"{max_pages} pages without completing"
+                        )
+
+        prefix_df = spark.createDataFrame(
+            [(p,) for p in self.prefixes], "prefix string"
+        ).repartition(len(self.prefixes))
+        return prefix_df.mapInPandas(walk, "key string")
+
+
 def s3_pager(client, bucket: str) -> Pager:
     """Adapt a boto3-style client (public ``list_objects_v2`` call shape:
     Bucket/Prefix/ContinuationToken → Contents/IsTruncated/

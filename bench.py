@@ -97,6 +97,14 @@ HEADLINE = [
     # the multi-query BM25 eval (batched postings join + per-query windows)
     "emb_ivfpq_recall_curve",
     "retrieval_ndcg_mrr",
+    # round-9: the scale-safe near-dup composition promoted to a
+    # first-class operator — exact-collapse window + shingle join on
+    # representatives + multiplicity joins (0.8× wall on the 10×-dup
+    # probe vs 73× for the raw pair contract) — and batched IVF-PQ ANN
+    # serving (3-query batch, one candidates scan, (query,nprobe)-
+    # partitioned top-k windows; memoized codebooks)
+    "dedup_representative_pairs",
+    "emb_ivfpq_batch_topk",
 ]
 
 

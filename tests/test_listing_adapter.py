@@ -205,3 +205,68 @@ def test_paginated_lister_stage_dir_cleans_stale_chunks(spark, tmp_path):
         ).list_keys(spark).collect()
     )
     assert len(got) == 5 and all(k.startswith("archive/s/") for k in got)
+
+
+def test_sharded_lister_matches_driver_lister(spark):
+    """Executor-side sharded walking must produce exactly the key set the
+    driver-side lister produces over the same prefixes, and the plan must
+    be the Arrow mapInPandas fan-out (one task per shard), not a
+    driver-built local relation."""
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        PaginatedKeyLister,
+        ShardedKeyLister,
+    )
+
+    def factory():
+        def pager(prefix, token):
+            i = int(token) if token else 0
+            keys = [f"{prefix}{i:02d}_{j}.parquet" for j in range(5)]
+            return keys, (str(i + 1) if i + 1 < 3 else None)
+
+        return pager
+
+    prefixes = [f"archive/h{i:02d}/" for i in range(8)]
+    sharded = ShardedKeyLister(factory, prefixes=prefixes)
+    driver = PaginatedKeyLister(factory(), prefixes=prefixes)
+    a = sorted(r["key"] for r in sharded.list_keys(spark).collect())
+    b = sorted(r["key"] for r in driver.list_keys(spark).collect())
+    assert a == b and len(a) == 8 * 3 * 5
+    # the listing itself runs executor-side
+    plan = sharded.list_keys(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_sharded_lister_runaway_pager_fails_loudly(spark):
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        ShardedKeyLister,
+    )
+
+    def factory():
+        return lambda prefix, token: (["k"], "again")
+
+    lister = ShardedKeyLister(factory, prefixes=["a/"], max_pages=4)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeded 4 pages"):
+        lister.list_keys(spark).count()
+
+
+def test_sharded_lister_feeds_catalog(spark):
+    from ambient_sound_analysis_api_spark.sources.listing import (
+        ShardedKeyLister,
+    )
+
+    def factory():
+        def pager(prefix, token):
+            hydro = prefix.split("/")[1]
+            return [
+                f"archive/{hydro}/20240101T000000_20240201T000000_1s_broadband.parquet"
+            ], None
+
+        return pager
+
+    lister = ShardedKeyLister(
+        factory, prefixes=["archive/click/", "archive/view/"]
+    )
+    cat = build_catalog(lister.list_keys(spark)).collect()
+    assert {r["hydrophone"] for r in cat} == {"CLICK", "VIEW"}

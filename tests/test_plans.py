@@ -239,13 +239,46 @@ def test_events_window_pushes_to_parquet_scan(spark, sf_dir):
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
 
 
+def _physical_nodes(df):
+    """Walk the physical plan tree via py4j, descending through the AQE
+    wrapper (AdaptiveSparkPlanExec is a leaf node whose real plan hangs
+    off ``inputPlan``)."""
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        yield node
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            stack.append(node.inputPlan())
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
 def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
     """Global guardrail over every registry query: no cartesian products, no
-    unintended nested-loop joins, no Python in the hot path. Exemptions are
-    deliberate: 1-row broadcast cross joins (query-vector / scalar-plan
-    patterns) and the mm_* operators whose Arrow-batched Python IS the
-    operator."""
+    unintended nested-loop joins, no Python in the hot path, and no
+    UNPARTITIONED WindowExec over a non-allowlisted input (a global window
+    serializes the whole input into one task — fine for model-sized
+    tables, catastrophic for data-sized ones; the bench tail's
+    single-partition warnings must all trace to the annotated allowlist).
+    Exemptions are deliberate: 1-row broadcast cross joins (query-vector /
+    scalar-plan patterns) and the mm_* operators whose Arrow-batched
+    Python IS the operator."""
     from ambient_sound_analysis_api_spark.registry import queries
+
+    # every entry here is a GLOBAL window over a model-sized input, with
+    # the size rationale stated — a data-sized global window is a bug
+    global_window_ok = {
+        # nlist-row IVF cell-centroid ranking (cells ≤ label vocabulary)
+        "emb_ivfpq_recall_curve",
+        # documented dimension-only global ntile (customer is a dim table
+        # here; the scalable fact path is agg_distinct_percentile)
+        "win_ntile_balance",
+        # per-source count ranking for the Gini readout (rows = distinct
+        # sources, a corpus-card vocabulary)
+        "pipeline_diversity_metrics",
+    }
 
     one_row_broadcast = {
         "emb_cosine_topk",
@@ -269,6 +302,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # 1-row query/centroid broadcasts + the 3-row nprobe list fanned
         # out by a broadcast theta-join (cell_rank <= nprobe)
         "emb_ivfpq_recall_curve",
+        # B-row serving batch × nlist-row centroid table (both
+        # model-sized) + the same broadcast nprobe theta-join
+        "emb_ivfpq_batch_topk",
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "retrieval_ndcg_mrr",  # same 1-row corpus-stats broadcast, batched
         "text_pmi_collocations",  # 1-row corpus-totals broadcast
@@ -287,7 +323,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
     }
     problems = []
     for name, fn in queries().items():
-        plan = explain_str(fn(spark, sf_dir), "simple")
+        df = fn(spark, sf_dir)
+        plan = explain_str(df, "simple")
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in one_row_broadcast:
@@ -296,6 +333,15 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
             "BatchEvalPython" in plan or "ArrowEvalPython" in plan
         ):
             problems.append(f"{name}: Python in plan")
+        if name not in global_window_ok:
+            for node in _physical_nodes(df):
+                cls = node.getClass().getSimpleName()
+                if cls in (
+                    "WindowExec",
+                    "WindowGroupLimitExec",
+                ) and node.partitionSpec().isEmpty():
+                    problems.append(f"{name}: unpartitioned {cls}")
+                    break
     assert not problems, problems
 
 
@@ -427,3 +473,53 @@ def test_salted_join_shuffles_on_salted_key(spark):
         assert m, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_ivfpq_batch_single_candidates_scan(spark, sf_dir):
+    """The batched IVF-PQ plan must scan the fact table a CONSTANT number
+    of times (once for the centroid table, once for candidates) no matter
+    how many queries or probe points the batch carries — per-query rescans
+    would turn serving cost into O(B · corpus)."""
+    import re
+
+    from ambient_sound_analysis_api_spark.operators.pq import (
+        ivfpq_batch_topk,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=8, n_iter=1)
+
+    def n_scans(n_queries, nprobes):
+        qb = (
+            emb.orderBy("vec_id")
+            .limit(n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+            )
+        )
+        df = ivfpq_batch_topk(emb, books, qb, k=3, nprobes=nprobes)
+        plan = explain_str(df, "simple")
+        return len(re.findall(r"Scan parquet|FileScan parquet", plan))
+
+    base = n_scans(1, (1,))
+    assert base == 2  # centroid build + candidates, nothing else
+    assert n_scans(3, (1, 2)) == base  # invariant in B and |nprobes|
+
+    # and the serving windows are partitioned: no unpartitioned WindowExec
+    qb3 = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    df3 = ivfpq_batch_topk(emb, books, qb3, k=3, nprobes=(1, 2))
+    for node in _physical_nodes(df3):
+        cls = node.getClass().getSimpleName()
+        assert not (
+            cls in ("WindowExec", "WindowGroupLimitExec")
+            and node.partitionSpec().isEmpty()
+        ), "unpartitioned window in batched ANN plan"

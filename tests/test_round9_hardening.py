@@ -59,3 +59,47 @@ def test_embedding_near_pairs_warns_when_cap_engages(spark):
         warnings.simplefilter("always")
         embedding_near_pairs(emb, threshold=0.0, max_block_size=100)
         assert not any("hash-split" in str(x.message) for x in w)
+
+
+def test_representative_pairs_expand_equals_raw(spark):
+    """Row-for-row equivalence: expanding the collapsed representative
+    pairs through the membership table reconstructs exactly the raw
+    ngram_jaccard_pairs output (same n/threshold, uncapped universe),
+    and sum(n_expanded) equals the raw pair count."""
+    from ambient_sound_analysis_api_spark.operators import dedup
+
+    base = [
+        ("the quick brown fox jumps over the lazy dog today", 3),
+        ("the quick brown fox jumps over the lazy cat today", 2),
+        ("completely different text about spark query engines here", 1),
+        ("tiny", 2),  # < 3 tokens: shingle-less, pairs with nothing
+    ]
+    rows, did = [], 0
+    for txt, copies in base:
+        for _ in range(copies):
+            rows.append((did, txt))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.2, max_shingle_df=None
+    )
+    rep = dedup.representative_near_pairs(
+        df, n=3, threshold=0.2, max_shingle_df=None
+    )
+    membership = dedup.doc_representatives(df)
+    expanded = dedup.expand_representative_pairs(rep, membership)
+
+    a = sorted((r.id_a, r.id_b, r.jaccard) for r in raw.collect())
+    b = sorted((r.id_a, r.id_b, r.jaccard) for r in expanded.collect())
+    assert a == b and len(a) > 0
+
+    rep_rows = rep.collect()
+    assert sum(r.n_expanded for r in rep_rows) == len(a)
+    # shape: 1 cross rep-pair (dog≈cat), diagonals for the two multi-copy
+    # shingled groups; the shingle-less 'tiny' group emits NO diagonal
+    cross = [r for r in rep_rows if r.id_a != r.id_b]
+    diag = [r for r in rep_rows if r.id_a == r.id_b]
+    assert len(cross) == 1 and cross[0].n_expanded == 6  # 3 × 2 copies
+    assert len(diag) == 2
+    assert {r.n_expanded for r in diag} == {3, 1}  # C(3,2), C(2,2)

@@ -345,3 +345,191 @@ def test_recover_path_is_noop_when_store_exists(spark, tmp_path):
         if d.startswith("store.__") and os.path.isdir(tmp_path / d)
     ]
     assert len(leftovers) == 1  # the non-chosen sibling is retained
+
+
+# ------------------------------------------- cross-store exactly-once (dual sink)
+
+
+def _dual_batches(spark):
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 10:00:00", 1.0, i) for i in range(60)],
+        "event_type string, ts string, value double, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [("click", "2024-01-01 11:00:00", 2.0, i) for i in range(30, 90)]
+        + [("view", "2024-01-02 09:00:00", 5.0, i) for i in range(20)],
+        "event_type string, ts string, value double, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return b1, b2
+
+
+def _assert_dual_matches_oracle(spark, pstore, hstore, b1, b2):
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+    from ambient_sound_analysis_api_spark.streaming import hll as hllmod
+    from ambient_sound_analysis_api_spark.streaming import rollup as rollupmod
+
+    union = b1.union(b2)
+    got = _norm(rollupmod.read_store(spark, pstore))
+    want = _norm(daily_partials(union))
+    assert got == want
+    est = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate_from_registers(
+            hllmod.read_store(spark, hstore), ["event_type", "day"]
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate(
+            union.select(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "user_id",
+            ),
+            "user_id",
+            ["event_type", "day"],
+        ).collect()
+    }
+    assert est == direct
+
+
+def test_dual_store_kill_between_store_commits_converges(
+    spark, tmp_path, monkeypatch
+):
+    """One foreachBatch commits BOTH stores; a kill BETWEEN the two swaps
+    commits the partials store but not the register store. The replay
+    must converge both to the batch oracle: the partials merge is skipped
+    (id gate) while the register merge — which would be silently LOST if
+    replay were keyed on the partials gate alone — re-runs idempotently."""
+    from ambient_sound_analysis_api_spark.streaming import hll as hllmod
+    from ambient_sound_analysis_api_spark.streaming import rollup as rollupmod
+    from ambient_sound_analysis_api_spark.streaming.dual import (
+        dual_store_merge_batch,
+    )
+
+    pstore = str(tmp_path / "partials")
+    hstore = str(tmp_path / "hll")
+    b1, b2 = _dual_batches(spark)
+    assert dual_store_merge_batch(spark, b1, 0, pstore, hstore) is True
+
+    def boom(*a, **k):
+        raise RuntimeError("kill between the two store swaps")
+
+    monkeypatch.setattr(hllmod, "swap_in", boom)
+    try:
+        dual_store_merge_batch(spark, b2, 1, pstore, hstore)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # the tear is real: partials committed batch 1, registers still at b1
+    assert rollupmod.last_merged_batch(spark, pstore) == 1
+    days = {
+        r["day"]
+        for r in hllmod.read_store(spark, hstore).select("day").distinct().collect()
+    }
+    assert days == {"2024-01-01"}
+
+    # at-least-once replay of the whole batch: partials skip, registers merge
+    assert dual_store_merge_batch(spark, b2, 1, pstore, hstore) is False
+    _assert_dual_matches_oracle(spark, pstore, hstore, b1, b2)
+
+
+def test_dual_store_kill_inside_second_store_rename_window(
+    spark, tmp_path, monkeypatch
+):
+    """Nastier: the kill lands INSIDE the register store's rename window
+    (first store committed, second store's path briefly absent). Recovery
+    plus idempotent re-merge on replay must still converge both stores."""
+    from ambient_sound_analysis_api_spark.streaming import hll as hllmod
+    from ambient_sound_analysis_api_spark.streaming import rollup as rollupmod
+    from ambient_sound_analysis_api_spark.streaming.dual import (
+        dual_store_merge_batch,
+    )
+
+    pstore = str(tmp_path / "partials")
+    hstore = str(tmp_path / "hll")
+    b1, b2 = _dual_batches(spark)
+    assert dual_store_merge_batch(spark, b1, 0, pstore, hstore) is True
+
+    monkeypatch.setattr(
+        hllmod, "swap_in", _tear_swap_at_rename_window(spark, hstore)
+    )
+    try:
+        dual_store_merge_batch(spark, b2, 1, pstore, hstore)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # the register store path itself is gone (mid-swap), partials committed
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(hstore)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert not fs.exists(hpath)
+    assert rollupmod.last_merged_batch(spark, pstore) == 1
+
+    assert dual_store_merge_batch(spark, b2, 1, pstore, hstore) is False
+    _assert_dual_matches_oracle(spark, pstore, hstore, b1, b2)
+
+
+def test_dual_store_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """The dual sink on real availableNow machinery over multiple
+    micro-batches equals the direct batch aggregation for BOTH stores."""
+    from ambient_sound_analysis_api_spark.streaming.dual import (
+        dual_rollup_query,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "value", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    pstore = str(tmp_path / "partials")
+    hstore = str(tmp_path / "hll")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dual_rollup_query(spark, stream, pstore, hstore)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    from ambient_sound_analysis_api_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+    from ambient_sound_analysis_api_spark.streaming import hll as hllmod
+    from ambient_sound_analysis_api_spark.streaming import rollup as rollupmod
+
+    assert rollupmod.last_merged_batch(spark, pstore) >= 1
+    assert _norm(rollupmod.read_store(spark, pstore)) == _norm(
+        daily_partials(ev)
+    )
+    est = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate_from_registers(
+            hllmod.read_store(spark, hstore), ["event_type", "day"]
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["day"]): r["approx_users"]
+        for r in hll_estimate(
+            ev.filter(F.col("user_id").isNotNull()).select(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "user_id",
+            ),
+            "user_id",
+            ["event_type", "day"],
+        ).collect()
+    }
+    assert est == direct
