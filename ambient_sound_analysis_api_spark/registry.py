@@ -10062,6 +10062,137 @@ def q_dedup_representative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
+    """Unrolled full-batch logistic-GD oracle (``operators/mlfit.py``):
+    feature extraction → one exact-decimal stats pass → z-scoring → per
+    step, the sigmoid projection + one decimal-sum gradient/metric
+    aggregation + the IEEE weight update as chained CTEs. Every double op
+    is written in the same order the Spark side evaluates it (bias-first
+    left-associated dot product, ``float(decimal)/n`` gradient means), so
+    the trajectory is bit-identical across engines; libm ``exp`` ulp
+    noise is absorbed by the per-term 6dp round before the DECIMAL sum."""
+    parts = [r"""
+    lsrc AS (
+      SELECT CAST(CASE WHEN trim(text)='' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS p_ratio,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_hits
+      FROM documents
+    ),
+    lraw AS (
+      SELECT least(n_tok/50.0, 1.0) AS x1,
+             CASE WHEN n_tok > 0 THEN stop_hits/n_tok ELSE 0.0 END AS x2,
+             p_ratio AS x3,
+             CAST(CASE WHEN (least(n_tok/50.0,1.0)
+                 + least((CASE WHEN n_tok>0 THEN stop_hits/n_tok ELSE 0.0 END)*5.0, 1.0)
+                 + (1.0 - least(p_ratio*4.0, 1.0)))/3.0 >= """ + thresh + r""" THEN 1 ELSE 0 END AS DOUBLE) AS y
+      FROM lraw_src
+    ),
+    lstat AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x1,6) AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(x1*x1,6) AS DECIMAL(20,6))) AS DOUBLE) AS q1,
+             CAST(sum(CAST(round(x2,6) AS DECIMAL(20,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(round(x2*x2,6) AS DECIMAL(20,6))) AS DOUBLE) AS q2,
+             CAST(sum(CAST(round(x3,6) AS DECIMAL(20,6))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(round(x3*x3,6) AS DECIMAL(20,6))) AS DOUBLE) AS q3
+      FROM lraw
+    ),
+    lnorm AS (
+      SELECT n, s1/n AS m1, s2/n AS m2, s3/n AS m3,
+             CASE WHEN q1/n - (s1/n)*(s1/n) > 0.0 THEN sqrt(q1/n - (s1/n)*(s1/n)) ELSE 1.0 END AS d1,
+             CASE WHEN q2/n - (s2/n)*(s2/n) > 0.0 THEN sqrt(q2/n - (s2/n)*(s2/n)) ELSE 1.0 END AS d2,
+             CASE WHEN q3/n - (s3/n)*(s3/n) > 0.0 THEN sqrt(q3/n - (s3/n)*(s3/n)) ELSE 1.0 END AS d3
+      FROM lstat
+    ),
+    lfeat AS (
+      SELECT (f.x1 - s.m1)/s.d1 AS x1, (f.x2 - s.m2)/s.d2 AS x2,
+             (f.x3 - s.m3)/s.d3 AS x3, f.y
+      FROM lraw f, lnorm s
+    ),
+    lw0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+                   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""".replace(
+        "lraw_src", "lsrc"
+    )]
+    for t in range(1, n_steps + 2):
+        parts.append(f""",
+    lp{t} AS (
+      SELECT f.*, round(1.0/(1.0+exp(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))),6) AS p
+      FROM lfeat f, lw{t - 1} w
+    ),
+    lg{t} AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(y - p, 6) AS DECIMAL(20,6))) AS DOUBLE) AS gb,
+             CAST(sum(CAST(round((y - p)*x1, 6) AS DECIMAL(20,6))) AS DOUBLE) AS g1,
+             CAST(sum(CAST(round((y - p)*x2, 6) AS DECIMAL(20,6))) AS DOUBLE) AS g2,
+             CAST(sum(CAST(round((y - p)*x3, 6) AS DECIMAL(20,6))) AS DOUBLE) AS g3,
+             sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
+             CAST(sum(CAST(round(abs(y - p), 6) AS DECIMAL(20,6))) AS DOUBLE) AS l1
+      FROM lp{t}
+    )""")
+        if t <= n_steps:
+            parts.append(f""",
+    lw{t} AS (
+      SELECT w.b + {lr}*(g.gb/g.n) AS b, w.w1 + {lr}*(g.g1/g.n) AS w1,
+             w.w2 + {lr}*(g.g2/g.n) AS w2, w.w3 + {lr}*(g.g3/g.n) AS w3
+      FROM lw{t - 1} w, lg{t} g
+    )""")
+    rows = []
+    for t in range(1, n_steps + 2):
+        rows.append(f"""
+    SELECT {t - 1} AS step, CAST(g.n AS BIGINT) AS n,
+           round(CAST(g.correct AS DOUBLE)/g.n, 6) AS acc,
+           round(g.l1/g.n, 6) AS mean_abs_err,
+           round(w.b,6) AS w_bias, round(w.w1,6) AS w_x_len,
+           round(w.w2,6) AS w_x_stop, round(w.w3,6) AS w_x_punct
+    FROM lg{t} g, lw{t - 1} w""")
+    return "".join(parts) + "\n" + " UNION ALL ".join(rows)
+
+
+@register(
+    "pipeline_quality_logit",
+    f"""
+    WITH {_logit_ctes(n_steps=4, lr="2.0", thresh="0.75")}
+    ORDER BY step
+    """,
+)
+def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier, the fastText/CCNet-style curation gate
+    (``operators/mlfit.py``): z-score three cheap Catalyst text features
+    (length score, stopword ratio, punctuation ratio — one exact-decimal
+    stats pass), then 4 full-batch logistic-GD steps (lr = 2.0) against
+    the deterministic label ``quality_score ≥ 0.75``, emitting the whole
+    training trajectory — per step, the weights and the train accuracy /
+    mean |y − p| evaluated under them. Each step is ONE map-side-
+    combinable aggregation over the persisted feature frame; model state
+    is a 1-row collect. Accuracy moves from the 0.5-baseline majority
+    vote to ≥ 0.93 at the test SFs, and the unrolled-CTE oracle
+    hash-checks every step's weights and metrics, proving the distributed
+    fit is bit-deterministic end to end. The reference has no ML surface
+    (extension charter, SURVEY.md §7.7)."""
+    from .functions.text import punct_ratio, quality_score, stopword_ratio, token_count
+    from .operators.mlfit import logit_gd_trajectory, standardize
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t).cast("double")
+    raw = docs.select(
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)).alias("x_len"),
+        stopword_ratio(t).alias("x_stop"),
+        punct_ratio(t).alias("x_punct"),
+        F.when(quality_score(t) >= F.lit(0.75), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    feat = standardize(raw, ["x_len", "x_stop", "x_punct"], label_cols=["y"])
+    return logit_gd_trajectory(
+        spark, feat, ["x_len", "x_stop", "x_punct"], "y", n_steps=4, lr=2.0
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -105,6 +105,11 @@ HEADLINE = [
     # partitioned top-k windows; memoized codebooks)
     "dedup_representative_pairs",
     "emb_ivfpq_batch_topk",
+    # round-9: the distributed model-fit shape — z-score stats pass + 4
+    # full-batch logistic-GD aggregation passes with 1-row model collects
+    # (the fastText-style learned quality gate; trajectory oracle-checked
+    # step-by-step against the unrolled DuckDB CTE chain)
+    "pipeline_quality_logit",
 ]
 
 
