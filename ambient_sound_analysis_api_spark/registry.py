@@ -10089,7 +10089,7 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
              CAST(CASE WHEN (least(n_tok/50.0,1.0)
                  + least((CASE WHEN n_tok>0 THEN stop_hits/n_tok ELSE 0.0 END)*5.0, 1.0)
                  + (1.0 - least(p_ratio*4.0, 1.0)))/3.0 >= """ + thresh + r""" THEN 1 ELSE 0 END AS DOUBLE) AS y
-      FROM lraw_src
+      FROM lsrc
     ),
     lstat AS (
       SELECT count(*) AS n,
@@ -10114,9 +10114,7 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
       FROM lraw f, lnorm s
     ),
     lw0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
-                   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""".replace(
-        "lraw_src", "lsrc"
-    )]
+                   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""]
     for t in range(1, n_steps + 2):
         parts.append(f""",
     lp{t} AS (
@@ -10191,6 +10189,123 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logit_gd_trajectory(
         spark, feat, ["x_len", "x_stop", "x_punct"], "y", n_steps=4, lr=2.0
     )
+
+
+@register(
+    "streaming_dual_rollup",
+    """
+    WITH m AS (
+      SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             count(value) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS mean_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events WHERE isfinite(value)
+      GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, month,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM ev
+    ),
+    regs AS (
+      SELECT event_type, month, h % 64 AS reg,
+             max(CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END) AS m
+      FROM h GROUP BY event_type, month, h % 64
+    ),
+    hll AS (
+      SELECT event_type, month,
+             CAST(sum(1::BIGINT << CAST(55 - m AS INT)) AS BIGINT) AS sp,
+             count(*) AS n_regs
+      FROM regs GROUP BY event_type, month
+    ),
+    est AS (
+      SELECT event_type, month,
+             {const!r} / CAST(sp + (64 - n_regs) * {scale} AS DOUBLE) AS e_raw,
+             CAST(64 - n_regs AS DOUBLE) AS v
+      FROM hll
+    ),
+    u AS (
+      SELECT event_type, month,
+             round(CASE WHEN e_raw <= 160.0 AND v > 0
+                        THEN 64.0 * round(ln(64.0 / v), 6)
+                        ELSE e_raw END, 4) AS approx_users
+      FROM est
+    )
+    SELECT event_type, month, n_events, mean_value, min_value, max_value,
+           approx_users
+    FROM m FULL JOIN u USING (event_type, month)
+    ORDER BY event_type, month
+    """.format(const=sketches.HLL_CONST, scale=1 << 55),
+)
+def q_streaming_dual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUAL-STORE streaming sink, oracle-checked end to end
+    (``streaming/dual.py``): one ``foreachBatch`` commits each micro-batch
+    to BOTH the id-gated algebraic-partials store and the idempotent HLL
+    register store (the crash between the two swaps is the injection
+    test in ``tests/test_streaming_rollup.py``). Served readout: monthly
+    value statistics from the partials store FULL-OUTER-joined with
+    monthly distinct-user estimates obtained by max-merging the DAILY
+    registers across each month — the mergeability that justifies
+    storing registers instead of counts (max is associative, so
+    month-from-days equals month-from-raw-rows exactly, which is
+    precisely what the oracle's direct monthly computation checks).
+    Both stores' numerics hash-match direct SQL over the raw rows:
+    exact-decimal means and the portable md5 register algebra."""
+    import tempfile
+
+    from .operators import sketches as sk
+    from .operators.aggregations import merge_partials_monthly
+    from .streaming import hll as hllmod
+    from .streaming import rollup as rollupmod
+    from .streaming.dual import dual_rollup_query
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value", "user_id")
+    root = tempfile.mkdtemp(prefix="dualroll_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    pstore, hstore = f"{root}/partials", f"{root}/hll"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dual_rollup_query(spark, stream, pstore, hstore)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    monthly = merge_partials_monthly(rollupmod.read_store(spark, pstore))
+    regs = hllmod.read_store(spark, hstore)
+    month_regs = (
+        regs.select(
+            "event_type",
+            F.substring("day", 1, 7).alias("month"),
+            "reg",
+            "m",
+        )
+        .groupBy("event_type", "month", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    users = sk.hll_estimate_from_registers(month_regs, ["event_type", "month"])
+    return monthly.join(users, ["event_type", "month"], "full_outer").select(
+        "event_type",
+        "month",
+        "n_events",
+        "mean_value",
+        "min_value",
+        "max_value",
+        "approx_users",
+    ).orderBy("event_type", "month")
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,10 @@ the *scaling exponent*, not the absolute numbers: a plan that is ~linear
 here has no hidden all-pairs/driver-side bottleneck to ambush a 1000×
 cluster run.
 
-Usage: python scripts/scale_probe.py [K] [query ...]
+Usage: python scripts/scale_probe.py [K] [--runs N] [query ...]
+(``--runs 1`` single-shots each timing — for known output-bound entries
+where best-of-2 doubles a minutes-long measurement without changing the
+scaling verdict.)
 Results land in stdout as one JSON line; methodology + measured numbers are
 recorded in NOTES.md.
 """
@@ -98,9 +101,9 @@ def build_corpus(spark, k: int) -> str:
     return out
 
 
-def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     best, n = float("inf"), 0
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
@@ -108,15 +111,21 @@ def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = sys.argv[1:]
+    runs = 2
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    k = int(argv[0]) if argv else 10
+    names = argv[1:] or DEFAULT_QUERIES
     spark = get_spark("scale-probe")
     big = build_corpus(spark, k)
     qs = queries()
     out = {"k": k, "base": BASE, "queries": {}}
     for name in names:
-        t1, n1 = time_query(qs[name], spark, BASE)
-        tk, nk = time_query(qs[name], spark, big)
+        t1, n1 = time_query(qs[name], spark, BASE, runs=runs)
+        tk, nk = time_query(qs[name], spark, big, runs=runs)
         ratio = tk / t1 if t1 > 0 else float("inf")
         out["queries"][name] = {
             "t_1x": round(t1, 2), "rows_1x": n1,
