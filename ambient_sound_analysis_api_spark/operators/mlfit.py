@@ -58,18 +58,16 @@ def _dec_term(col: F.Column) -> F.Column:
     return F.round(col, 6).cast(_DEC)
 
 
-def standardize(
-    df: DataFrame, cols: list[str], label_cols: list[str] | None = None
-) -> DataFrame:
-    """Z-score ``cols`` with population mean/std from ONE exact-decimal
-    aggregation pass; constant columns (std == 0) pass through centered
-    with divisor 1.0 so a dead feature cannot produce NaNs.
-
-    Stats are collected driver-side (1 row, 2·len(cols)+1 values) and
-    re-enter the plan as literals: mean/std are ``float(decimal)/n`` and
-    ``math.sqrt`` — the identical IEEE sequence the SQL oracle's stats CTE
-    performs, so the standardized doubles are bit-identical cross-engine.
-    """
+def standardize_stats(
+    df: DataFrame, cols: list[str]
+) -> list[tuple[float, float]]:
+    """Population (mean, std) per column from ONE exact-decimal
+    aggregation pass, collected driver-side (1 row, 2·len(cols)+1
+    values). Constant columns report std 1.0 so a dead feature cannot
+    produce NaNs downstream. The driver math — ``float(decimal)/n`` and
+    ``math.sqrt`` — is the identical IEEE sequence the SQL oracle's stats
+    CTE performs, so the standardized doubles are bit-identical
+    cross-engine."""
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         x = F.col(c)
@@ -79,14 +77,38 @@ def standardize(
     n = row["n"]
     if not n:
         raise ValueError("standardize: empty input frame")
-    keep = list(label_cols or [])
-    out = []
+    stats = []
     for c in cols:
         m = float(row[f"s_{c}"]) / n
         var = float(row[f"q_{c}"]) / n - m * m
-        d = math.sqrt(var) if var > 0.0 else 1.0
-        out.append(((F.col(c) - F.lit(m)) / F.lit(d)).alias(c))
-    return df.select(*out, *keep)
+        stats.append((m, math.sqrt(var) if var > 0.0 else 1.0))
+    return stats
+
+
+def apply_standardize(
+    df: DataFrame,
+    cols: list[str],
+    stats: list[tuple[float, float]],
+    label_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project ``(x − mean)/std`` as literals from a collected stats
+    vector (so a memoized model can re-standardize a fresh scan without
+    re-running the stats pass)."""
+    out = [
+        ((F.col(c) - F.lit(m)) / F.lit(d)).alias(c)
+        for c, (m, d) in zip(cols, stats)
+    ]
+    return df.select(*out, *(label_cols or []))
+
+
+def standardize(
+    df: DataFrame, cols: list[str], label_cols: list[str] | None = None
+) -> DataFrame:
+    """Z-score ``cols`` (one stats pass + a literal projection; see
+    :func:`standardize_stats` for the determinism contract)."""
+    return apply_standardize(
+        df, cols, standardize_stats(df, cols), label_cols
+    )
 
 
 def logit_gd_trajectory(
@@ -109,6 +131,49 @@ def logit_gd_trajectory(
     ascent on the log-likelihood, no regularization (the fixed small step
     count is the capacity control here, and it keeps the oracle unrolled).
     """
+    rows, _ = logit_gd_fit(feat, feature_cols, label_col, n_steps, lr)
+    names = ["bias"] + list(feature_cols)
+    schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("acc", T.DoubleType()),
+            T.StructField("mean_abs_err", T.DoubleType()),
+        ]
+        + [T.StructField(f"w_{c}", T.DoubleType()) for c in names]
+    )
+    out = spark.createDataFrame(rows, schema)
+    return out.select(
+        "step",
+        "n",
+        F.round("acc", 6).alias("acc"),
+        F.round("mean_abs_err", 6).alias("mean_abs_err"),
+        *[F.round(f"w_{c}", 6).alias(f"w_{c}") for c in names],
+    ).orderBy("step")
+
+
+def logit_weights_expr(
+    weights: list[float], feature_cols: list[str]
+) -> F.Column:
+    """σ(w·x) as a 6dp-rounded column from a fitted weight vector
+    (bias-first, left-associated — the exact op order the fit and the
+    oracle use)."""
+    z = F.lit(weights[0])
+    for wj, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(wj) * F.col(c)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def logit_gd_fit(
+    feat: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    n_steps: int = 4,
+    lr: float = 2.0,
+) -> tuple[list[tuple], list[float]]:
+    """The GD loop behind :func:`logit_gd_trajectory`, returning the raw
+    trajectory rows AND the final (unrounded) weight vector — the handle
+    a serving path scores fresh rows with (:func:`logit_weights_expr`)."""
     feat = tracked_persist(feat)
     y = F.col(label_col)
     names = ["bias"] + list(feature_cols)
@@ -117,10 +182,7 @@ def logit_gd_trajectory(
     for t in range(n_steps + 1):
         # z built left-associated, bias first — the oracle mirrors this
         # exact op order so the doubles agree bitwise.
-        z = F.lit(w[0])
-        for wj, c in zip(w[1:], feature_cols):
-            z = z + F.lit(wj) * F.col(c)
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        p = logit_weights_expr(w, feature_cols)
         aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec_term(y - p)).alias("g_bias"),
@@ -141,20 +203,4 @@ def logit_gd_trajectory(
                 float(r[f"g_{c}"]) / n for c in feature_cols
             ]
             w = [wj + lr * gj for wj, gj in zip(w, grads)]
-    schema = T.StructType(
-        [
-            T.StructField("step", T.IntegerType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("acc", T.DoubleType()),
-            T.StructField("mean_abs_err", T.DoubleType()),
-        ]
-        + [T.StructField(f"w_{c}", T.DoubleType()) for c in names]
-    )
-    out = spark.createDataFrame(rows, schema)
-    return out.select(
-        "step",
-        "n",
-        F.round("acc", 6).alias("acc"),
-        F.round("mean_abs_err", 6).alias("mean_abs_err"),
-        *[F.round(f"w_{c}", 6).alias(f"w_{c}") for c in names],
-    ).orderBy("step")
+    return rows, w

@@ -186,6 +186,8 @@ _SPECS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
 # fingerprint change also evicts the dead entry (one artifact per path).
 _BLOOM_FIT_MEMO: dict[tuple, list[int]] = {}
 _PQ_FIT_MEMO: dict[tuple, list] = {}
+# (standardization stats, weight vector) of the fitted quality classifier
+_LOGIT_FIT_MEMO: dict[tuple, tuple] = {}
 
 
 def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
@@ -10073,7 +10075,8 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
     noise is absorbed by the per-term 6dp round before the DECIMAL sum."""
     parts = [r"""
     lsrc AS (
-      SELECT CAST(CASE WHEN trim(text)='' THEN 0
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text)='' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
              CASE WHEN length(text) > 0
                THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
@@ -10083,7 +10086,8 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
       FROM documents
     ),
     lraw AS (
-      SELECT least(n_tok/50.0, 1.0) AS x1,
+      SELECT doc_id,
+             least(n_tok/50.0, 1.0) AS x1,
              CASE WHEN n_tok > 0 THEN stop_hits/n_tok ELSE 0.0 END AS x2,
              p_ratio AS x3,
              CAST(CASE WHEN (least(n_tok/50.0,1.0)
@@ -10109,7 +10113,7 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
       FROM lstat
     ),
     lfeat AS (
-      SELECT (f.x1 - s.m1)/s.d1 AS x1, (f.x2 - s.m2)/s.d2 AS x2,
+      SELECT f.doc_id, (f.x1 - s.m1)/s.d1 AS x1, (f.x2 - s.m2)/s.d2 AS x2,
              (f.x3 - s.m3)/s.d3 AS x3, f.y
       FROM lraw f, lnorm s
     ),
@@ -10138,6 +10142,12 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
              w.w2 + {lr}*(g.g2/g.n) AS w2, w.w3 + {lr}*(g.g3/g.n) AS w3
       FROM lw{t - 1} w, lg{t} g
     )""")
+    return "".join(parts)
+
+
+def _logit_trajectory_select(n_steps: int = 4) -> str:
+    """Final SELECT of the trajectory oracle: one UNION ALL branch per
+    step, pairing each step's metrics CTE with the weights it ran under."""
     rows = []
     for t in range(1, n_steps + 2):
         rows.append(f"""
@@ -10147,13 +10157,14 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
            round(w.b,6) AS w_bias, round(w.w1,6) AS w_x_len,
            round(w.w2,6) AS w_x_stop, round(w.w3,6) AS w_x_punct
     FROM lg{t} g, lw{t - 1} w""")
-    return "".join(parts) + "\n" + " UNION ALL ".join(rows)
+    return " UNION ALL ".join(rows)
 
 
 @register(
     "pipeline_quality_logit",
     f"""
     WITH {_logit_ctes(n_steps=4, lr="2.0", thresh="0.75")}
+    {_logit_trajectory_select(n_steps=4)}
     ORDER BY step
     """,
 )
@@ -10189,6 +10200,71 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logit_gd_trajectory(
         spark, feat, ["x_len", "x_stop", "x_punct"], "y", n_steps=4, lr=2.0
     )
+
+
+@register(
+    "pipeline_logit_select",
+    f"""
+    WITH {_logit_ctes(n_steps=4, lr="2.0", thresh="0.75")}
+    SELECT f.doc_id,
+           round(1.0/(1.0+exp(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3))),6)
+             AS score,
+           CAST(CASE WHEN round(1.0/(1.0+exp(-(w.b + w.w1*f.x1
+                            + w.w2*f.x2 + w.w3*f.x3))),6) >= 0.5
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM lfeat f, lw4 w
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_logit_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of the learned quality gate: score every document
+    with the fitted logistic model (``pipeline_quality_logit``'s fit —
+    same features, label, steps) and emit the keep/drop decision at
+    p ≥ 0.5 — train → serve, the way a fastText-style filter actually
+    runs over a crawl. The fitted model ((means, stds), weights — a few
+    dozen floats) is memoized per dataset fingerprint like the Bloom/PQ
+    artifacts, so serving costs ONE projection scan (the z-score + dot
+    product + sigmoid are all Catalyst codegen; no joins, no shuffle
+    beyond the output sort). The oracle replays the full unrolled fit and
+    scores through the final weights CTE, hash-checking every document's
+    score and decision."""
+    from .functions.text import punct_ratio, quality_score, stopword_ratio, token_count
+    from .operators.mlfit import (
+        apply_standardize,
+        logit_gd_fit,
+        logit_weights_expr,
+        standardize_stats,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t).cast("double")
+    cols = ["x_len", "x_stop", "x_punct"]
+    raw = docs.select(
+        "doc_id",
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)).alias("x_len"),
+        stopword_ratio(t).alias("x_stop"),
+        punct_ratio(t).alias("x_punct"),
+        F.when(quality_score(t) >= F.lit(0.75), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    key = (_dataset_fingerprint(sf_dir, "documents"), "logit", 4, 2.0, 0.75)
+    model = _LOGIT_FIT_MEMO.get(key)
+    if model is None:
+        stats = standardize_stats(raw, cols)
+        feat = apply_standardize(raw, cols, stats, label_cols=["y"])
+        _, wts = logit_gd_fit(feat, cols, "y", n_steps=4, lr=2.0)
+        model = (stats, wts)
+        _memo_put(_LOGIT_FIT_MEMO, key, model)
+    stats, wts = model
+    scored = apply_standardize(raw, cols, stats, label_cols=["doc_id"])
+    p = logit_weights_expr(wts, cols)
+    return scored.select(
+        "doc_id",
+        p.alias("score"),
+        F.when(p >= F.lit(0.5), 1).otherwise(0).cast("long").alias("keep"),
+    ).orderBy("doc_id")
 
 
 @register(

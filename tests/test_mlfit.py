@@ -118,3 +118,19 @@ def test_standardize_empty_raises(spark):
     df = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError):
         standardize(df, ["x"], label_cols=["y"])
+
+
+def test_logit_select_memoizes_and_is_consistent(spark, sf_dir):
+    """The apply step: one fit populates the model memo, a second
+    invocation serves from it, and the keep decision is exactly the
+    p >= 0.5 gate on the emitted score."""
+    from ambient_sound_analysis_api_spark import registry
+
+    registry._LOGIT_FIT_MEMO.clear()
+    first = registry.q_pipeline_logit_select(spark, sf_dir).collect()
+    assert len(registry._LOGIT_FIT_MEMO) == 1
+    again = registry.q_pipeline_logit_select(spark, sf_dir).collect()
+    assert len(registry._LOGIT_FIT_MEMO) == 1  # served from the memo
+    assert first == again
+    assert all(r["keep"] == (1 if r["score"] >= 0.5 else 0) for r in first)
+    assert {r["keep"] for r in first} == {0, 1}  # the gate actually splits

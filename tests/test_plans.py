@@ -523,3 +523,21 @@ def test_ivfpq_batch_single_candidates_scan(spark, sf_dir):
             cls in ("WindowExec", "WindowGroupLimitExec")
             and node.partitionSpec().isEmpty()
         ), "unpartitioned window in batched ANN plan"
+
+
+def test_logit_select_serve_is_single_codegen_scan(spark, sf_dir):
+    """The learned-quality-gate APPLY step must serve from the memoized
+    model as ONE projection scan of documents — a fit that sneaks back
+    into the serving plan would re-run 5 aggregation passes per query."""
+    import re
+
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    fn = queries()["pipeline_logit_select"]
+    fn(spark, sf_dir)  # populate the fit memo
+    df = fn(spark, sf_dir)  # served from the memo
+    plan = explain_str(df, "simple")
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    # no Python, no joins: pure Catalyst projection + the output sort
+    assert "Python" not in plan
+    assert "Join" not in plan
