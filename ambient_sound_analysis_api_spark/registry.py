@@ -10203,6 +10203,87 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS freq FROM w
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    r0sym AS (
+      SELECT word, freq, i, substring(word, i, 1) AS s
+      FROM (
+        SELECT word, freq,
+               unnest(generate_series(1, length(word))) AS i
+        FROM wf
+      )
+    ){_bpe_round_ctes(1, "r0sym")}{_bpe_round_ctes(2, "r1sym")}{_bpe_round_ctes(3, "r2sym")},
+    ppw AS (
+      SELECT word, count(*) AS n_pieces FROM r3sym GROUP BY word
+    ),
+    dw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ),
+    fd AS (
+      SELECT dw.lang, dw.word, p.n_pieces, length(dw.word) AS n_chars
+      FROM dw JOIN ppw p USING (word)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(CAST(sum(CAST(n_pieces AS DECIMAL(20,0))) AS DOUBLE)
+                 / count(*), 6) AS pieces_per_word,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
+                 / CAST(sum(CAST(n_pieces AS DECIMAL(20,0))) AS DOUBLE), 6)
+             AS chars_per_piece
+    FROM fd GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — THE multilingual tokenizer-
+    quality readout (pieces/word and chars/piece; a language whose
+    fertility is 2× pays 2× the sequence length for the same text, the
+    standard argument for vocabulary rebalancing): train the exact
+    3-round BPE (``operators.lm.bpe_train``), count pieces per
+    vocabulary word once (vocabulary-sized table), then join the
+    corpus's (lang, word) occurrences back to per-word piece counts and
+    reduce per language with exact decimal sums. The corpus-sized side
+    is one explode + one equi-join against the vocabulary — no per-doc
+    re-encoding. Eval universe = the trainer's own (words ≥ 2 chars,
+    letter/digit runs). Oracle unrolls the trainer (same CTE chain as
+    ``pipeline_bpe_train_rounds``) and replays the join/rollup."""
+    from .functions.text import letter_tokens
+    from .operators.lm import bpe_train
+
+    docs = _table(spark, sf_dir, "documents")
+    _, sym = bpe_train(docs, n_rounds=3, return_symbols=True)
+    ppw = sym.groupBy("word").agg(F.count("*").alias("n_pieces"))
+    dw = docs.select(
+        "lang", F.explode(letter_tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") >= 2)
+    fd = dw.join(ppw, "word")
+    np_dec = F.sum(F.col("n_pieces").cast("decimal(20,0)"))
+    nc_dec = F.sum(F.length("word").cast("decimal(20,0)"))
+    return (
+        fd.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(np_dec.cast("double") / F.count("*"), 6).alias(
+                "pieces_per_word"
+            ),
+            F.round(nc_dec.cast("double") / np_dec.cast("double"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "pipeline_logit_select",
     f"""
     WITH {_logit_ctes(n_steps=4, lr="2.0", thresh="0.75")}
