@@ -10203,6 +10203,245 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+        AND isfinite(value)
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT event_type, day, m,
+             CASE WHEN count(*) OVER w = 7 THEN
+               CAST(sum(CAST(round(m, 6) AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                 / 7 END AS trend,
+             CAST(day - DATE '2024-01-01' AS BIGINT) % 7 AS dow
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(sum(CAST(round(m - trend, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / count(*) AS seasonal
+      FROM tr WHERE trend IS NOT NULL
+      GROUP BY event_type, dow
+    )
+    SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day,
+           round(t.m, 6) AS daily_mean,
+           round(t.trend, 6) AS trend,
+           round(CASE WHEN t.trend IS NOT NULL THEN s.seasonal END, 6)
+             AS seasonal,
+           round(t.m - t.trend - s.seasonal, 6) AS residual
+    FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+    ORDER BY t.event_type, t.day
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type daily noise
+    series (trend = centered 7-day moving average over ROWS −3..+3,
+    complete windows only; seasonal = day-of-week mean of the detrended
+    series over the 4-week span; residual = remainder) — the standard
+    first look at diurnal/weekly structure in ambient-noise levels,
+    which the reference's daily means (A6) stop short of. One shuffle on
+    ``event_type`` serves both the trend window and (after the tiny
+    7-phase join-back) the residual. Cross-engine: the window sum and
+    the seasonal means accumulate 6dp-rounded terms in DECIMAL (frame
+    membership is deterministic — ROWS over unique (type, day) keys), so
+    every emitted double is bit-identical to the oracle's."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from .functions.scalars import is_finite
+
+    ev = _events(spark, sf_dir, _dt(2024, 1, 1), _dt(2024, 1, 29)).filter(
+        is_finite(F.col("value"))
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "m",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.sum(F.round("m", 6).cast("decimal(20,6)")).over(w).cast("double")
+            / F.lit(7),
+        ).alias("trend"),
+        (F.datediff("day", F.lit("2024-01-01")).cast("long") % 7).alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("m") - F.col("trend"), 6).cast(
+                        "decimal(20,6)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        tr.join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("m", 6).alias("daily_mean"),
+            F.round("trend", 6).alias("trend"),
+            F.round(
+                F.when(F.col("trend").isNotNull(), F.col("seasonal"))
+            , 6).alias("seasonal"),
+            F.round(
+                F.col("m") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ts_autocorrelation",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+        AND isfinite(value)
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(m, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / count(*) AS mu
+      FROM hourly GROUP BY event_type
+    ),
+    c AS (
+      SELECT h.event_type, h.hr, h.m - mu.mu AS c
+      FROM hourly h JOIN mu USING (event_type)
+    ),
+    l AS (
+      SELECT event_type, c,
+             lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+             lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4,
+             lead(c, 5) OVER w AS c5, lead(c, 6) OVER w AS c6
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(c*c, 6) AS DECIMAL(20,6))) AS DOUBLE) AS den,
+             CAST(sum(CAST(round(c*c1, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n1,
+             CAST(sum(CAST(round(c*c2, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n2,
+             CAST(sum(CAST(round(c*c3, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n3,
+             CAST(sum(CAST(round(c*c4, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n4,
+             CAST(sum(CAST(round(c*c5, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n5,
+             CAST(sum(CAST(round(c*c6, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n6,
+             count(c1) AS p1, count(c2) AS p2, count(c3) AS p3,
+             count(c4) AS p4, count(c5) AS p5, count(c6) AS p6
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type, lag, round(num / den, 6) AS acf,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM (
+      SELECT event_type, 1 AS lag, n1 AS num, den, p1 AS n_pairs FROM s
+      UNION ALL SELECT event_type, 2, n2, den, p2 FROM s
+      UNION ALL SELECT event_type, 3, n3, den, p3 FROM s
+      UNION ALL SELECT event_type, 4, n4, den, p4 FROM s
+      UNION ALL SELECT event_type, 5, n5, den, p5 FROM s
+      UNION ALL SELECT event_type, 6, n6, den, p6 FROM s
+    )
+    ORDER BY event_type, lag
+    """,
+)
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-type hourly noise series at
+    lags 1–6 h (Σ c_t·c_{t+k} / Σ c_t² over the mean-centered series) —
+    the standard periodicity probe (a diurnal cycle shows up as ACF
+    structure) that the reference's fixed daily/ToD means can't surface.
+    ONE pass computes all six lags: a single ``event_type``-partitioned
+    ordered window produces the six leads, one grouped aggregation folds
+    numerators + denominator + pair counts, and the 6-lag readout is a
+    stack over that 5-row table. Cross-engine: centered products are
+    6dp-rounded into DECIMAL sums; the centering mean itself comes from
+    a decimal sum joined back per type (a broadcast-sized dimension)."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from .functions.scalars import is_finite
+
+    ev = _events(spark, sf_dir, _dt(2024, 1, 1), _dt(2024, 1, 29)).filter(
+        is_finite(F.col("value"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
+    mu = hourly.groupBy("event_type").agg(
+        (
+            F.sum(F.round("m", 6).cast("decimal(20,6)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    c = hourly.join(mu, "event_type").select(
+        "event_type", "hr", (F.col("m") - F.col("mu")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lead_cols = [F.lead("c", k).over(w).alias(f"c{k}") for k in range(1, 7)]
+    led = c.select("event_type", "c", *lead_cols)
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(20,6)")).cast("double")
+
+    aggs = [dsum(F.col("c") * F.col("c")).alias("den")]
+    for k in range(1, 7):
+        aggs.append(dsum(F.col("c") * F.col(f"c{k}")).alias(f"n{k}"))
+        aggs.append(F.count(f"c{k}").alias(f"p{k}"))
+    s = led.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(f"{k}, n{k}, p{k}" for k in range(1, 7))
+    return (
+        s.selectExpr(
+            "event_type",
+            "den",
+            f"stack(6, {stack_args}) AS (lag, num, n_pairs)",
+        )
+        .select(
+            "event_type",
+            "lag",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
     "text_tokenizer_fertility",
     f"""
     WITH w AS (
