@@ -158,3 +158,52 @@ def compact_parquet(
         "rewritten": swapped,
         "files_after": after["files"],
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table: one row per
+    key present in either snapshot, with ``status`` ∈ ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` — the audit a data-versioned
+    warehouse publishes with every snapshot (Delta/Iceberg expose it as
+    CDF/changelog scans; on plain Parquet it is one FULL OUTER join on the
+    key).
+
+    ``compare_cols`` defaults to every non-key column the two frames
+    share. Change detection is COLUMN-WISE null-safe equality (Spark
+    ``<=>`` / SQL ``IS NOT DISTINCT FROM``) — never a concatenated-string
+    or cast-to-string hash, whose float formatting differs across engines
+    and whose separator can collide with data. Scale: a single shuffle on
+    the key for both sides; no collects; output is bounded by
+    |old ∪ new| keys.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    # presence markers: a dedicated non-null column per side, so NULL
+    # values in data columns cannot be misread as absence.
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_o_present").isNull(), F.lit("added"))
+        .when(F.col("_n_present").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("status"))

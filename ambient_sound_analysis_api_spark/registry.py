@@ -10203,6 +10203,69 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_snapshot_diff",
+    """
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END
+               AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, 'backfill', n_chars
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id, text, lang, source, n_chars, 1 AS op FROM documents),
+    n AS (SELECT doc_id, text, lang, source, n_chars, 1 AS np FROM newsnap)
+    SELECT doc_id,
+           CASE WHEN o.op IS NULL THEN 'added'
+                WHEN n.np IS NULL THEN 'removed'
+                WHEN o.text IS NOT DISTINCT FROM n.text
+                 AND o.lang IS NOT DISTINCT FROM n.lang
+                 AND o.source IS NOT DISTINCT FROM n.source
+                 AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                THEN 'unchanged' ELSE 'changed' END AS status
+    FROM o FULL JOIN n USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (``operators.maintenance.snapshot_diff``): row-level
+    added/removed/changed/unchanged audit between two versions of a keyed
+    table — the changelog a data-versioned warehouse publishes with every
+    snapshot (Delta CDF / Iceberg changelog scans; on plain Parquet it is
+    ONE full-outer join on the key with COLUMN-WISE null-safe equality —
+    never a cast-to-string row hash, whose float formatting differs
+    across engines). The "new" snapshot is derived deterministically from
+    documents (drop doc_id%17, revise text on %13, backfill %11 under
+    offset keys) so the oracle replays the same mutation and the full
+    diff is hash-checked."""
+    from .operators.maintenance import snapshot_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = docs.filter(did % 17 != 0).select(
+        "doc_id",
+        F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    added = docs.filter(did % 11 == 0).select(
+        (did + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("backfill").alias("source"),
+        "n_chars",
+    )
+    return snapshot_diff(
+        docs, base.unionAll(added), ["doc_id"]
+    ).orderBy("doc_id")
+
+
+@register(
     "ts_seasonal_decompose",
     """
     WITH daily AS (

@@ -78,3 +78,39 @@ def test_compact_partitioned_rewrites_only_fragmented(spark, sf_dir, tmp_path):
     assert len([f for f in after if "/c_nationkey=0/" in f]) == 1
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from ambient_sound_analysis_api_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (5, "e")], "k int, v string"
+    )
+    d = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL == NULL must read as unchanged (null-safe equality), NULL vs
+    # value as changed — a concat/cast row-hash gets both wrong
+    assert d == {
+        1: "unchanged",
+        2: "unchanged",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_respects_explicit_compare_cols(spark):
+    from ambient_sound_analysis_api_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, "a", 10)], "k int, v string, w int")
+    new = spark.createDataFrame([(1, "a", 99)], "k int, v string, w int")
+    only_v = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    assert only_v[0]["status"] == "unchanged"  # w excluded from compare
+    full = snapshot_diff(old, new, ["k"]).collect()
+    assert full[0]["status"] == "changed"
