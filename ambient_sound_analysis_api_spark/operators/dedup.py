@@ -332,12 +332,15 @@ def expand_representative_pairs(
     rep_pairs: DataFrame,
     membership: DataFrame,
     id_col: str = "doc_id",
+    score_col: str = "jaccard",
 ) -> DataFrame:
     """Expand :func:`representative_near_pairs` output back to doc-level
-    ``(id_a, id_b, jaccard)`` pairs via the :func:`doc_representatives`
+    ``(id_a, id_b, <score_col>)`` pairs via the :func:`doc_representatives`
     membership table — the inverse of the collapse, row-for-row equal to
     the raw :func:`ngram_jaccard_pairs` output at the same (n, threshold,
-    shingle-universe) configuration.
+    shingle-universe) configuration. ``score_col`` names the carried score
+    (``jaccard`` for the shingle family, ``cosine_sim`` for
+    :func:`representative_embedding_pairs` — identical algebra either way).
 
     DELIBERATELY output-proportional (two equi-joins on rep ids): this is
     the operation whose cost the collapsed form exists to avoid — call it
@@ -357,9 +360,228 @@ def expand_representative_pairs(
         .select(
             F.least("_da", "_db").alias("id_a"),
             F.greatest("_da", "_db").alias("id_b"),
-            "jaccard",
+            score_col,
         )
     )
+
+
+def representative_clusters(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Scale-safe near-duplicate CLUSTER assignment — the default-shaped
+    composition of collapse-first dedup with connected components.
+
+    The raw pipeline (``ngram_jaccard_pairs`` → ``graph.
+    connected_components``) is input-quadratic in duplication by the pair
+    contract: a 10-copy clique contributes ~45× the edges, and the
+    round-9 10×-dup probe measured the raw ``dedup_clusters`` at 75×
+    wall. But clustering never needs the copy-expanded edge set: exact
+    copies share identical shingle sets, so Jaccard between any two docs
+    equals Jaccard between their min-id representatives, every copy of a
+    doc lands in its representative's component, and the component's
+    minimum doc id IS the minimum representative id (representatives are
+    group minima). So:
+
+    1. one content-hash window tags each doc with its exact-copy
+       representative (the :func:`doc_representatives` collapse);
+    2. the shingle join + min-label propagation run over REPRESENTATIVES
+       only — cost bounded by distinct-text count, not corpus count;
+    3. one membership equi-join expands cluster ids back to every doc.
+
+    Output ``(id_col, cluster_id)`` is row-for-row identical to the raw
+    pipeline whenever the two share a shingle universe (``max_shingle_df``
+    here counts document frequency over representatives — the
+    distinct-text universe ``representative_near_pairs`` and
+    ``pipeline_leakage_safe_split`` use; the raw default counts over all
+    copies, so on corpora where the cap binds differently the
+    representative universe is the better-behaved one — boilerplate
+    measured across distinct texts, not inflated by copy counts), with
+    ONE deliberate improvement: exact copies of a SHINGLE-LESS doc
+    (fewer than ``n`` tokens — no shingles, hence invisible to the
+    Jaccard graph) cluster together here via the content-hash membership,
+    where the raw pipeline leaves each copy a singleton. Identical texts
+    are duplicates regardless of whether the shingle representation can
+    see them; both behaviors (equality on shingled corpora, the merge on
+    shingle-less copies) are unit-pinned in
+    ``tests/test_round10_scale.py``.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    tagged = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.min(id_col).over(w).alias("_rep"),
+        )
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, text_col
+    )
+    edges = ngram_jaccard_pairs(
+        reps,
+        n=n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_shingle_df=max_shingle_df,
+    )
+    cc = connected_components(
+        edges, reps.select(id_col), node_col=id_col, max_iter=max_iter
+    )
+    # expansion: corpus-sized membership ⋈ distinct-text-sized labels on
+    # the rep id — AQE broadcasts the label side when it is small enough
+    return tagged.select(F.col(id_col), F.col("_rep")).join(
+        cc.select(F.col(id_col).alias("_rep"), F.col("cluster_id")), "_rep"
+    ).select(F.col(id_col), F.col("cluster_id"))
+
+
+def vector_representatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact-duplicate membership over BIT-IDENTICAL vectors: ``(id,
+    rep_id, n_copies)`` — every row tagged with the min-id representative
+    of its (block, vector) group. The embedding analog of
+    :func:`doc_representatives`; one window shuffle partitioned by the
+    vector value itself (array columns hash/compare element-wise, so no
+    stringified fingerprint is needed — and none would be float-portable).
+
+    ``block_col`` keeps the collapse WITHIN pair-generation blocks: two
+    bit-identical vectors in different blocks are never compared by the
+    blocked pair operators, so collapsing them together would invent
+    cross-block pairs at expansion time."""
+    from pyspark.sql import Window
+
+    parts = ([F.col(block_col)] if block_col is not None else []) + [
+        F.col(vec_col)
+    ]
+    w = Window.partitionBy(*parts)
+    return emb.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("rep_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+def representative_embedding_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = False,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Scale-safe embedding-cosine near-duplicate pairs: collapse
+    bit-identical vectors (within their block) to one min-id
+    representative BEFORE the within-block pair scan, and report copy
+    multiplicities instead of materializing the copy-expanded pair set —
+    the embedding analog of :func:`representative_near_pairs`.
+
+    The raw :func:`embedding_near_pairs` is output-quadratic in
+    duplication by contract (the round-9 10×-dup probe read 42×, entirely
+    true-pair volume), and exact copies of a vector are the degenerate
+    case: cosine is a function of the vector VALUES, so every copy-pair
+    repeats its representatives' score. Collapsing first makes the pair
+    stage's cost a function of distinct-(block, vector) count.
+
+    Output — one row per representative pair:
+
+    - ``id_a < id_b`` rows: cross-group pairs with the representative
+      ``cosine_sim`` and ``n_expanded = n_copies_a · n_copies_b``;
+    - ``id_a == id_b`` diagonal rows: within-group identical-copy cliques
+      (``cosine_sim`` 1.0, ``n_expanded = C(n_copies, 2)``), emitted only
+      for groups of ≥ 2 copies with a NONZERO vector. Cosine is undefined
+      for the all-zero vector: the raw operator RAISES ``DIVIDE_BY_ZERO``
+      under ANSI mode the moment a zero vector meets any candidate — this
+      form instead collapses an all-zero copy clique to one lone
+      representative (which, alone, meets nothing) and emits no diagonal
+      for it, so the degenerate-but-real crawl case (empty docs embed to
+      zero) degrades to "no pairs" instead of a failed stage. A zero
+      vector sharing a block with OTHER vectors still raises in the pair
+      scan, same as raw (unit-pinned).
+
+    :func:`expand_representative_pairs` (with ``score_col='cosine_sim'``)
+    reconstructs the raw pair set row-for-row (equivalence unit-pinned).
+    ``max_block_size`` defaults to ``None`` here (exact within-block
+    semantics — the SQL-replayable form); the collapse itself is the
+    capacity fix for the duplicate-heavy failure mode the cap guards.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(block_col), F.col(vec_col))
+    tagged = tracked_persist(
+        emb.select(
+            F.col(id_col),
+            F.col(block_col),
+            F.col(vec_col),
+            F.min(id_col).over(w).alias("_rep"),
+            F.count("*").over(w).alias("_nc"),
+        )
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(vec_col),
+        F.col("_nc").alias("n_copies"),
+    )
+    pairs = embedding_near_pairs(
+        reps.select(id_col, block_col, vec_col),
+        threshold=threshold,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        arrow=arrow,
+        max_block_size=max_block_size,
+        warn_on_truncation=False,
+    )
+    mult = reps.select(F.col(id_col), F.col("n_copies"))
+    ma = mult.select(
+        F.col(id_col).alias("id_a"), F.col("n_copies").alias("n_copies_a")
+    )
+    mb = mult.select(
+        F.col(id_col).alias("id_b"), F.col("n_copies").alias("n_copies_b")
+    )
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine_sim",
+            "n_copies_a",
+            "n_copies_b",
+            (F.col("n_copies_a") * F.col("n_copies_b"))
+            .cast("long")
+            .alias("n_expanded"),
+        )
+    )
+    nonzero = F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+    diag = (
+        reps.filter((F.col("n_copies") >= 2) & nonzero)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("cosine_sim"),
+            F.col("n_copies").alias("n_copies_a"),
+            F.col("n_copies").alias("n_copies_b"),
+            (F.col("n_copies") * (F.col("n_copies") - 1) / 2)
+            .cast("long")
+            .alias("n_expanded"),
+        )
+    )
+    return cross.unionByName(diag)
 
 
 #: 2^61 - 1 (Mersenne prime): modulus of the portable MinHash family.
@@ -714,8 +936,12 @@ def embedding_near_pairs(
 
     Because the split silently trades recall, ``warn_on_truncation=True``
     (the :func:`..similarity.knn_graph` contract) counts oversized blocks
-    up front and emits a one-time ``UserWarning`` when the cap engages;
-    pass ``False`` to keep the call fully lazy.
+    up front and emits a one-time ``UserWarning`` when the cap engages.
+    NOTE: the check is an EAGER ``count()`` over block sizes — this
+    builder triggers one small Spark job at call time (block-count-sized,
+    one shuffle over the block key). Callers composing plans without
+    executing them should pass ``warn_on_truncation=False`` to keep the
+    call fully lazy (the cap still applies; only the heads-up is skipped).
     """
     from .similarity import dot, l2_norm
 

@@ -36,7 +36,10 @@ At 100 TB the full-batch pass per step is the honest cost model: n_steps
 scans of the feature frame (itself one pruned projection of the corpus).
 A production run caps the feature frame first (sample or
 ``pipeline_source_cap``-style stratified cap) — the fit frame is an input
-contract, not something this operator sneaks a sample of.
+contract, not something this operator sneaks a sample of. The contract is
+ENFORCED, not just documented: ``logit_gd_fit`` rejects fit inputs above
+``max_rows`` (default ``DEFAULT_MAX_FIT_ROWS``) with an actionable error,
+read off the first aggregation pass at zero extra cost.
 """
 
 from __future__ import annotations
@@ -50,6 +53,14 @@ from pyspark.sql import types as T
 from .caching import tracked_persist
 
 _DEC = "decimal(20,6)"
+
+#: Default fit-input row cap: n_steps full scans of the feature frame is
+#: the honest cost model of full-batch GD, so the fit INPUT must be
+#: bounded — at 100 TB the caller samples/caps first (``sampling.hash_split``
+#: or a stratified cap) and fits on the capped frame. 5M rows × a handful
+#: of doubles is comfortably one executor-memory-sized persisted frame and
+#: a sub-second aggregation pass per step on a real cluster.
+DEFAULT_MAX_FIT_ROWS = 5_000_000
 
 
 def _dec_term(col: F.Column) -> F.Column:
@@ -118,6 +129,7 @@ def logit_gd_trajectory(
     label_col: str = "y",
     n_steps: int = 4,
     lr: float = 2.0,
+    max_rows: int | None = DEFAULT_MAX_FIT_ROWS,
 ) -> DataFrame:
     """Full-batch logistic-regression gradient descent from w = 0, emitting
     the training trajectory: one row per step t ∈ [0, n_steps] with the
@@ -131,7 +143,9 @@ def logit_gd_trajectory(
     ascent on the log-likelihood, no regularization (the fixed small step
     count is the capacity control here, and it keeps the oracle unrolled).
     """
-    rows, _ = logit_gd_fit(feat, feature_cols, label_col, n_steps, lr)
+    rows, _ = logit_gd_fit(
+        feat, feature_cols, label_col, n_steps, lr, max_rows=max_rows
+    )
     names = ["bias"] + list(feature_cols)
     schema = T.StructType(
         [
@@ -170,10 +184,19 @@ def logit_gd_fit(
     label_col: str = "y",
     n_steps: int = 4,
     lr: float = 2.0,
+    max_rows: int | None = DEFAULT_MAX_FIT_ROWS,
 ) -> tuple[list[tuple], list[float]]:
     """The GD loop behind :func:`logit_gd_trajectory`, returning the raw
     trajectory rows AND the final (unrounded) weight vector — the handle
-    a serving path scores fresh rows with (:func:`logit_weights_expr`)."""
+    a serving path scores fresh rows with (:func:`logit_weights_expr`).
+
+    ``max_rows`` ENFORCES the bounded-fit-input contract (previously only
+    documented): the row count read off the first step's aggregation —
+    no extra pass — must not exceed it, else ``ValueError`` tells the
+    caller to sample/cap the feature frame first (``None`` opts out for
+    callers who have made that trade deliberately). An empty or fully
+    filtered frame also raises ``ValueError`` (mirroring
+    ``standardize_stats``) instead of a bare ``ZeroDivisionError``."""
     feat = tracked_persist(feat)
     y = F.col(label_col)
     names = ["bias"] + list(feature_cols)
@@ -195,6 +218,15 @@ def logit_gd_fit(
             aggs.append(F.sum(_dec_term((y - p) * F.col(c))).alias(f"g_{c}"))
         r = feat.agg(*aggs).collect()[0]
         n = r["n"]
+        if not n:
+            raise ValueError("logit fit: empty input frame")
+        if t == 0 and max_rows is not None and n > max_rows:
+            raise ValueError(
+                f"logit fit: input frame has {n} rows > max_rows="
+                f"{max_rows}; full-batch GD scans the frame once per "
+                "step — sample or cap the feature frame first (e.g. "
+                "sampling.hash_split), or pass max_rows=None to opt out"
+            )
         rows.append(
             (t, n, r["correct"] / n, float(r["l1"]) / n, *w)
         )

@@ -407,6 +407,7 @@ def ivfpq_batch_topk(
     cell_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batched IVF-PQ ANN serving: top-k for a whole QUERY-BATCH
     DataFrame in one plan — the production retrieval-tier shape
@@ -441,6 +442,16 @@ def ivfpq_batch_topk(
     contract), ADC distances 6dp-rounded before the per-(query, nprobe)
     ``row_number`` with an id tie-break.
 
+    ``exclude_self`` (default True) drops the candidate whose ``vec_id``
+    equals the query's id — correct when queries are drawn FROM the corpus
+    (a vector is trivially its own nearest neighbor). It assumes query ids
+    and corpus ids share one id space: for an EXTERNAL query batch whose
+    ids merely collide numerically with corpus ``vec_id``s, pass
+    ``exclude_self=False`` or an unrelated corpus vector is silently
+    dropped from that query's top-k. The query-id column type is inferred
+    from the input batch frame (not hardcoded), so string/int id schemes
+    both work.
+
     Returns ``(query_id, nprobe, vec_id, adc_dist, rn)`` — k rows per
     (query, nprobe) curve point.
     """
@@ -461,9 +472,19 @@ def ivfpq_batch_topk(
         raise ValueError("empty query batch")
 
     cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    # query-id type comes from the batch frame itself — an external batch
+    # may key queries by string/int; hardcoding long would mis-cast them
+    qid_type = dict(queries.dtypes)[query_id_col]
+    if exclude_self and qid_type != dict(emb.dtypes)[id_col]:
+        raise ValueError(
+            "ivfpq_batch_topk: exclude_self=True assumes query ids share "
+            f"the corpus id space, but the batch id type ({qid_type}) "
+            f"differs from {id_col}'s ({dict(emb.dtypes)[id_col]}) — this "
+            "is an external batch; pass exclude_self=False"
+        )
     qb = spark.createDataFrame(
         [(qid, qv) for qid, qv in qrows],
-        f"{query_id_col} long, _qvec array<double>",
+        f"{query_id_col} {qid_type}, _qvec array<double>",
     )
     csnap = F.transform(
         F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
@@ -505,11 +526,10 @@ def ivfpq_batch_topk(
         lut_entries += [F.lit(qid), F.array(*[F.lit(v) for v in flat])]
     lutmap = F.create_map(*lut_entries)
 
-    cand = (
-        emb.join(F.broadcast(cells), emb[cell_col] == F.col("cell"))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(id_col, vec_col, query_id_col, "cell_rank")
-    )
+    cand = emb.join(F.broadcast(cells), emb[cell_col] == F.col("cell"))
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    cand = cand.select(id_col, vec_col, query_id_col, "cell_rank")
     lut_arr = F.element_at(lutmap, F.col(query_id_col))
     enc = cand.select(
         F.col(id_col),

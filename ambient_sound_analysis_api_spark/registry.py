@@ -5848,6 +5848,7 @@ def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     hash-match a direct SQL aggregation over the raw rows. Three layers of
     machinery (real streaming, algebraic merge, transactional swap) with
     zero numeric drift."""
+    import shutil
     import tempfile
 
     from .operators.aggregations import merge_partials_monthly
@@ -5855,24 +5856,30 @@ def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 
     ev = _events(spark, sf_dir).select("event_type", "ts", "value")
     root = tempfile.mkdtemp(prefix="roll_")
-    src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
-    ev.repartition(4).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        incremental_rollup_query(spark, stream, store)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    return merge_partials_monthly(read_store(spark, store)).orderBy(
-        "event_type", "month"
-    )
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            incremental_rollup_query(spark, stream, store)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # eager localCheckpoint materializes the (months × types)-sized
+        # readout so the finally below can reclaim the dataset-sized temp
+        # tree (src + checkpoint + store) — previously leaked per run
+        return merge_partials_monthly(read_store(spark, store)).orderBy(
+            "event_type", "month"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -8972,6 +8979,7 @@ def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials need the committed-batch-id check. Daily estimates served
     FROM THE STORE hash-match the direct batch computation (the oracle),
     proving the incremental merge loses nothing."""
+    import shutil
     import tempfile
 
     from .operators import sketches as sk
@@ -8987,24 +8995,29 @@ def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     root = tempfile.mkdtemp(prefix="hllroll_")
-    src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
-    ev.repartition(4).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        hll_rollup_query(spark, stream, store)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    return sk.hll_estimate_from_registers(
-        read_store(spark, store), ["event_type", "day"]
-    ).orderBy("event_type", "day")
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            hll_rollup_query(spark, stream, store)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        # eager localCheckpoint of the (days × types)-sized estimates, so
+        # the finally reclaims the dataset-sized temp tree (no leak per run)
+        return sk.hll_estimate_from_registers(
+            read_store(spark, store), ["event_type", "day"]
+        ).orderBy("event_type", "day").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -9928,7 +9941,7 @@ def _pq_batch_ctes(
 @register(
     "emb_ivfpq_batch_topk",
     f"""
-    WITH qset AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3),
+    WITH qset AS (SELECT vec_id FROM embeddings WHERE vec_id IN (0, 1, 2)),
     {_pq_batch_ctes()},
     bcent AS (
       SELECT label, i,
@@ -10000,13 +10013,13 @@ def q_emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if books is None:
         books = pq_fit(emb, m=4, k=8, n_iter=2)
         _memo_put(_PQ_FIT_MEMO, key, books)
-    qb = (
-        emb.orderBy("vec_id")
-        .limit(3)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-        )
+    # serving batch by LITERAL id predicate, not orderBy().limit(): the
+    # demo must not imply sorting the corpus to pick queries — the filter
+    # reaches the parquet scan as PushedFilters and reads ~3 rows (ids are
+    # dense from 0 in the synthetic table, so these are the lowest three)
+    qb = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
     )
     return ivfpq_batch_topk(
         emb, books, qb, k=5, nprobes=(1, 2)
@@ -10061,6 +10074,126 @@ def q_dedup_representative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-pinned in ``tests/test_round9_hardening.py``)."""
     return dedup.representative_near_pairs(
         _table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_clusters_representative",
+    f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES_UNIQ},
+    memb AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+      FROM documents
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT DISTINCT rep_id, rep_id FROM memb
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    repcc AS (SELECT a AS rep_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT m.doc_id, c.cluster_id
+    FROM memb m JOIN repcc c USING (rep_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Representative-first near-dup CLUSTERING — the default-shaped
+    consumer of the round-9 collapse primitive
+    (``operators.dedup.representative_clusters``): exact copies collapse
+    to min-id representatives, connected components run over the
+    REPRESENTATIVE Jaccard≥0.2 graph only, and one membership equi-join
+    lands every doc_id in its cluster. Same (doc_id, cluster_id) contract
+    as ``dedup_clusters`` (equivalence unit-pinned where the shingle-df
+    universes agree), but cost bounded by distinct-text count — the raw
+    pipeline is input-quadratic in duplication by the pair contract (the
+    round-9 10×-dup probe read 75× for raw clustering). The oracle
+    replays the rep-universe shingle CTEs + a recursive transitive
+    closure over the representative graph + the membership join."""
+    from .operators.dedup import representative_clusters
+
+    return representative_clusters(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine_rep",
+    """
+    WITH mv AS (
+      SELECT vec_id, label, embedding,
+             min(vec_id) OVER (PARTITION BY label, embedding) AS rep_id,
+             count(*) OVER (PARTITION BY label, embedding) AS n_copies
+      FROM embeddings
+    ),
+    reps AS (
+      SELECT vec_id, label, embedding, n_copies FROM mv WHERE vec_id = rep_id
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM reps a
+      JOIN reps b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    x AS (
+      SELECT id_a, id_b,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT id_a, id_b, unnest(va) AS ua, unnest(vb) AS ub FROM p)
+      GROUP BY id_a, id_b
+    ),
+    cp AS (
+      SELECT x.id_a, x.id_b,
+             round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim,
+             ra.n_copies AS n_copies_a, rb.n_copies AS n_copies_b,
+             CAST(ra.n_copies * rb.n_copies AS BIGINT) AS n_expanded
+      FROM x
+      JOIN reps ra ON ra.vec_id = x.id_a
+      JOIN reps rb ON rb.vec_id = x.id_b
+      WHERE round(dp / (sqrt(na2) * sqrt(nb2)), 4) >= 0.3
+    ),
+    diag AS (
+      SELECT vec_id AS id_a, vec_id AS id_b,
+             CAST(1.0 AS DOUBLE) AS cosine_sim,
+             n_copies AS n_copies_a, n_copies AS n_copies_b,
+             CAST(n_copies * (n_copies - 1) // 2 AS BIGINT) AS n_expanded
+      FROM reps
+      WHERE n_copies >= 2
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
+    )
+    SELECT * FROM cp
+    UNION ALL
+    SELECT * FROM diag
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_embedding_cosine_rep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Identical-vector collapse before the blocked cosine pair scan
+    (``operators.dedup.representative_embedding_pairs``): bit-identical
+    vectors within a block collapse to their min-id representative (one
+    window partitioned by the vector value itself — arrays hash
+    element-wise, no float-stringified fingerprint), the within-block
+    pair stage runs over representatives only, and the output carries
+    copy multiplicities plus a ``cosine_sim`` 1.0 diagonal for
+    identical-copy cliques. The raw pair operators are output-quadratic
+    in duplication by contract (round-9 10×-dup probe: 42× — all
+    true-pair volume from exact vector copies); this form's cost is
+    bounded by distinct-(block, vector) count, with
+    ``dedup.expand_representative_pairs(score_col='cosine_sim')``
+    reconstructing the raw pair set row-for-row (unit-pinned)."""
+    from .operators.dedup import representative_embedding_pairs
+
+    return representative_embedding_pairs(
+        _table(spark, sf_dir, "embeddings"), threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
@@ -10263,6 +10396,92 @@ def q_maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         docs, base.unionAll(added), ["doc_id"]
     ).orderBy("doc_id")
+
+
+@register(
+    "maintenance_schema_diff",
+    """
+    WITH o AS (
+      SELECT column_name AS name,
+             CASE lower(column_type) WHEN 'varchar' THEN 'string'
+                  WHEN 'integer' THEN 'int'
+                  ELSE lower(column_type) END AS typ
+      FROM (DESCRIBE SELECT * FROM documents)
+    ),
+    n AS (
+      SELECT column_name AS name,
+             CASE lower(column_type) WHEN 'varchar' THEN 'string'
+                  WHEN 'integer' THEN 'int'
+                  ELSE lower(column_type) END AS typ
+      FROM (DESCRIBE SELECT doc_id, text, lang AS language, source,
+                   CAST(n_chars AS DOUBLE) AS n_chars,
+                   CAST(n_chars // 5 AS INT) AS tok_est
+            FROM documents)
+    ),
+    wide(ot, nt) AS (VALUES
+      ('tinyint','smallint'), ('tinyint','int'), ('tinyint','bigint'),
+      ('smallint','int'), ('smallint','bigint'), ('int','bigint'),
+      ('float','double'), ('date','timestamp')
+    ),
+    rem AS (SELECT name, typ FROM o WHERE name NOT IN (SELECT name FROM n)),
+    addc AS (SELECT name, typ FROM n WHERE name NOT IN (SELECT name FROM o)),
+    rent AS (
+      SELECT r.typ FROM (SELECT typ, count(*) c FROM rem GROUP BY 1) r
+      JOIN (SELECT typ, count(*) c FROM addc GROUP BY 1) a USING (typ)
+      WHERE r.c = 1 AND a.c = 1
+    ),
+    ren AS (
+      SELECT a.name AS column_name, r.name AS renamed_from, a.typ
+      FROM rem r JOIN addc a USING (typ)
+      WHERE a.typ IN (SELECT typ FROM rent)
+    )
+    SELECT o.name AS column_name,
+           CASE WHEN o.typ = n.typ THEN 'unchanged'
+                ELSE 'type_changed' END AS status,
+           o.typ AS old_type, n.typ AS new_type,
+           CAST(NULL AS VARCHAR) AS renamed_from,
+           CASE WHEN o.typ = n.typ THEN NULL
+                WHEN EXISTS (SELECT 1 FROM wide w
+                             WHERE w.ot = o.typ AND w.nt = n.typ)
+                THEN 'widened' ELSE 'incompatible' END AS compat
+    FROM o JOIN n USING (name)
+    UNION ALL
+    SELECT r.name, 'removed', r.typ, NULL, NULL, NULL
+    FROM rem r WHERE r.name NOT IN (SELECT renamed_from FROM ren)
+    UNION ALL
+    SELECT a.name, 'added', NULL, a.typ, NULL, NULL
+    FROM addc a WHERE a.name NOT IN (SELECT column_name FROM ren)
+    UNION ALL
+    SELECT column_name, 'renamed', typ, typ, renamed_from, NULL FROM ren
+    ORDER BY column_name
+    """,
+)
+def q_maintenance_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution audit (``operators.maintenance.schema_diff``):
+    column-level added/removed/renamed/type-changed report between two
+    snapshot schemas, with a widened-vs-incompatible verdict from the
+    type-widening compatibility matrix (``SAFE_WIDENINGS`` + the decimal
+    precision/scale rule). ``snapshot_diff`` answers "which rows
+    changed"; at 100 TB the first production incident is "which COLUMNS
+    changed" — and ``mergeSchema`` ingest absorbs drift silently rather
+    than reporting it. The "new" snapshot schema derives
+    deterministically from documents (rename ``lang``→``language``,
+    widen ``n_chars`` bigint→double, add ``tok_est`` int), so the oracle
+    replays the same mutation over DuckDB ``DESCRIBE`` output with the
+    same canonical type-name mapping and the same unique-by-type rename
+    inference. Footer-only: no data is scanned on either engine."""
+    from .operators.maintenance import schema_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.select(
+        "doc_id",
+        "text",
+        F.col("lang").alias("language"),
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.expr("CAST(n_chars DIV 5 AS INT)").alias("tok_est"),
+    )
+    return schema_diff(spark, docs.schema, new.schema).orderBy("column_name")
 
 
 @register(
@@ -10717,6 +10936,7 @@ def q_streaming_dual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely what the oracle's direct monthly computation checks).
     Both stores' numerics hash-match direct SQL over the raw rows:
     exact-decimal means and the portable md5 register algebra."""
+    import shutil
     import tempfile
 
     from .operators import sketches as sk
@@ -10727,44 +10947,52 @@ def q_streaming_dual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_type", "ts", "value", "user_id")
     root = tempfile.mkdtemp(prefix="dualroll_")
-    src, ckpt = f"{root}/src", f"{root}/ckpt"
-    pstore, hstore = f"{root}/partials", f"{root}/hll"
-    ev.repartition(4).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        dual_rollup_query(spark, stream, pstore, hstore)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    monthly = merge_partials_monthly(rollupmod.read_store(spark, pstore))
-    regs = hllmod.read_store(spark, hstore)
-    month_regs = (
-        regs.select(
-            "event_type",
-            F.substring("day", 1, 7).alias("month"),
-            "reg",
-            "m",
+    try:
+        src, ckpt = f"{root}/src", f"{root}/ckpt"
+        pstore, hstore = f"{root}/partials", f"{root}/hll"
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        .groupBy("event_type", "month", "reg")
-        .agg(F.max("m").alias("m"))
-    )
-    users = sk.hll_estimate_from_registers(month_regs, ["event_type", "month"])
-    return monthly.join(users, ["event_type", "month"], "full_outer").select(
-        "event_type",
-        "month",
-        "n_events",
-        "mean_value",
-        "min_value",
-        "max_value",
-        "approx_users",
-    ).orderBy("event_type", "month")
+        q = (
+            dual_rollup_query(spark, stream, pstore, hstore)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        monthly = merge_partials_monthly(rollupmod.read_store(spark, pstore))
+        regs = hllmod.read_store(spark, hstore)
+        month_regs = (
+            regs.select(
+                "event_type",
+                F.substring("day", 1, 7).alias("month"),
+                "reg",
+                "m",
+            )
+            .groupBy("event_type", "month", "reg")
+            .agg(F.max("m").alias("m"))
+        )
+        users = sk.hll_estimate_from_registers(
+            month_regs, ["event_type", "month"]
+        )
+        # eager localCheckpoint of the months×types readout, so the finally
+        # reclaims the dataset-sized temp tree (src + ckpt + both stores) —
+        # previously each invocation leaked it (ADVICE round 9)
+        return monthly.join(users, ["event_type", "month"], "full_outer").select(
+            "event_type",
+            "month",
+            "n_events",
+            "mean_value",
+            "min_value",
+            "max_value",
+            "approx_users",
+        ).orderBy("event_type", "month").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

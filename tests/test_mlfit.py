@@ -120,6 +120,30 @@ def test_standardize_empty_raises(spark):
         standardize(df, ["x"], label_cols=["y"])
 
 
+def test_logit_fit_empty_input_raises(spark):
+    from ambient_sound_analysis_api_spark.operators.mlfit import logit_gd_fit
+
+    feat = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="empty input"):
+        logit_gd_fit(feat, ["x"], "y", n_steps=1)
+
+
+def test_logit_fit_max_rows_guard(spark):
+    """The bounded-fit-input contract is enforced, not just documented:
+    a frame above max_rows fails fast with an actionable message, and
+    max_rows=None opts out."""
+    from ambient_sound_analysis_api_spark.operators.mlfit import logit_gd_fit
+
+    feat = spark.range(20).select(
+        (F.col("id") % 3).cast("double").alias("x"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        logit_gd_fit(feat, ["x"], "y", n_steps=1, max_rows=10)
+    rows, w = logit_gd_fit(feat, ["x"], "y", n_steps=1, max_rows=None)
+    assert len(rows) == 2 and len(w) == 2
+
+
 def test_logit_select_memoizes_and_is_consistent(spark, sf_dir):
     """The apply step: one fit populates the model memo, a second
     invocation serves from it, and the keep decision is exactly the

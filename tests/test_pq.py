@@ -118,3 +118,48 @@ def test_ivfpq_residual_beats_raw_pq_distortion(spark, sf_dir):
     dists = [r.adc_dist for r in rows]
     assert dists == sorted(dists)
     assert all(d >= 0 for d in dists)
+
+
+def test_ivfpq_batch_exclude_self_flag_and_id_type(spark):
+    """External query batches: exclude_self=False must keep a corpus
+    vector whose vec_id merely collides with a query id, and the
+    query-id column type is inferred from the batch frame (not
+    hardcoded long)."""
+    from ambient_sound_analysis_api_spark.operators.pq import (
+        ivfpq_batch_topk,
+        pq_fit,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [10.0, 1.0], 1),
+            (2, [0.5, 0.0], 0),
+            (3, [9.5, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    books = pq_fit(emb, m=2, k=2, n_iter=1)
+    # external batch whose id 0 collides with corpus vec_id 0
+    qb = spark.createDataFrame(
+        [(0, [0.1, 0.0])], "query_id long, qvec array<double>"
+    )
+    with_self = ivfpq_batch_topk(
+        emb, books, qb, k=4, nprobes=(2,), exclude_self=False
+    ).collect()
+    without = ivfpq_batch_topk(
+        emb, books, qb, k=4, nprobes=(2,)
+    ).collect()
+    assert {r.vec_id for r in with_self} - {r.vec_id for r in without} == {0}
+
+    # string query ids round-trip unchanged (schema inferred from batch);
+    # exclude_self with a mismatched id type is rejected up front
+    qbs = spark.createDataFrame(
+        [("qA", [0.1, 0.0])], "query_id string, qvec array<double>"
+    )
+    rows = ivfpq_batch_topk(
+        emb, books, qbs, k=2, nprobes=(1,), exclude_self=False
+    ).collect()
+    assert rows and all(r.query_id == "qA" for r in rows)
+    with pytest.raises(ValueError, match="exclude_self"):
+        ivfpq_batch_topk(emb, books, qbs, k=2, nprobes=(1,))
