@@ -675,3 +675,150 @@ def ivfpq_residual_topk(
         .limit(topk)
         .select(id_col, "adc_dist")
     )
+
+
+def ivfpq_delta_index(
+    new_emb: DataFrame,
+    cents: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: encode + cell-assign a batch of NEW
+    vectors against an EXISTING index (coarse centroids + PQ codebooks) —
+    NO refit. A 100 TB corpus grows daily; refitting codebooks per batch
+    is the anti-pattern (and silently shifts every existing code). This
+    is the ANN analog of ``dedup.incremental_dedup``: the delta is
+    processed against the standing model, and the result appends.
+
+    Cell assignment is the exact-decimal argmin of the repo's ranking
+    contract (operands snapped to DECIMAL(15,9), squared and summed
+    exactly, ``row_number`` tie-break on the cell id — identical to the
+    ``ivfpq_recall_curve`` cell ranking), so the assignment — not just
+    the codes — is SQL-replayable. The window partitions by the new
+    vector id: nlist candidate rows per vector, parallel in the batch.
+
+    Plan: one broadcast of the nlist-row centroid table against the
+    delta scan, one partitioned window, one codegen encode projection.
+    No aggregation over the corpus, no k-means stages (plan-tested).
+
+    Returns ``(id_col, cell, code_0..code_{m-1})`` — the delta rows in
+    the same layout a standing code table uses, ready to union/append.
+    """
+    from pyspark.sql import Window
+
+    csnap = F.transform(
+        F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
+    )
+    vsnap = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            csnap, vsnap,
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d"), F.col("cell"))
+    assigned = (
+        new_emb.crossJoin(F.broadcast(cents))  # nlist-row centroid table
+        .select(F.col(id_col), F.col(vec_col), F.col("cell"), sqd.alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    )
+
+
+def ivfpq_incremental_topk(
+    emb: DataFrame,
+    new_emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Serve IVF-PQ top-k over OLD ∪ NEW after an incremental batch:
+    the standing corpus contributes candidates through the usual probed
+    cell equi-join + encode; the new batch contributes through
+    :func:`ivfpq_delta_index` (assigned + encoded against the SAME
+    memoized model, no refit — the plan contains no k-means stages);
+    both sides score through one shared ADC projection and one
+    ``TakeOrderedAndProject`` top-k (no global sort, no unpartitioned
+    window).
+
+    Returns ``(src, vec_id, adc_dist)`` — ``src`` ∈ ``old``/``new`` —
+    the k nearest by 6dp-rounded ADC distance with an id tie-break
+    (new-batch ids are assumed disjoint from corpus ids, as an append
+    log guarantees).
+    """
+    from .caching import tracked_persist
+    from .similarity import ivf_cell_centroids
+
+    # model-sized (nlist rows) but consumed twice: probe ranking below
+    # and the delta assignment — persist so the corpus-wide centroid
+    # aggregation runs once
+    cents = tracked_persist(
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    )
+
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    csnap = F.transform(
+        F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
+    )
+    qsnap = F.transform(
+        qarr, lambda x: F.round(x, 9).cast("decimal(15,9)")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            csnap, qsnap,
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy(F.col("_d"), F.col("cell"))  # nlist rows: global ok
+    probes = (
+        cents.select("cell", sqd.alias("_d"))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= nprobe)
+        .select("cell")
+    )
+
+    old_codes = pq_encode(
+        emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col),
+        codebooks, id_col=id_col, vec_col=vec_col,
+    ).select(F.lit("old").alias("src"), "*")
+    new_codes = (
+        ivfpq_delta_index(
+            new_emb, cents, codebooks, id_col=id_col, vec_col=vec_col
+        )
+        .join(F.broadcast(probes), "cell")
+        .drop("cell")
+        .select(F.lit("new").alias("src"), "*")
+    )
+    dist = _adc_dist(codebooks, query)
+    return (
+        old_codes.unionByName(new_codes)
+        .withColumn("adc_dist", F.round(dist, 6))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+        .select("src", id_col, "adc_dist")
+    )

@@ -10026,6 +10026,153 @@ def q_emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "nprobe", "rn")
 
 
+def _pq_incremental_ctes(m: int = 4, k: int = 8, n_iter: int = 2,
+                         d_sub: int = 16) -> str:
+    """Incremental-ANN oracle extension over ``_pq_ctes``: the NEW batch
+    (vec_id % 10 = 3, reversed vectors under +1M ids) is cell-assigned by
+    the exact-decimal ranking contract and PQ-encoded against the SAME
+    fitted chains — no refit CTEs — then ADC-scored through the same
+    per-cluster query tables ``qd{s}``."""
+    parts = [f""",
+    nsrc AS (
+      SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS vec
+      FROM embeddings WHERE vec_id % 10 = 3
+    ),
+    ndim AS (
+      SELECT vec_id, CAST(unnest(vec) AS DOUBLE) AS x,
+             generate_subscripts(vec, 1) AS i
+      FROM nsrc
+    ),
+    ncdist AS (
+      SELECT n.vec_id, c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(n.x, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(n.x, 9) AS DECIMAL(15,9)))) AS d
+      FROM cent c JOIN ndim n USING (i)
+      GROUP BY n.vec_id, c.label
+    ),
+    nassign AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, label) AS rn
+        FROM ncdist) t WHERE rn = 1
+    )"""]
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        parts.append(f""",
+    nd{s} AS (
+      SELECT vec_id, CAST(unnest(vec[{lo}:{hi}]) AS DOUBLE) AS x,
+             generate_subscripts(vec[{lo}:{hi}], 1) AS i
+      FROM nsrc
+    ),
+    ncode{s} AS (
+      SELECT vec_id, cluster AS code_{s} FROM (
+        SELECT n.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY sum((n.x - c.m) * (n.x - c.m)),
+                                           c.cluster) AS rn
+        FROM nd{s} n JOIN s{s}c{n_iter}d c USING (i)
+        GROUP BY n.vec_id, c.cluster) t
+      WHERE rn = 1
+    )""")
+    adc_sum = " + ".join(f"qd{s}.qd" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN ncode{s} USING (vec_id)" for s in range(1, m)
+    )
+    adc_joins = " ".join(
+        f"JOIN qd{s} ON ncode{s}.code_{s} = qd{s}.cluster" for s in range(m)
+    )
+    parts.append(f""",
+    nadc AS (
+      SELECT ncode0.vec_id, na.label, {adc_sum} AS dist
+      FROM ncode0 {code_joins}
+      JOIN nassign na USING (vec_id)
+      {adc_joins}
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_ivfpq_incremental",
+    f"""
+    WITH {_pq_ctes()},
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    qdim AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    cdist AS (
+      SELECT c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    crank AS (
+      SELECT label, row_number() OVER (ORDER BY d, label) AS cell_rank
+      FROM cdist
+    ),
+    probed AS (SELECT label FROM crank WHERE cell_rank <= 2)
+    {_pq_incremental_ctes()},
+    oldscan AS (
+      SELECT 'old' AS src, e.vec_id, round(adc.dist, 6) AS adc_dist
+      FROM embeddings e
+      JOIN probed USING (label)
+      JOIN adc ON adc.vec_id = e.vec_id
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    newscan AS (
+      SELECT 'new' AS src, n.vec_id, round(n.dist, 6) AS adc_dist
+      FROM nadc n JOIN probed USING (label)
+    )
+    SELECT src, vec_id, adc_dist FROM (
+      SELECT * FROM oldscan UNION ALL SELECT * FROM newscan
+    ) ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance (``operators/pq.py::ivfpq_delta_index``
+    + ``ivfpq_incremental_topk``): a batch of NEW embeddings (a simulated
+    daily delta — reversed vectors under fresh ids) is cell-assigned and
+    PQ-encoded against the MEMOIZED codebooks and standing coarse
+    centroids — no refit, no k-means stages in the plan (plan-tested) —
+    then top-10 serves over old ∪ new through one shared ADC projection.
+    Refitting per batch is the anti-pattern a growing 100 TB corpus
+    cannot afford (and it would silently shift every existing code); the
+    fit memo already holds the model, so the delta costs one broadcast
+    centroid ranking + one encode projection. The oracle unrolls the
+    same composite: the fitted chains, exact-decimal cell assignment of
+    the delta, its codes, and the union scan."""
+    from .operators.pq import ivfpq_incremental_topk, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    new = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    return ivfpq_incremental_topk(
+        emb, new, books, query, query_id=0, k=10, nprobe=2
+    ).orderBy("adc_dist", "vec_id")
+
+
 @register(
     "dedup_representative_pairs",
     f"""

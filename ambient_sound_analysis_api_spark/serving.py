@@ -86,15 +86,17 @@ class Engine:
         self.spark = spark
         self.root = root
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # Archive-key source is pluggable (sources/listing.py): default is
-        # the staged parquet listing; production passes a
-        # PaginatedKeyLister(s3_pager(client, bucket)) — the reference's
-        # boto3 listing boundary (get_options.py:103) as a constructor
-        # argument, not a rewrite.
+        # Archive-key source is pluggable (sources/listing.py), resolved
+        # through auto_lister — the selection point that makes the
+        # executor-sharded walk the default whenever the namespace exposes
+        # prefixes. Production: Engine(key_lister=auto_lister(
+        # pager_factory=lambda: s3_pager(boto3.client('s3'), bucket),
+        # prefixes=[f'archive/{h}/' for h in hydros])); the sandbox
+        # default resolves to the staged parquet listing.
         if key_lister is None:
-            from .sources.listing import ParquetKeyLister
+            from .sources.listing import auto_lister
 
-            key_lister = ParquetKeyLister(f"{root}/archive_keys.parquet")
+            key_lister = auto_lister(path=f"{root}/archive_keys.parquet")
         # catalog: tiny (one row per product), cached and reused by every
         # preflight validation (reference C4/C5)
         self._catalog = build_catalog(key_lister.list_keys(spark)).cache()

@@ -200,6 +200,59 @@ class ShardedKeyLister:
         return prefix_df.mapInPandas(walk, "key string")
 
 
+def auto_lister(
+    *,
+    path: "str | None" = None,
+    pager: "Pager | None" = None,
+    pager_factory: "Callable[[], Pager] | None" = None,
+    prefixes: "Iterable[str] | None" = None,
+    max_pages: int = 10_000,
+    chunk_size: int = 250_000,
+    stage_dir: "str | None" = None,
+):
+    """Select the widest lister the namespace supports — the wired entry
+    point ``Engine``/probes construct through, so the executor-sharded
+    path is the DEFAULT whenever it is available rather than an opt-in
+    parked next to the driver loop:
+
+    - ``pager_factory`` + ``prefixes`` → :class:`ShardedKeyLister`
+      (executor-side fan-out: one task per prefix shard; 10M-key probe
+      6.8 s / 111 MB vs 13.3 s / 186 MB driver-side — NOTES.md round 9);
+    - ``pager_factory`` without prefixes, or a plain ``pager`` →
+      :class:`PaginatedKeyLister` (the driver loop; an un-shardable
+      namespace has no parallel walk to offer);
+    - ``path`` → :class:`ParquetKeyLister` (staged manifest).
+
+    Exactly one key source must be given. A live client must come through
+    ``pager_factory`` (built per task, closure-pickled); a ``pager``
+    holding one client stays driver-side by construction.
+    """
+    given = [x is not None for x in (path, pager, pager_factory)]
+    if sum(given) != 1:
+        raise ValueError(
+            "auto_lister: pass exactly one of path=, pager=, pager_factory="
+        )
+    plist = list(prefixes) if prefixes is not None else []
+    if pager_factory is not None:
+        if plist:
+            return ShardedKeyLister(pager_factory, plist, max_pages=max_pages)
+        return PaginatedKeyLister(
+            pager_factory(),
+            max_pages=max_pages,
+            chunk_size=chunk_size,
+            stage_dir=stage_dir,
+        )
+    if pager is not None:
+        return PaginatedKeyLister(
+            pager,
+            prefixes=plist or ("",),
+            max_pages=max_pages,
+            chunk_size=chunk_size,
+            stage_dir=stage_dir,
+        )
+    return ParquetKeyLister(path)
+
+
 def s3_pager(client, bucket: str) -> Pager:
     """Adapt a boto3-style client (public ``list_objects_v2`` call shape:
     Bucket/Prefix/ContinuationToken → Contents/IsTruncated/

@@ -110,12 +110,64 @@ HEADLINE = [
     # (the fastText-style learned quality gate; trajectory oracle-checked
     # step-by-step against the unrolled DuckDB CTE chain)
     "pipeline_quality_logit",
+    # round-10: representative-first clustering (exact-collapse →
+    # CC over the rep graph → membership expansion — the default-shaped
+    # consumer of the round-9 collapse) and incremental ANN maintenance
+    # (delta batch assigned+encoded against the memoized model, no refit,
+    # top-k over old ∪ new)
+    "dedup_clusters_representative",
+    "emb_ivfpq_incremental",
 ]
+
+
+def _load_baseline(args: list[str]) -> tuple[str, dict] | None:
+    """Resolve the drift baseline: ``--baseline PATH`` wins,
+    ``--no-baseline`` disables, default is the highest-numbered committed
+    ``BENCH_r*.json``. Returns (name, {query: sec}) or None.
+
+    The point (round-9 VERDICT #3): three rounds in a row spent a NOTES
+    paragraph hand-adjudicating ±12-20% uniform VM drift. With per-query
+    ratios normalized by the MEDIAN ratio over common queries, a uniform
+    session-speed shift cancels by construction — untouched queries read
+    ~1.0×, so any adjusted ratio > ~1.2 is a plan regression signal, not
+    narrative."""
+    import glob
+    import re
+
+    if "--no-baseline" in args:
+        return None
+    if "--baseline" in args:
+        path = args[args.index("--baseline") + 1]
+    else:
+        cands = []
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return None
+        path = max(cands)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed", doc)
+        prev = parsed.get("queries")
+        if not prev:
+            return None
+        cur_sf = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        ).rstrip("/").rsplit("sf", 1)[-1]
+        if str(parsed.get("sf")) != cur_sf:
+            return None  # cross-SF ratios are noise, not drift signal
+        return os.path.basename(path), {k: float(v) for k, v in prev.items()}
+    except (OSError, ValueError, AttributeError):
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    baseline = _load_baseline(sys.argv[1:])
     spark = get_spark("bench")
     qs = queries()
 
@@ -144,17 +196,29 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if baseline is not None:
+        name, prev = baseline
+        common = sorted(q for q in timings if q in prev and prev[q] > 0)
+        if common:
+            ratios = {q: timings[q] / prev[q] for q in common}
+            med = sorted(ratios.values())[len(ratios) // 2]
+            out["baseline"] = name
+            # uniform VM-session drift (±12-20% observed rounds 7-9)
+            # shows up as the median ratio; dividing it out makes
+            # untouched queries read ~1.0× BY CONSTRUCTION, so adjusted
+            # ratios > ~1.2 are plan-regression signal, not narrative
+            out["drift_norm"] = round(med, 3)
+            out["ratios_adj"] = {
+                q: round(r / med, 2) for q, r in sorted(ratios.items())
             }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

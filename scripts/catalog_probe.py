@@ -38,6 +38,7 @@ from ambient_sound_analysis_api_spark.sources.catalog import (  # noqa: E402
 from ambient_sound_analysis_api_spark.sources.listing import (  # noqa: E402
     PaginatedKeyLister,
     ShardedKeyLister,
+    auto_lister,
 )
 
 
@@ -83,11 +84,14 @@ def main() -> int:
 
         print("RES mode: sharded-executor")
         print("RES rss_before_mb:", rss_mb())
-        lister = ShardedKeyLister(
-            factory,
+        # through the wired selection point (Engine's path): a
+        # prefix-bearing namespace auto-selects the executor-sharded walk
+        lister = auto_lister(
+            pager_factory=factory,
             prefixes=[f"archive/hydro{i:02d}/" for i in range(n_shards)],
             max_pages=shard_pages + 1,
         )
+        assert isinstance(lister, ShardedKeyLister)
         t0 = time.time()
         keys_df = lister.list_keys(spark)
         n_listed = keys_df.count()

@@ -272,6 +272,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
     global_window_ok = {
         # nlist-row IVF cell-centroid ranking (cells ≤ label vocabulary)
         "emb_ivfpq_recall_curve",
+        # same nlist-row probe ranking in the incremental serve path
+        "emb_ivfpq_incremental",
         # documented dimension-only global ntile (customer is a dim table
         # here; the scalable fact path is agg_distinct_percentile)
         "win_ntile_balance",
@@ -293,6 +295,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "pipeline_skew_report",  # 1-row total/median stats broadcast
         "emb_ivfpq_topk",  # 1-row query × nlist-row centroid ranking
         "emb_ivfpq_residual_topk",  # same 1-row probe stage, residual codes
+        # delta-batch × nlist-row centroid broadcast (cell assignment) +
+        # the nlist-row probe list broadcast against both scan sides
+        "emb_ivfpq_incremental",
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
         "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
         "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
@@ -541,3 +546,25 @@ def test_logit_select_serve_is_single_codegen_scan(spark, sf_dir):
     # no Python, no joins: pure Catalyst projection + the output sort
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_ivfpq_incremental_serve_has_no_fit_stages(spark, sf_dir):
+    """The incremental path must serve from the MEMOIZED model: with the
+    codebook memo populated, invoking the query runs zero k-means jobs
+    (memo size stable, no refit) and the plan is the bounded serve shape
+    — shared cached centroid build, no Python, no cartesian product."""
+    from ambient_sound_analysis_api_spark import registry
+
+    fn = registry.queries()["emb_ivfpq_incremental"]
+    fn(spark, sf_dir)  # populates the codebook memo on first use
+    n_memo = len(registry._PQ_FIT_MEMO)
+    df = fn(spark, sf_dir)
+    assert len(registry._PQ_FIT_MEMO) == n_memo  # served, not refit
+    plan = explain_str(df, "simple")
+    # the nlist-row centroid table is built ONCE and served from cache to
+    # all three consumers (probe ranking + both probe broadcasts / the
+    # delta assignment) — textual FileScan counts lie here because a
+    # cached relation's description still contains its scan node
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without a global sort

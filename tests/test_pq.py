@@ -163,3 +163,37 @@ def test_ivfpq_batch_exclude_self_flag_and_id_type(spark):
     assert rows and all(r.query_id == "qA" for r in rows)
     with pytest.raises(ValueError, match="exclude_self"):
         ivfpq_batch_topk(emb, books, qbs, k=2, nprobes=(1,))
+
+
+def test_ivfpq_delta_index_assigns_nearest_cell_no_refit(spark):
+    """The delta batch lands in the nearest EXISTING cell and is encoded
+    with the EXISTING codebooks — pure serve-side math, no fit."""
+    from ambient_sound_analysis_api_spark.operators.pq import (
+        ivfpq_delta_index,
+        pq_encode,
+        pq_fit,
+    )
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        ivf_cell_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0), (1, [0.2, 0.0], 0),
+            (2, [10.0, 1.0], 1), (3, [9.8, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    books = pq_fit(emb, m=2, k=2, n_iter=1)
+    cents = ivf_cell_centroids(emb)
+    new = spark.createDataFrame(
+        [(100, [0.1, 0.0]), (101, [9.9, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in ivfpq_delta_index(new, cents, books).collect()}
+    assert rows[100].cell == 0 and rows[101].cell == 1
+    want = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in pq_encode(new, books).collect()
+    }
+    assert all((rows[i].code_0, rows[i].code_1) == want[i] for i in (100, 101))
