@@ -172,6 +172,40 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_rep_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = False,
+) -> DataFrame:
+    """SemDeDup with the identical-vector collapse: k-means assignment as
+    the block key (the :func:`semantic_dedup_pairs` shape), then
+    :func:`..dedup.representative_embedding_pairs` inside the fitted
+    clusters — exact vector copies collapse to one representative per
+    (cluster, vector) group BEFORE the pair scan and come back as
+    multiplicity columns + 1.0 diagonals. Sound because the assignment is
+    a deterministic function of the vector VALUE: copies always land in
+    the same cluster, so the collapse never loses a within-cluster pair.
+    The duplicate-heavy failure mode the raw form's ``max_block_size``
+    cap mitigates (a dup-clique filling one cell) is removed at the
+    source instead of capped."""
+    from .dedup import representative_embedding_pairs
+
+    centroids = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col, out_col="_kcluster")
+    return representative_embedding_pairs(
+        assigned,
+        threshold=threshold,
+        block_col="_kcluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        arrow=arrow,
+    )
+
+
 def kcenter_greedy(
     emb,
     k: int = 4,

@@ -764,6 +764,136 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH banding of a signature table — the
+    standing-index layout: one row per (doc, band), keyed by the portable
+    md5 band hash so any engine rebuilds identical buckets."""
+    from ..functions.scalars import md5_hash60
+
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        md5_hash60(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[
+                                        bi * rows_per_band + r
+                                    ].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate admission — the MinHash analog of
+    :func:`incremental_dedup` and the near-dup member of the engine's
+    daily-delta family (exact-dup: ``incremental_dedup``; ANN:
+    ``pq.ivfpq_delta_index``): the NEW batch's banded signatures probe
+    the STANDING corpus band index plus themselves, and the corpus never
+    self-joins.
+
+    That asymmetry is the scale property: per ingest batch, candidate
+    work is O(batch-band rows × matching bucket sizes), not
+    O(corpus²) — the standing index is read-only (in production it is a
+    precomputed table bucketed by ``band_hash``, appended after
+    admission; here both signature tables are computed in-plan, which
+    changes cost, not semantics — MinHash signatures are per-doc, so a
+    precomputed index is bit-identical to computing on the subset).
+
+    Emits one row per candidate pair at estimated Jaccard ≥ ``threshold``
+    where AT LEAST ONE side is new: ``(id_a, id_b, side, est_jaccard)``
+    with ``id_a < id_b`` and ``side`` ∈ ``cross`` (new vs corpus) /
+    ``batch`` (both new) — ``cross`` rows are the "reject or link"
+    admission signal, ``batch`` rows the within-delta dedup.
+    """
+    sigs_new = tracked_persist(
+        minhash_signatures(new_df, num_hashes, n, text_col, id_col)
+    )
+    sigs_corpus = tracked_persist(
+        minhash_signatures(corpus_df, num_hashes, n, text_col, id_col)
+    )
+    nb = _band_signatures(sigs_new, num_hashes, bands)
+    allb = _band_signatures(sigs_new, num_hashes, bands).withColumn(
+        "is_new", F.lit(True)
+    ).unionByName(
+        _band_signatures(sigs_corpus, num_hashes, bands).withColumn(
+            "is_new", F.lit(False)
+        )
+    )
+    a = nb.alias("a")
+    b = allb.alias("b")
+    # new side drives the probe; within-batch pairs arrive in both
+    # orientations and collapse in the normalize+distinct below
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.col("b.is_new").alias("_bn"),
+        )
+        .groupBy("id_a", "id_b")
+        # a pair is 'batch' iff BOTH sides are new — i.e. the matched
+        # b-side was new in every (equivalently any) matched orientation
+        # where b is the partner; min(bool) survives the both-orientation
+        # duplication of within-batch pairs
+        .agg(F.min("_bn").alias("_both_new"))
+    )
+    sa = sigs_new.unionByName(sigs_corpus).select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs_new.unionByName(sigs_corpus).select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_both_new"), F.lit("batch"))
+            .otherwise(F.lit("cross"))
+            .alias("side"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

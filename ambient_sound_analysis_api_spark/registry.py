@@ -2667,6 +2667,159 @@ def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_semantic_kmeans_rep",
+    f"""
+    WITH {_kmeans_ctes()},
+    ea AS (
+      SELECT e.vec_id, e.embedding, f.cluster
+      FROM embeddings e JOIN af f USING (vec_id)
+    ),
+    smv AS (
+      SELECT vec_id, cluster, embedding,
+             min(vec_id) OVER (PARTITION BY cluster, embedding) AS rep_id,
+             count(*) OVER (PARTITION BY cluster, embedding) AS n_copies
+      FROM ea
+    ),
+    sreps AS (
+      SELECT vec_id, cluster, embedding, n_copies FROM smv
+      WHERE vec_id = rep_id
+    ),
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM sreps a
+      JOIN sreps b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    sx AS (
+      SELECT id_a, id_b,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT id_a, id_b, unnest(va) AS ua, unnest(vb) AS ub FROM sp)
+      GROUP BY id_a, id_b
+    ),
+    scp AS (
+      SELECT sx.id_a, sx.id_b,
+             round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim,
+             ra.n_copies AS n_copies_a, rb.n_copies AS n_copies_b,
+             CAST(ra.n_copies * rb.n_copies AS BIGINT) AS n_expanded
+      FROM sx
+      JOIN sreps ra ON ra.vec_id = sx.id_a
+      JOIN sreps rb ON rb.vec_id = sx.id_b
+      WHERE round(dp / (sqrt(na2) * sqrt(nb2)), 4) >= 0.3
+    ),
+    sdiag AS (
+      SELECT vec_id AS id_a, vec_id AS id_b,
+             CAST(1.0 AS DOUBLE) AS cosine_sim,
+             n_copies AS n_copies_a, n_copies AS n_copies_b,
+             CAST(n_copies * (n_copies - 1) // 2 AS BIGINT) AS n_expanded
+      FROM sreps
+      WHERE n_copies >= 2
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
+    )
+    SELECT * FROM scp
+    UNION ALL
+    SELECT * FROM sdiag
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_semantic_kmeans_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the identical-vector collapse
+    (``operators.clustering.semantic_dedup_rep_pairs``): the k-means
+    assignment is the block key, and bit-identical vectors within a
+    fitted cluster collapse to one representative before the pair scan —
+    sound because assignment is a deterministic function of the vector
+    value, so copies always share a cluster. The duplicate-heavy failure
+    mode the raw form's capacity cap mitigates (one dup-clique filling a
+    cell) is removed at the source. The oracle unrolls the Lloyd's fit
+    chain, replays the per-(cluster, vector) collapse, and checks
+    multiplicities and the 1.0 diagonal."""
+    from .operators.clustering import semantic_dedup_rep_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_dedup_rep_pairs(
+        emb, k=8, n_iter=4, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_incremental_lsh",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS shingles
+      FROM t WHERE len(toks) >= 3
+    ),
+    h0 AS (
+      SELECT doc_id AS id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h0
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM g)
+    ),
+    coef(i, a, c) AS (VALUES {_MINHASH_COEF_VALUES}),
+    hi AS (
+      SELECT id, cf.i AS i,
+             min(((((cf.a * (h0 >> 30)) >> 31)
+                 + (((cf.a * (h0 >> 30)) & 2147483647) << 30)
+                 + cf.a * (h0 & 1073741823) + cf.c) % {_MINHASH_MOD})) AS h
+      FROM h0 CROSS JOIN coef cf
+      GROUP BY id, cf.i
+    ),
+    band AS (
+      SELECT id, CAST(i // 4 AS INT) AS band_idx,
+             ('0x' || substr(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15))::BIGINT AS band_hash
+      FROM hi GROUP BY id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id <> b.id
+      WHERE a.id % 7 = 2
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT) / 32.0 AS est_jaccard
+      FROM cand c
+      JOIN hi ha ON ha.id = c.id_a
+      JOIN hi hb ON hb.id = c.id_b AND hb.i = ha.i
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CASE WHEN id_a % 7 = 2 AND id_b % 7 = 2
+                THEN 'batch' ELSE 'cross' END AS side,
+           est_jaccard
+    FROM est
+    WHERE est_jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-duplicate admission
+    (``operators.dedup.incremental_minhash_pairs``): the new ingest
+    batch's banded MinHash signatures probe the STANDING corpus band
+    index plus themselves — the corpus never self-joins, so per-batch
+    candidate work is O(batch-band rows × bucket sizes), never
+    O(corpus²). Completes the engine's daily-delta family across all
+    three dup regimes: exact (``incremental_dedup``), near
+    (this), semantic/ANN (``emb_ivfpq_incremental``). ``side`` separates
+    the admission signal (``cross``: new vs corpus) from within-delta
+    dedup (``batch``). The batch is doc_id % 7 = 2, replayed by the
+    oracle over the portable md5/Mersenne MinHash family, whose
+    band buckets and estimates rebuild identically in any engine."""
+    docs = _table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 2)
+    corpus = docs.filter(F.col("doc_id") % 7 != 2)
+    return dedup.incremental_minhash_pairs(
+        new, corpus, num_hashes=32, bands=8, n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # 8. relational breadth — adapted TPC-H + window/grouping surface
 #
@@ -8055,6 +8208,82 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         triangle_stats(edges)
         .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "graph_triangle_stats_representative",
+    f"""
+    WITH {_NGRAM_JACCARD_CTES_UNIQ},
+    p AS (SELECT id_a, id_b FROM jac_pairs),
+    tr AS (
+      SELECT p1.id_a AS u, p1.id_b AS v, p2.id_b AS w
+      FROM p p1
+      JOIN p p2 ON p2.id_a = p1.id_b
+      JOIN p p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    ),
+    tn AS (SELECT unnest([u, v, w]) AS node FROM tr),
+    tc AS (SELECT node, count(*) AS triangles FROM tn GROUP BY node),
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT id_a AS node FROM p UNION ALL SELECT id_b AS node FROM p)
+      GROUP BY node
+    ),
+    grp AS (
+      SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT deg.node AS doc_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round((CAST(2.0 AS DOUBLE) * coalesce(tc.triangles, 0))
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering,
+           CAST(g.n_copies AS BIGINT) AS n_copies
+    FROM deg
+    LEFT JOIN tc ON tc.node = deg.node
+    JOIN grp g ON g.rep_id = deg.node
+    ORDER BY doc_id
+    """,
+)
+def q_graph_triangle_stats_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle counts + clustering coefficient over the REPRESENTATIVE
+    near-dup graph — the scale-safe form of ``graph_triangle_stats``,
+    completing the representative-first story for its second consumer:
+    the raw graph's round-9 10×-dup probe read 96.6× because every
+    10-copy clique contributes ~120× the triangles, pure copy expansion
+    with zero analytic content (a copy-clique's clustering is 1.0 by
+    construction). Collapsing exact copies first makes the wedge stage's
+    input distinct-text-sized; ``n_copies`` carries the multiplicity so
+    the analyst still sees which template families are large. Same
+    degree-ordered Suri-Vassilvitskii engine plan; the oracle counts
+    triangles by the naive ordered three-way join over the
+    representative-universe Jaccard graph."""
+    from pyspark.sql import Window as _W
+
+    from .operators.graph import triangle_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    w = _W.partitionBy(F.md5(F.col("text")))
+    tagged = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.min("doc_id").over(w).alias("_rep"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+    reps = tagged.filter(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "text", "n_copies"
+    )
+    edges = dedup.ngram_jaccard_pairs(
+        reps.select("doc_id", "text"), n=3, threshold=0.2
+    )
+    return (
+        triangle_stats(edges)
+        .withColumnRenamed("node", "doc_id")
+        .join(reps.select("doc_id", "n_copies"), "doc_id")
         .orderBy("doc_id")
     )
 
