@@ -701,39 +701,13 @@ def minhash_lsh_pairs(
     use the portable md5 family over the comma-joined signature slice, so
     the bucketing — not just the output — is oracle-reproducible.
     """
-    from ..functions.scalars import md5_hash60
-
-    rows_per_band = num_hashes // bands
     # signature computation (k× array_min over hashed shingles) is the
     # expensive stage and is consumed by banding plus both sides of the
     # estimate join: materialize once. The table is one small row per doc
     # (id + k longs), so it broadcasts.
     sigs = tracked_persist(minhash_signatures(df, num_hashes, n, text_col, id_col))
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        md5_hash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[
-                                        bi * rows_per_band + r
-                                    ].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+    banded = _band_signatures(sigs, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

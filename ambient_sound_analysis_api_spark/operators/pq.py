@@ -822,3 +822,88 @@ def ivfpq_incremental_topk(
         .limit(k)
         .select("src", id_col, "adc_dist")
     )
+
+
+def ivfpq_write_index(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> None:
+    """Materialize the IVF-PQ serving index as a CELL-PARTITIONED Parquet
+    table of codes: ``cell=<c>/...`` directories holding
+    ``(id, code_0..code_{m-1})`` rows. This is the shape that realizes
+    both of the architecture's multiplicative savings AT THE STORAGE
+    LAYER rather than per query:
+
+    - **4-byte codes, not 256-byte vectors**: the scanned payload is the
+      m int codes — the encode projection runs ONCE at build time, not
+      once per query (the ``ivfpq_topk`` family re-encodes candidates on
+      every call, which is the right shape for ad-hoc audits and the
+      wrong one for a serving tier);
+    - **partition pruning, not row filtering**: the probe's cell
+      predicate prunes to nprobe DIRECTORIES before any I/O — the query
+      never opens the other nlist − nprobe partitions' files
+      (plan-tested: ``PartitionFilters`` carries the cell predicate and
+      ``ReadSchema`` has no vector column).
+
+    One shuffle (repartition by cell) sizes one output file per cell.
+    """
+    codes = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    )
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivfpq_persisted_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Serve top-k from the PERSISTED cell-partitioned code index
+    (:func:`ivfpq_write_index`): rank cells against the corpus centroids,
+    collect the nprobe probe cells (a model-sized driver fetch — nprobe
+    scalars), then read ONLY those partitions of the code table and
+    ADC-score them. The scan is the whole query cost: nprobe/nlist of
+    the directories × 4 bytes per vector, finished by a
+    ``TakeOrderedAndProject`` top-k."""
+    from .similarity import ivf_probe_cells
+
+    probes = [
+        r["cell"]
+        for r in ivf_probe_cells(
+            emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col,
+        )
+        .select("cell")
+        .collect()
+    ]
+    scan = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probes))
+        .filter(F.col(id_col) != query_id)
+    )
+    dist = _adc_dist(codebooks, query)
+    return (
+        scan.withColumn("adc_dist", F.round(dist, 6))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+        .select(id_col, "adc_dist")
+    )

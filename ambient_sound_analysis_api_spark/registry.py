@@ -188,6 +188,25 @@ _BLOOM_FIT_MEMO: dict[tuple, list[int]] = {}
 _PQ_FIT_MEMO: dict[tuple, list] = {}
 # (standardization stats, weight vector) of the fitted quality classifier
 _LOGIT_FIT_MEMO: dict[tuple, tuple] = {}
+# persisted cell-partitioned IVF-PQ code indexes: fingerprint-keyed temp
+# dirs (build once, serve many). Unlike the in-memory memos these own
+# DISK, so eviction rmtrees the stale dir and an atexit hook reclaims
+# everything at process end — the streaming-store leak (ADVICE r9) is
+# not reintroduced by the index store.
+_IVFPQ_INDEX_MEMO: dict[tuple, str] = {}
+
+
+def _cleanup_index_stores() -> None:
+    import shutil
+
+    for p in _IVFPQ_INDEX_MEMO.values():
+        shutil.rmtree(p, ignore_errors=True)
+    _IVFPQ_INDEX_MEMO.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_index_stores)
 
 
 def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
@@ -5794,6 +5813,81 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
     query = [float(x) for x in qrow[0]]
     return ivfpq_topk(emb, books, query, query_id=qid, k=10, nprobe=2)
+
+
+@register(
+    "emb_ivfpq_persisted_topk",
+    f"""
+    WITH {_pq_ctes()},
+    qiv AS (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    qdim AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+                    generate_subscripts(qe, 1) AS i FROM qiv),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    cd AS (
+      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3),
+    cand AS (
+      SELECT e.vec_id FROM embeddings e JOIN iprobes USING (label)
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    )
+    SELECT a.vec_id, round(a.dist, 6) AS adc_dist
+    FROM adc a JOIN cand USING (vec_id)
+    ORDER BY adc_dist, vec_id
+    LIMIT 12
+    """,
+)
+def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from the PERSISTED index
+    (``operators/pq.py::ivfpq_write_index`` + ``ivfpq_persisted_topk``):
+    the cell-partitioned 4-byte-code table is written ONCE per dataset
+    (fingerprint-keyed store, atexit-reclaimed) and every query is a
+    partition-pruned scan of nprobe cell DIRECTORIES reading only the
+    code columns — both of the IVF-PQ architecture's savings realized at
+    the storage layer instead of per query (the ``ivfpq_topk`` family
+    re-encodes candidates per call; a serving tier must not). Plan-tested:
+    ``PartitionFilters`` carries the cell probe, ``ReadSchema`` has no
+    vector column. The oracle replays the fitted chains + centroid probe
+    + ADC over the logical candidate set — codes are deterministic, so
+    serving from disk or from the formula is value-identical."""
+    import shutil
+    import tempfile
+
+    from .operators.pq import ivfpq_persisted_topk, ivfpq_write_index, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    fkey = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(fkey)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, fkey, books)
+    ikey = fkey + ("cellidx",)
+    path = _IVFPQ_INDEX_MEMO.get(ikey)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        ivfpq_write_index(emb, books, path)
+        stale = [
+            k for k in _IVFPQ_INDEX_MEMO
+            if k[0][0] == ikey[0][0] and k[0] != ikey[0]
+        ]
+        for k in stale:
+            shutil.rmtree(_IVFPQ_INDEX_MEMO.pop(k), ignore_errors=True)
+        _IVFPQ_INDEX_MEMO[ikey] = path
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_persisted_topk(
+        spark, path, emb, books, query, query_id=qid, k=12, nprobe=3
+    ).orderBy("adc_dist", "vec_id")
 
 
 @register(

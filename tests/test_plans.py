@@ -568,3 +568,23 @@ def test_ivfpq_incremental_serve_has_no_fit_stages(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+
+
+def test_ivfpq_persisted_serve_prunes_partitions_and_columns(spark, sf_dir):
+    """Serving from the persisted cell-partitioned code index must
+    realize BOTH IVF-PQ savings at the scan: the cell probe arrives as a
+    PartitionFilter (nprobe directories opened, not nlist) and the read
+    schema carries only id + codes — never the vector column."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    fn = queries()["emb_ivfpq_persisted_topk"]
+    fn(spark, sf_dir)  # build + memoize the index store
+    df = fn(spark, sf_dir)  # served from the persisted index
+    plan = explain_str(df, "formatted")
+    assert "ivfpq_idx_" in plan  # the scan really reads the stored index
+    # the index scan prunes on cell and reads no vector column
+    assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1].splitlines()[0]
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "code_0" in ln
+    ]
+    assert read_schemas and all("embedding" not in ln for ln in read_schemas)
