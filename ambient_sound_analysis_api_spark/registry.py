@@ -8383,6 +8383,132 @@ def q_graph_triangle_stats_representative(
 
 
 @register(
+    "pipeline_expectations",
+    """
+    WITH cust AS (
+      SELECT count(*) AS n, count(c_name) AS comp,
+             count(DISTINCT c_custkey) AS uni,
+             sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS nonneg
+      FROM customer
+    ),
+    ords AS (
+      SELECT count(*) AS n, count(DISTINCT o_orderkey) AS uni,
+             sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS st
+      FROM orders
+    ),
+    ref AS (
+      SELECT (SELECT count(*) FROM orders) AS n,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS orphans
+    ),
+    rep AS (
+      SELECT 'c_name_complete' AS "constraint", 'customer.c_name' AS target,
+             CASE WHEN n = 0 THEN 0.0 ELSE comp / n END AS metric,
+             1.0 AS threshold
+      FROM cust
+      UNION ALL
+      SELECT 'c_custkey_unique', 'customer.c_custkey',
+             CASE WHEN n = 0 THEN 0.0 ELSE uni / n END, 1.0 FROM cust
+      UNION ALL
+      SELECT 'c_acctbal_nonneg', 'customer.c_acctbal',
+             CASE WHEN n = 0 THEN 0.0 ELSE nonneg / n END, 0.8 FROM cust
+      UNION ALL
+      SELECT 'o_orderkey_unique', 'orders.o_orderkey',
+             CASE WHEN n = 0 THEN 0.0 ELSE uni / n END, 1.0 FROM ords
+      UNION ALL
+      SELECT 'o_totalprice_positive', 'orders.o_totalprice',
+             CASE WHEN n = 0 THEN 0.0 ELSE tp / n END, 1.0 FROM ords
+      UNION ALL
+      SELECT 'o_orderstatus_accepted', 'orders.o_orderstatus',
+             CASE WHEN n = 0 THEN 0.0 ELSE st / n END, 1.0 FROM ords
+      UNION ALL
+      SELECT 'orders_customer_fk', 'orders.o_custkey -> customer.c_custkey',
+             CASE WHEN n = 0 THEN 0.0 ELSE (n - orphans) / n END, 1.0
+      FROM ref
+    )
+    SELECT "constraint", target, metric, threshold,
+           CAST(CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM rep
+    ORDER BY "constraint"
+    """,
+)
+def q_pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite
+    (``operators/expectations.py``): declarative constraints —
+    completeness, uniqueness, value/accepted-set predicates, referential
+    integrity — verified as ONE fused aggregation pass per table (the
+    Deequ insight: N single-table checks cost one scan, not N) plus one
+    anti-join per FK. The report is one row per constraint with the
+    measured metric and a pass/fail verdict; the ``c_acctbal_nonneg``
+    check carries a 0.8 threshold against a ~0.93 measured fraction so
+    the report exercises a sub-1.0 metric, and at 100 TB this is the
+    per-ingest-batch gate a warehouse actually runs. Metrics are ratios
+    of exact longs — bit-identical IEEE division in any engine — so the
+    suite is fully SQL-oracle-checked."""
+    from .operators.expectations import (
+        Check,
+        referential_expectation,
+        table_expectations,
+    )
+
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    cust_rep = table_expectations(
+        cust,
+        "customer",
+        [
+            Check("c_name_complete", "completeness", column="c_name"),
+            Check("c_custkey_unique", "uniqueness", column="c_custkey"),
+            Check(
+                "c_acctbal_nonneg",
+                "satisfies",
+                column="c_acctbal",
+                predicate=F.col("c_acctbal") >= 0,
+                threshold=0.8,
+            ),
+        ],
+    )
+    ord_rep = table_expectations(
+        orders,
+        "orders",
+        [
+            Check("o_orderkey_unique", "uniqueness", column="o_orderkey"),
+            Check(
+                "o_totalprice_positive",
+                "satisfies",
+                column="o_totalprice",
+                predicate=F.col("o_totalprice") > 0,
+            ),
+            Check(
+                "o_orderstatus_accepted",
+                "satisfies",
+                column="o_orderstatus",
+                predicate=F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+        ],
+    )
+    fk = referential_expectation(
+        orders,
+        cust,
+        fk="o_custkey",
+        pk="c_custkey",
+        name="orders_customer_fk",
+        target="orders.o_custkey -> customer.c_custkey",
+    )
+    return (
+        cust_rep.unionByName(ord_rep)
+        .unionByName(fk)
+        .withColumn("passed", F.col("passed").cast("long"))
+        .orderBy("constraint")
+    )
+
+
+@register(
     "pipeline_drift_psi",
     """
     WITH ev AS (

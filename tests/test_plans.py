@@ -319,6 +319,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_pca_top_component",  # 1-row n/norm/eigenvalue broadcasts
         "emb_pca_datapass",  # same 1-row norm/eigenvalue broadcasts
         "agg_hourly_corr_matrix",  # tiny hours x type-vocabulary grid fill
+        "pipeline_expectations",  # 1-row total × 1-row orphan-count join
     }
     python_ok = {
         "mm_binary_meta",
