@@ -11320,6 +11320,262 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_cross_correlation",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+        AND isfinite(value)
+        AND event_type IN ('click', 'error')
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    j AS (
+      SELECT x.hr, x.m AS xm, y.m AS ym
+      FROM (SELECT hr, m FROM hourly WHERE event_type = 'click') x
+      JOIN (SELECT hr, m FROM hourly WHERE event_type = 'error') y
+        USING (hr)
+    ),
+    mu AS (
+      SELECT CAST(sum(CAST(round(xm, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / count(*) AS mx,
+             CAST(sum(CAST(round(ym, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / count(*) AS my
+      FROM j
+    ),
+    c AS (
+      SELECT j.hr, j.xm - mu.mx AS cx, j.ym - mu.my AS cy FROM j, mu
+    ),
+    l AS (
+      SELECT cx, cy,
+             lead(cy, 1) OVER w AS y1, lead(cy, 2) OVER w AS y2,
+             lead(cy, 3) OVER w AS y3,
+             lead(cx, 1) OVER w AS x1, lead(cx, 2) OVER w AS x2,
+             lead(cx, 3) OVER w AS x3
+      FROM c WINDOW w AS (ORDER BY hr)
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(round(cx*cx, 6) AS DECIMAL(20,6))) AS DOUBLE) AS dx,
+             CAST(sum(CAST(round(cy*cy, 6) AS DECIMAL(20,6))) AS DOUBLE) AS dy,
+             CAST(sum(CAST(round(cx*cy, 6) AS DECIMAL(20,6))) AS DOUBLE) AS n0,
+             CAST(sum(CAST(round(cx*y1, 6) AS DECIMAL(20,6))) AS DOUBLE) AS pn1,
+             CAST(sum(CAST(round(cx*y2, 6) AS DECIMAL(20,6))) AS DOUBLE) AS pn2,
+             CAST(sum(CAST(round(cx*y3, 6) AS DECIMAL(20,6))) AS DOUBLE) AS pn3,
+             CAST(sum(CAST(round(cy*x1, 6) AS DECIMAL(20,6))) AS DOUBLE) AS mn1,
+             CAST(sum(CAST(round(cy*x2, 6) AS DECIMAL(20,6))) AS DOUBLE) AS mn2,
+             CAST(sum(CAST(round(cy*x3, 6) AS DECIMAL(20,6))) AS DOUBLE) AS mn3,
+             count(*) AS p0,
+             count(y1) AS pp1, count(y2) AS pp2, count(y3) AS pp3,
+             count(x1) AS mp1, count(x2) AS mp2, count(x3) AS mp3
+      FROM l
+    )
+    SELECT lag, round(num / sqrt(dx * dy), 6) AS ccf,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM (
+      SELECT -3 AS lag, mn3 AS num, dx, dy, mp3 AS n_pairs FROM s
+      UNION ALL SELECT -2, mn2, dx, dy, mp2 FROM s
+      UNION ALL SELECT -1, mn1, dx, dy, mp1 FROM s
+      UNION ALL SELECT 0, n0, dx, dy, p0 FROM s
+      UNION ALL SELECT 1, pn1, dx, dy, pp1 FROM s
+      UNION ALL SELECT 2, pn2, dx, dy, pp2 FROM s
+      UNION ALL SELECT 3, pn3, dx, dy, pp3 FROM s
+    )
+    ORDER BY lag
+    """,
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and error hourly
+    noise series at lags −3..+3 h — the lead/lag attribution readout
+    (does one channel's activity precede the other's?) that completes
+    the time-series analysis family next to ``ts_autocorrelation``. ONE
+    pass over the joined hourly spine: a single ordered window emits
+    both series' leads, one global fold computes every lag's numerator
+    + both denominators + pair counts, and the 7-lag readout stacks off
+    the 1-row result. The joint series is calendar-bounded (≤ 672 rows
+    in the fixed 28-day window — data-size-independent), so the global
+    window/fold are model-sized by construction. Cross-engine: the
+    ``ts_autocorrelation`` decimal contract (6dp-rounded centered
+    products into DECIMAL sums; means joined back as a broadcast
+    dimension); ccf = num/sqrt(dx·dy) of identical doubles."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from .functions.scalars import is_finite
+
+    ev = (
+        _events(spark, sf_dir, _dt(2024, 1, 1), _dt(2024, 1, 29))
+        .filter(is_finite(F.col("value")))
+        .filter(F.col("event_type").isin("click", "error"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
+    x = hourly.filter(F.col("event_type") == "click").select(
+        "hr", F.col("m").alias("xm")
+    )
+    y = hourly.filter(F.col("event_type") == "error").select(
+        "hr", F.col("m").alias("ym")
+    )
+    j = x.join(y, "hr")
+
+    def dmean(col):
+        return (
+            F.sum(F.round(col, 6).cast("decimal(20,6)")).cast("double")
+            / F.count("*")
+        )
+
+    mu = j.agg(dmean(F.col("xm")).alias("mx"), dmean(F.col("ym")).alias("my"))
+    c = j.crossJoin(F.broadcast(mu)).select(
+        "hr",
+        (F.col("xm") - F.col("mx")).alias("cx"),
+        (F.col("ym") - F.col("my")).alias("cy"),
+    )
+    w = Window.orderBy("hr")  # calendar-bounded joint series: global ok
+    led = c.select(
+        "cx",
+        "cy",
+        *[F.lead("cy", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+        *[F.lead("cx", k).over(w).alias(f"x{k}") for k in (1, 2, 3)],
+    )
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(20,6)")).cast("double")
+
+    s = led.agg(
+        dsum(F.col("cx") * F.col("cx")).alias("dx"),
+        dsum(F.col("cy") * F.col("cy")).alias("dy"),
+        dsum(F.col("cx") * F.col("cy")).alias("n0"),
+        *[dsum(F.col("cx") * F.col(f"y{k}")).alias(f"pn{k}") for k in (1, 2, 3)],
+        *[dsum(F.col("cy") * F.col(f"x{k}")).alias(f"mn{k}") for k in (1, 2, 3)],
+        F.count("*").alias("p0"),
+        *[F.count(f"y{k}").alias(f"pp{k}") for k in (1, 2, 3)],
+        *[F.count(f"x{k}").alias(f"mp{k}") for k in (1, 2, 3)],
+    )
+    stack = (
+        "stack(7, -3, mn3, mp3, -2, mn2, mp2, -1, mn1, mp1, 0, n0, p0, "
+        "1, pn1, pp1, 2, pn2, pp2, 3, pn3, pp3) AS (lag, num, n_pairs)"
+    )
+    return (
+        s.selectExpr("dx", "dy", stack)
+        .select(
+            "lag",
+            F.round(
+                F.col("num") / F.sqrt(F.col("dx") * F.col("dy")), 6
+            ).alias("ccf"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "ts_mad_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
+               AS m
+      FROM events
+      WHERE isfinite(value)
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    med AS (
+      SELECT event_type, round(quantile_cont(m, 0.5), 6) AS med
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.m, med.med, abs(d.m - med.med) AS ad
+      FROM daily d JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
+           round(dev.m, 6) AS daily_mean,
+           CASE WHEN mad.mad > 0
+                THEN round(abs(dev.m - dev.med) / (1.4826 * mad.mad), 4)
+                END AS robust_z,
+           CAST(CASE WHEN mad.mad > 0
+                      AND round(abs(dev.m - dev.med) / (1.4826 * mad.mad), 4)
+                          > 3.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def q_ts_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection over the per-type daily
+    noise series — the outlier readout mean/stddev z-scores get wrong on
+    exactly the data that needs it (outliers inflate the stddev and mask
+    themselves; the median absolute deviation has a 50% breakdown
+    point). Two grouped exact-percentile passes (median of the daily
+    means, then median of absolute deviations) joined back as
+    type-vocabulary-sized dimensions, then one projection computes the
+    robust z (÷ 1.4826·MAD, the normal-consistency constant) and flags
+    |z| > 3. Degenerate series (MAD 0: over half the days identical)
+    report NULL z and no flag instead of dividing by zero. Cross-engine:
+    medians are 6dp-rounded at the point they enter arithmetic (the
+    ``F.percentile``/``quantile_cont`` envelope contract), the flag
+    compares the SAME 4dp-rounded z on both engines."""
+    from .functions.scalars import is_finite
+
+    ev = _events(spark, sf_dir).filter(is_finite(F.col("value")))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double")
+            / F.count("value")
+        ).alias("m")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("m", 0.5), 6).alias("med")
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "m",
+        "med",
+        F.abs(F.col("m") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", 0.5), 6).alias("mad")
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.abs(F.col("m") - F.col("med"))
+            / (F.lit(1.4826) * F.col("mad")),
+            4,
+        ),
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("m", 6).alias("daily_mean"),
+            rz.alias("robust_z"),
+            F.when(rz > 3.0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "text_tokenizer_fertility",
     f"""
     WITH w AS (

@@ -280,6 +280,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # per-source count ranking for the Gini readout (rows = distinct
         # sources, a corpus-card vocabulary)
         "pipeline_diversity_metrics",
+        # joint click×error hourly spine: calendar-bounded (≤672 rows in
+        # the fixed 28-day window), data-size-independent
+        "ts_cross_correlation",
     }
 
     one_row_broadcast = {
@@ -320,6 +323,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_pca_datapass",  # same 1-row norm/eigenvalue broadcasts
         "agg_hourly_corr_matrix",  # tiny hours x type-vocabulary grid fill
         "pipeline_expectations",  # 1-row total × 1-row orphan-count join
+        "ts_cross_correlation",  # 1-row joint-mean broadcast (centering)
     }
     python_ok = {
         "mm_binary_meta",
