@@ -117,6 +117,11 @@ HEADLINE = [
     # top-k over old ∪ new)
     "dedup_clusters_representative",
     "emb_ivfpq_incremental",
+    # round-10 second batch: serving from the persisted cell-partitioned
+    # code index (partition-pruned nprobe-directory scan of code columns;
+    # memoized build) and the fused one-pass-per-table expectation suite
+    "emb_ivfpq_persisted_topk",
+    "pipeline_expectations",
 ]
 
 
