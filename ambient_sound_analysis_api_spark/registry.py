@@ -10623,6 +10623,145 @@ def q_emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivfpq_incremental_recall",
+    f"""
+    WITH {_pq_ctes()},
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    qdim AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    cdist AS (
+      SELECT c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    crank AS (
+      SELECT label, row_number() OVER (ORDER BY d, label) AS cell_rank
+      FROM cdist
+    ),
+    probed AS (SELECT label FROM crank WHERE cell_rank <= 2)
+    {_pq_incremental_ctes()},
+    oldscan AS (
+      SELECT e.vec_id, round(adc.dist, 6) AS adc_dist
+      FROM embeddings e
+      JOIN probed USING (label)
+      JOIN adc ON adc.vec_id = e.vec_id
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    newscan AS (
+      SELECT n.vec_id, round(n.dist, 6) AS adc_dist
+      FROM nadc n JOIN probed USING (label)
+    ),
+    topk AS (
+      SELECT vec_id FROM (
+        SELECT * FROM oldscan UNION ALL SELECT * FROM newscan
+      ) ORDER BY adc_dist, vec_id LIMIT 10
+    ),
+    uni AS (
+      SELECT vec_id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_reverse(embedding)
+      FROM embeddings WHERE vec_id % 10 = 3
+    ),
+    udec AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS i,
+             CAST(round(CAST(unnest(v) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+      FROM uni
+    ),
+    qdec AS (
+      SELECT i, x FROM udec
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    exd AS (
+      SELECT u.vec_id, sum((u.x - q.x) * (u.x - q.x)) AS d
+      FROM udec u JOIN qdec q USING (i)
+      WHERE u.vec_id <> (SELECT min(vec_id) FROM embeddings)
+      GROUP BY u.vec_id
+    ),
+    exact AS (SELECT vec_id FROM exd ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_10
+    FROM topk t LEFT JOIN exact e USING (vec_id)
+    """,
+)
+def q_emb_ivfpq_incremental_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Acceptance gate for the incremental index: recall@10 of the
+    old∪new ADC serve (``ivfpq_incremental_topk`` — delta assigned and
+    encoded against the MEMOIZED model, no refit) against the EXACT
+    squared-L2 top-10 over the float vectors of the grown corpus. The
+    question a production ANN tier must answer after every delta batch:
+    did appending without refitting silently degrade retrieval? Same
+    audit family as ``emb_ivfpq_recall_curve``/``emb_int8_ann_recall``;
+    the exact baseline ranks on order-independent snapped-decimal
+    distances (the recall-curve contract), so the whole gate is
+    hash-checked."""
+    from .operators.pq import ivfpq_incremental_topk, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    new = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    top = ivfpq_incremental_topk(
+        emb, new, books, query, query_id=0, k=10, nprobe=2
+    ).select("vec_id")
+
+    uni = emb.select("vec_id", "embedding").unionByName(new)
+    xd = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+    )
+    base = uni.select(F.col("vec_id"), xd.alias("_xd"))
+    qd = base.filter(F.col("vec_id") == 0).select(F.col("_xd").alias("_qd"))
+    dexact = F.aggregate(
+        F.zip_with(
+            F.col("_xd"),
+            F.col("_qd"),
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    exact = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qd))
+        .select(F.col("vec_id"), dexact.alias("_de"))
+        .orderBy(F.col("_de"), F.col("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id"), F.lit(1).cast("long").alias("_hit"))
+    )
+    return top.join(F.broadcast(exact), "vec_id", "left").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+    ).select(
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+@register(
     "dedup_representative_pairs",
     f"""
     WITH {_NGRAM_JACCARD_CTES_UNIQ},
@@ -11572,6 +11711,130 @@ def q_ts_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "catalog_coverage_islands",
+    f"""
+    WITH keys AS ({_CATALOG_KEYS_DUCK.replace(
+        "FROM events", "FROM events WHERE day(ts) % 7 <> 3"
+    )}),
+    named AS (
+      SELECT DISTINCT key,
+             split_part(key, '/', 3) AS fname,
+             upper(replace(replace(trim(split_part(key, '/', 2)), ' ', '_'), '-', '_')) AS hydrophone
+      FROM keys
+    ),
+    parsed AS (
+      SELECT hydrophone,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 1) AS start_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 2) AS end_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 3) AS secs_s,
+             regexp_extract(fname, '([0-9]{{8}}T[0-9]{{6}})_([0-9]{{8}}T[0-9]{{6}})_([0-9]+)s_([a-z0-9]+)\\.parquet$', 4) AS suffix
+      FROM named
+      WHERE fname LIKE '%.parquet' AND fname NOT LIKE 'ancient%'
+    ),
+    typed AS (
+      SELECT hydrophone,
+             CASE WHEN suffix = 'broadband' THEN 'broadband'
+                  WHEN regexp_extract(suffix, '^([0-9]+)oct$', 1) <> '' THEN 'octave_bands'
+                  WHEN regexp_extract(suffix, '^([0-9]+)hz$', 1) <> '' THEN 'delta_hz'
+             END AS freq_type,
+             CAST(NULLIF(coalesce(NULLIF(regexp_extract(suffix, '^([0-9]+)oct$', 1), ''),
+                                  regexp_extract(suffix, '^([0-9]+)hz$', 1)), '') AS INTEGER) AS delta_f,
+             CAST(secs_s AS INTEGER) AS delta_t,
+             epoch_us(strptime(start_s, '%Y%m%dT%H%M%S')) // 1000000 AS s,
+             epoch_us(strptime(end_s, '%Y%m%dT%H%M%S')) // 1000000 AS e
+      FROM parsed
+      WHERE start_s <> '' AND end_s <> '' AND secs_s <> ''
+    ),
+    mark AS (
+      SELECT *, CASE WHEN s > coalesce(
+               max(e) OVER (PARTITION BY hydrophone, freq_type, delta_f, delta_t
+                            ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -4611686018427387904) THEN 1 ELSE 0 END AS brk
+      FROM typed WHERE freq_type IS NOT NULL
+    ),
+    numbered AS (
+      SELECT *, sum(brk) OVER (PARTITION BY hydrophone, freq_type, delta_f, delta_t
+                               ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM mark
+    ),
+    isl AS (
+      SELECT hydrophone, freq_type, delta_f, delta_t, island,
+             min(s) AS is_, max(e) AS ie, count(*) AS nf
+      FROM numbered
+      GROUP BY hydrophone, freq_type, delta_f, delta_t, island
+    ),
+    gapped AS (
+      SELECT *, is_ - lag(ie) OVER (PARTITION BY hydrophone, freq_type, delta_f, delta_t
+                                    ORDER BY is_) AS gap
+      FROM isl
+    )
+    SELECT hydrophone, freq_type, delta_f, delta_t,
+           CAST(sum(nf) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(ie - is_) AS BIGINT) AS covered_secs,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_secs
+    FROM gapped
+    GROUP BY hydrophone, freq_type, delta_f, delta_t
+    ORDER BY hydrophone, freq_type, delta_f, delta_t
+    """,
+)
+def q_catalog_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage HOLES in the archive listing
+    (``sources.catalog.coverage_islands``): per product, the merged file
+    intervals (gaps-and-islands over ``[file_start, file_end)`` — a
+    running-max window, not ``lag``, so an interval nested inside an
+    earlier one cannot split an island), island count, covered seconds,
+    and the largest gap. ``build_catalog``'s min/max/count summary
+    (reference A2) cannot see a missing month inside the range; this is
+    the audit an archive operator pages on, and the preflight that
+    explains WHY ``ts_expected_vs_actual`` comes up short. The synthetic
+    listing injects deterministic holes (days with day-of-month ≡ 3
+    mod 7 are absent), so the islands/gap math is exercised for real:
+    every daily product splits into calendar runs with 86400-second
+    gaps. Both windows partition on the product key; the oracle replays
+    the identical key synthesis, hole filter, and window chain."""
+    from .sources.catalog import coverage_islands, parse_archive_keys
+
+    ev = _events(spark, sf_dir).filter(F.dayofmonth("ts") % 7 != 3)
+    day = F.date_trunc("day", F.col("ts"))
+    fmt = lambda c: F.date_format(c, "yyyyMMdd'T'HHmmss")  # noqa: E731
+    suffix = (
+        F.when(F.col("event_type") == "click", "broadband")
+        .when(F.col("event_type") == "view", "3oct")
+        .when(F.col("event_type") == "purchase", "50hz")
+        .when(F.col("event_type") == "signup", "broadband")
+    )
+    normal_key = F.concat(
+        F.lit("archive/"), F.col("event_type"), F.lit("/"),
+        fmt(day), F.lit("_"), fmt(day + F.expr("INTERVAL 1 DAY")),
+        F.lit("_1s_"), suffix, F.lit(".parquet"),
+    )
+    key = (
+        F.when(
+            F.col("event_type") == "error",
+            F.lit("archive/error/bush.parquet"),
+        )
+        .when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0),
+            F.lit(
+                "archive/signup/ancient_20240101T000000_20240102T000000_1s_broadband.parquet"
+            ),
+        )
+        .when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 10 == 0),
+            F.lit("archive/view/readme.txt"),
+        )
+        .otherwise(normal_key)
+    )
+    keys_df = ev.select(key.alias("key")).distinct()
+    return coverage_islands(parse_archive_keys(keys_df)).orderBy(
+        "hydrophone", "freq_type", "delta_f", "delta_t"
     )
 
 

@@ -140,6 +140,78 @@ def parse_archive_keys(keys_df: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
+def coverage_islands(
+    files: DataFrame,
+    keys: tuple[str, ...] = ("hydrophone", "freq_type", "delta_f", "delta_t"),
+) -> DataFrame:
+    """Merged-interval coverage report per product — the gaps-and-islands
+    readout over the parsed archive listing: contiguous runs of file
+    coverage (adjacent or overlapping ``[file_start, file_end)``
+    intervals merge), how many there are, the total covered seconds, and
+    the largest hole. ``build_catalog``'s min/max/count coverage summary
+    can't see HOLES (a product with one missing month still reports
+    first_start..last_end); this is the audit an archive operator
+    actually pages on.
+
+    Plan: one product-partitioned ordered window marks island breaks
+    (``file_start`` strictly greater than the running max of all prior
+    ``file_end`` — running max, not ``lag``, because an interval wholly
+    inside an earlier one must not split the island), a running sum
+    numbers the islands, one grouped pass collapses islands, and a
+    second (island-count-sized) window reads the gaps. Both windows
+    partition on the product key; per-partition row counts are bounded
+    by archive file counts.
+
+    Returns ``(*keys, n_files, n_islands, covered_secs, max_gap_secs)``.
+    """
+    from pyspark.sql import Window
+
+    sec = lambda c: (F.unix_micros(F.col(c)) / F.lit(1_000_000)).cast(  # noqa: E731
+        "long"
+    )
+    base = files.select(
+        *keys, sec("file_start").alias("s"), sec("file_end").alias("e")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = base.withColumn(
+        "brk",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(w), F.lit(-(1 << 62)))
+        ).cast("int"),
+    )
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = marked.withColumn("island", F.sum("brk").over(wrun))
+    islands = numbered.groupBy(*keys, "island").agg(
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie"),
+        F.count("*").alias("nf"),
+    )
+    wg = Window.partitionBy(*keys).orderBy("is_")
+    gapped = islands.withColumn(
+        "gap", F.col("is_") - F.lag("ie").over(wg)
+    )
+    return (
+        gapped.groupBy(*keys)
+        .agg(
+            F.sum("nf").alias("n_files"),
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("ie") - F.col("is_")).alias("covered_secs"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+                "max_gap_secs"
+            ),
+        )
+    )
+
+
 def build_catalog(keys_df: DataFrame, key_col: str = "key") -> DataFrame:
     """Coverage catalog: group parsed files by product, min/max/count.
 

@@ -86,3 +86,40 @@ def test_melt_wide_psd_handles_band_drift(spark):
             spark.createDataFrame([(t0, "y")], "ts timestamp, junk string"),
             "h1", 1, "octave_bands", 3,
         )
+
+
+def test_coverage_islands_merges_nested_and_reports_gaps(spark):
+    """Gaps-and-islands over file intervals: adjacency merges, an
+    interval NESTED inside an earlier one must not split the island
+    (running max, not lag), and gaps report in seconds."""
+    from datetime import datetime as dt
+
+    from ambient_sound_analysis_api_spark.sources.catalog import (
+        coverage_islands,
+    )
+
+    rows = [
+        # island 1: [0h,2h) + nested [0h30,1h) + adjacent [2h,3h)
+        ("H", "broadband", None, 1, dt(2024, 1, 1, 0), dt(2024, 1, 1, 2)),
+        ("H", "broadband", None, 1, dt(2024, 1, 1, 0, 30), dt(2024, 1, 1, 1)),
+        ("H", "broadband", None, 1, dt(2024, 1, 1, 2), dt(2024, 1, 1, 3)),
+        # 1h hole, island 2: [4h,5h)
+        ("H", "broadband", None, 1, dt(2024, 1, 1, 4), dt(2024, 1, 1, 5)),
+        # other product: one island
+        ("H", "delta_hz", 50, 1, dt(2024, 1, 1, 0), dt(2024, 1, 1, 1)),
+    ]
+    files = spark.createDataFrame(
+        rows,
+        "hydrophone string, freq_type string, delta_f int, delta_t int, "
+        "file_start timestamp, file_end timestamp",
+    )
+    out = {
+        (r.hydrophone, r.freq_type): r
+        for r in coverage_islands(files).collect()
+    }
+    bb = out[("H", "broadband")]
+    assert bb.n_files == 4 and bb.n_islands == 2
+    assert bb.covered_secs == 3 * 3600 + 3600  # [0,3h) + [4h,5h)
+    assert bb.max_gap_secs == 3600
+    dh = out[("H", "delta_hz")]
+    assert dh.n_islands == 1 and dh.max_gap_secs == 0

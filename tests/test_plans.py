@@ -274,6 +274,7 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivfpq_recall_curve",
         # same nlist-row probe ranking in the incremental serve path
         "emb_ivfpq_incremental",
+        "emb_ivfpq_incremental_recall",
         # documented dimension-only global ntile (customer is a dim table
         # here; the scalable fact path is agg_distinct_percentile)
         "win_ntile_balance",
@@ -301,6 +302,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # delta-batch × nlist-row centroid broadcast (cell assignment) +
         # the nlist-row probe list broadcast against both scan sides
         "emb_ivfpq_incremental",
+        # same, plus the 1-row query broadcast of the exact baseline
+        "emb_ivfpq_incremental_recall",
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
         "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
         "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
