@@ -121,19 +121,30 @@ def main() -> None:
     names = argv[1:] or DEFAULT_QUERIES
     spark = get_spark("scale-probe")
     big = build_corpus(spark, k)
-    qs = queries()
-    out = {"k": k, "base": BASE, "queries": {}}
-    for name in names:
-        t1, n1 = time_query(qs[name], spark, BASE, runs=runs)
-        tk, nk = time_query(qs[name], spark, big, runs=runs)
-        ratio = tk / t1 if t1 > 0 else float("inf")
-        out["queries"][name] = {
-            "t_1x": round(t1, 2), "rows_1x": n1,
-            f"t_{k}x": round(tk, 2), f"rows_{k}x": nk,
-            "time_ratio": round(ratio, 1),
-        }
-        print(f"# {name}: {t1:.2f}s -> {tk:.2f}s ({ratio:.1f}x)", file=sys.stderr)
-    print(json.dumps(out))
+    try:
+        qs = queries()
+        out = {"k": k, "base": BASE, "queries": {}}
+        for name in names:
+            t1, n1 = time_query(qs[name], spark, BASE, runs=runs)
+            tk, nk = time_query(qs[name], spark, big, runs=runs)
+            ratio = tk / t1 if t1 > 0 else float("inf")
+            out["queries"][name] = {
+                "t_1x": round(t1, 2), "rows_1x": n1,
+                f"t_{k}x": round(tk, 2), f"rows_{k}x": nk,
+                "time_ratio": round(ratio, 1),
+            }
+            print(
+                f"# {name}: {t1:.2f}s -> {tk:.2f}s ({ratio:.1f}x)",
+                file=sys.stderr,
+            )
+        print(json.dumps(out))
+    finally:
+        # the K× corpus is dataset-sized: reclaim it even on a failed
+        # probe (the same leak class ADVICE r9 flagged on the streaming
+        # stores — probe runs were accumulating ~10 trees per round)
+        import shutil
+
+        shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
