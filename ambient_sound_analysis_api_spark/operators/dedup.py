@@ -803,12 +803,24 @@ def incremental_minhash_pairs(
     with ``id_a < id_b`` and ``side`` ∈ ``cross`` (new vs corpus) /
     ``batch`` (both new) — ``cross`` rows are the "reject or link"
     admission signal, ``batch`` rows the within-delta dedup.
+
+    Id contract (ADVICE round-10): ``new_df`` and ``corpus_df`` ids
+    SHOULD be disjoint — a delta batch re-submitting an already-admitted
+    id is a pipeline bug upstream, not a near-dup question. The operator
+    still defends against it: corpus signatures are anti-joined against
+    the new batch's ids before any union, so an overlapping id
+    contributes exactly one signature row (the NEW one wins — it is the
+    version being admitted) instead of duplicating candidate-pair rows
+    with conflicting ``est_jaccard`` values.
     """
     sigs_new = tracked_persist(
         minhash_signatures(new_df, num_hashes, n, text_col, id_col)
     )
     sigs_corpus = tracked_persist(
         minhash_signatures(corpus_df, num_hashes, n, text_col, id_col)
+        .join(
+            new_df.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
     )
     nb = _band_signatures(sigs_new, num_hashes, bands)
     allb = _band_signatures(sigs_new, num_hashes, bands).withColumn(

@@ -194,6 +194,13 @@ _LOGIT_FIT_MEMO: dict[tuple, tuple] = {}
 # everything at process end — the streaming-store leak (ADVICE r9) is
 # not reintroduced by the index store.
 _IVFPQ_INDEX_MEMO: dict[tuple, str] = {}
+# stale index dirs evicted mid-session (dataset regenerated in place):
+# deletion is DEFERRED to the atexit hook because a previously returned
+# lazy DataFrame may still reference the old directory — rmtree-ing it
+# immediately turns a later action on that handle into a
+# FileNotFoundException (ADVICE round-10). Disk cost is bounded: one
+# tombstone per regeneration event, all reclaimed at process end.
+_IVFPQ_TOMBSTONES: list[str] = []
 
 
 def _cleanup_index_stores() -> None:
@@ -202,6 +209,9 @@ def _cleanup_index_stores() -> None:
     for p in _IVFPQ_INDEX_MEMO.values():
         shutil.rmtree(p, ignore_errors=True)
     _IVFPQ_INDEX_MEMO.clear()
+    for p in _IVFPQ_TOMBSTONES:
+        shutil.rmtree(p, ignore_errors=True)
+    _IVFPQ_TOMBSTONES.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -5859,7 +5869,6 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector column. The oracle replays the fitted chains + centroid probe
     + ADC over the logical candidate set — codes are deterministic, so
     serving from disk or from the formula is value-identical."""
-    import shutil
     import tempfile
 
     from .operators.pq import ivfpq_persisted_topk, ivfpq_write_index, pq_fit
@@ -5879,8 +5888,11 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             k for k in _IVFPQ_INDEX_MEMO
             if k[0][0] == ikey[0][0] and k[0] != ikey[0]
         ]
+        # tombstone, don't rmtree: a lazy DataFrame returned before the
+        # regeneration may still read the old dir (ADVICE round-10);
+        # the atexit hook reclaims tombstones at process end
         for k in stale:
-            shutil.rmtree(_IVFPQ_INDEX_MEMO.pop(k), ignore_errors=True)
+            _IVFPQ_TOMBSTONES.append(_IVFPQ_INDEX_MEMO.pop(k))
         _IVFPQ_INDEX_MEMO[ikey] = path
     qid = emb.agg(F.min("vec_id")).first()[0]
     qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()

@@ -207,7 +207,7 @@ def auto_lister(
     pager_factory: "Callable[[], Pager] | None" = None,
     prefixes: "Iterable[str] | None" = None,
     max_pages: int = 10_000,
-    chunk_size: int = 250_000,
+    chunk_size: "int | None" = None,
     stage_dir: "str | None" = None,
 ):
     """Select the widest lister the namespace supports — the wired entry
@@ -226,6 +226,13 @@ def auto_lister(
     Exactly one key source must be given. A live client must come through
     ``pager_factory`` (built per task, closure-pickled); a ``pager``
     holding one client stays driver-side by construction.
+
+    ``chunk_size``/``stage_dir`` tune DRIVER staging and only apply to
+    the :class:`PaginatedKeyLister` paths; the executor-sharded lister
+    has no driver accumulation to stage. Setting either together with
+    ``pager_factory`` + ``prefixes`` raises rather than silently
+    ignoring a tuning the caller believes is in effect (ADVICE
+    round-10).
     """
     given = [x is not None for x in (path, pager, pager_factory)]
     if sum(given) != 1:
@@ -233,9 +240,18 @@ def auto_lister(
             "auto_lister: pass exactly one of path=, pager=, pager_factory="
         )
     plist = list(prefixes) if prefixes is not None else []
+    if pager_factory is not None and plist:
+        if chunk_size is not None or stage_dir is not None:
+            raise ValueError(
+                "auto_lister: chunk_size/stage_dir tune driver staging and "
+                "have no effect on the executor-sharded lister selected by "
+                "pager_factory+prefixes; drop them (or use pager=/no "
+                "prefixes to force the driver path)"
+            )
+        return ShardedKeyLister(pager_factory, plist, max_pages=max_pages)
+    if chunk_size is None:
+        chunk_size = 250_000
     if pager_factory is not None:
-        if plist:
-            return ShardedKeyLister(pager_factory, plist, max_pages=max_pages)
         return PaginatedKeyLister(
             pager_factory(),
             max_pages=max_pages,

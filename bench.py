@@ -142,7 +142,15 @@ def _load_baseline(args: list[str]) -> tuple[str, dict] | None:
     if "--no-baseline" in args:
         return None
     if "--baseline" in args:
-        path = args[args.index("--baseline") + 1]
+        idx = args.index("--baseline") + 1
+        if idx >= len(args):
+            print(
+                "# --baseline given without a path; running without a "
+                "drift baseline",
+                file=sys.stderr,
+            )
+            return None
+        path = args[idx]
     else:
         cands = []
         for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
@@ -190,16 +198,34 @@ def main() -> None:
         # the jaccard/decontaminate operators plan-match across invocations
         # otherwise), so every timed run re-executes the full
         # scan+shuffle pipeline cold.
-        best, n = float("inf"), 0
+        runs: list[float] = []
+        n = 0
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) < 1.0:
+            # sub-second entries are launch-jitter-dominated (round-10
+            # VERDICT: every residual drift flag was a 0.25-0.6 s entry in
+            # untouched code) — a third run + median turns a future flag
+            # on them into signal; entries >= 1 s keep best-of-2, where
+            # per-row work dominates and min is the stable statistic
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            best = sorted(runs)[1]
+        else:
+            best = min(runs)
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.2f}s ({n} rows, {len(runs)} runs)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_total_runtime",

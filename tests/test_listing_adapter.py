@@ -303,6 +303,20 @@ def test_auto_lister_selection_rules(spark, tmp_path):
         auto_lister()
     with _pytest.raises(ValueError, match="exactly one"):
         auto_lister(path="/x", pager=factory())
+    # driver-staging knobs on the executor-sharded path raise instead of
+    # silently doing nothing (ADVICE round-10)
+    with _pytest.raises(ValueError, match="driver staging"):
+        auto_lister(
+            pager_factory=factory, prefixes=["a/"], chunk_size=1000
+        )
+    with _pytest.raises(ValueError, match="driver staging"):
+        auto_lister(
+            pager_factory=factory, prefixes=["a/"], stage_dir="/tmp/x"
+        )
+    # ...but they still apply on the driver-paginated paths
+    assert isinstance(
+        auto_lister(pager=factory(), chunk_size=1000), PaginatedKeyLister
+    )
 
 
 def test_engine_through_auto_selected_sharded_lister(spark, sf_dir, tmp_path):
