@@ -11810,11 +11810,43 @@ def q_catalog_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 7 are absent), so the islands/gap math is exercised for real:
     every daily product splits into calendar runs with 86400-second
     gaps. Both windows partition on the product key; the oracle replays
-    the identical key synthesis, hole filter, and window chain."""
+    the identical key synthesis, hole filter, and window chain.
+
+    The synthetic listing collapses the fact table to
+    ``(event_type, day, tag)`` FIRST — three narrow fixed-width columns
+    whose hash-aggregate combines map-side to a listing-sized group set
+    — and only then builds key strings (``date_format``/``concat``) on
+    those ~#products×#days rows. Synthesizing the string per fact row
+    and distinct-ing made the 10× scale probe read 7× (round-10 NOTES):
+    it measured the harness's per-row string build, not the islands
+    machinery, whose real input at any corpus scale is the listing."""
     from .sources.catalog import coverage_islands, parse_archive_keys
 
     ev = _events(spark, sf_dir).filter(F.dayofmonth("ts") % 7 != 3)
-    day = F.date_trunc("day", F.col("ts"))
+    # per-row work is tag extraction only; the special-row constants
+    # (non-parquet / ancient / unparseable names, exercising the parse
+    # filters) ride along as tags and become literals after the collapse
+    tag = (
+        F.when(F.col("event_type") == "error", F.lit("bush"))
+        .when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0),
+            F.lit("ancient"),
+        )
+        .when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 10 == 0),
+            F.lit("readme"),
+        )
+        .otherwise(F.lit("normal"))
+    )
+    groups = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            tag.alias("tag"),
+        )
+        .distinct()
+    )
+    day = F.col("day")
     fmt = lambda c: F.date_format(c, "yyyyMMdd'T'HHmmss")  # noqa: E731
     suffix = (
         F.when(F.col("event_type") == "click", "broadband")
@@ -11828,23 +11860,24 @@ def q_catalog_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_1s_"), suffix, F.lit(".parquet"),
     )
     key = (
-        F.when(
-            F.col("event_type") == "error",
-            F.lit("archive/error/bush.parquet"),
-        )
+        F.when(F.col("tag") == "bush", F.lit("archive/error/bush.parquet"))
         .when(
-            (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0),
+            F.col("tag") == "ancient",
             F.lit(
                 "archive/signup/ancient_20240101T000000_20240102T000000_1s_broadband.parquet"
             ),
         )
-        .when(
-            (F.col("event_type") == "view") & (F.col("event_id") % 10 == 0),
-            F.lit("archive/view/readme.txt"),
-        )
+        .when(F.col("tag") == "readme", F.lit("archive/view/readme.txt"))
         .otherwise(normal_key)
     )
-    keys_df = ev.select(key.alias("key")).distinct()
+    # materialize the listing-sized key set ONCE: the parse + two window
+    # stages downstream reference their input several times, and Spark
+    # shares no common subplans across references — without the persist
+    # each reference re-runs the fact-table collapse (measured 10×-probe:
+    # 30.9 s → 1.6 s; the listing is exactly what production materializes)
+    from .operators.caching import tracked_persist
+
+    keys_df = tracked_persist(groups.select(key.alias("key")).distinct())
     return coverage_islands(parse_archive_keys(keys_df)).orderBy(
         "hydrophone", "freq_type", "delta_f", "delta_t"
     )
