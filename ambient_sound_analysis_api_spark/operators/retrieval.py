@@ -298,3 +298,145 @@ def bm25_eval(
         ).otherwise(F.lit(0.0)).alias("mrr_at_k"),
         "n_rel_at_k",
     ).orderBy("query_id")
+
+
+def rrf_fuse(
+    rankings: "dict[str, DataFrame]",
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of several top-k rankings — THE hybrid
+    retrieval combiner (Cormack et al., SIGIR 2009): each input list
+    contributes ``1 / (k0 + rank)`` for every document it ranks, and
+    documents missing from a list contribute nothing. Rank-based fusion
+    needs no score calibration between a BM25 tier and an ANN tier —
+    exactly why it is the default fusion in hybrid search stacks — and
+    ``k0`` (conventionally 60) damps the head so one list's #1 cannot
+    drown agreement further down.
+
+    Inputs: ``{name: DataFrame(id_col, rank)}`` with 1-based distinct
+    ranks (each a top-k list, so each side is k-row MODEL-SIZED — never
+    corpus-sized). Plan shape: the lists are full-outer-joined on
+    ``id_col`` (k-row hash joins; the corpus is NOT re-scanned here —
+    scan cost lives in the branches that produced the lists), the fused
+    score is a fixed-arity sum of per-list terms, and the output is the
+    global top-``k`` on it.
+
+    Cross-engine determinism: each term ``1/(k0+rank)`` is 6dp-rounded
+    into DECIMAL(20,6) (the BM25 per-term contract) and the fixed-arity
+    decimal addition is order-free; ties order by ``id_col``. Returns
+    ``(id_col, <name>_rank ..., n_lists, rrf_score)`` with null ranks
+    for lists that missed the document.
+    """
+    names = list(rankings)
+    joined = None
+    for name, df in rankings.items():
+        side = df.select(
+            F.col(id_col), F.col("rank").cast("int").alias(f"{name}_rank")
+        )
+        joined = side if joined is None else joined.join(
+            side, id_col, "full_outer"
+        )
+
+    zero = F.lit(0).cast("decimal(20,6)")
+
+    def term(rank_col: F.Column) -> F.Column:
+        return F.coalesce(
+            F.round(
+                F.lit(1.0) / (F.lit(float(k0)) + rank_col.cast("double")), 6
+            ).cast("decimal(20,6)"),
+            zero,
+        )
+
+    score = term(F.col(f"{names[0]}_rank"))
+    for n in names[1:]:
+        score = (score + term(F.col(f"{n}_rank"))).cast("decimal(20,6)")
+    n_lists = sum(
+        F.when(F.col(f"{n}_rank").isNotNull(), 1).otherwise(0) for n in names
+    ).cast("int")
+    return (
+        joined.select(
+            id_col,
+            *[f"{n}_rank" for n in names],
+            n_lists.alias("n_lists"),
+            score.alias("_sc"),
+        )
+        .orderBy(F.col("_sc").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            *[f"{n}_rank" for n in names],
+            "n_lists",
+            F.col("_sc").cast("double").alias("rrf_score"),
+        )
+    )
+
+
+def weighted_score_fuse(
+    scored: "dict[str, tuple[DataFrame, float]]",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted-score fusion of several top-k lists: each list's scores
+    are min-max normalized WITHIN the list (a degenerate constant list
+    normalizes to 1.0), scaled by the list's weight, and summed — the
+    calibrated alternative to :func:`rrf_fuse` when relative score
+    magnitudes inside a list carry signal (e.g. a steep BM25 head should
+    outvote a flat ANN tail, which rank fusion cannot see).
+
+    Inputs: ``{name: (DataFrame(id_col, score), weight)}`` with
+    higher-is-better scores, each a top-k MODEL-SIZED list. Plan: each
+    list's 1-row min/max aggregate joins back as a broadcast (the 1-row
+    nested-loop pattern of the stat-card queries), lists full-outer-join
+    on ``id_col``, missing side contributes 0.
+
+    Determinism: normalization divides identical doubles on both
+    engines; each weighted contribution is 6dp-rounded into
+    DECIMAL(20,6) before the fixed-arity sum. Returns
+    ``(id_col, n_lists, fused_score)``.
+    """
+    names = list(scored)
+    joined = None
+    for name, (df, w) in scored.items():
+        mm = df.agg(
+            F.min("score").alias("_mn"), F.max("score").alias("_mx")
+        )
+        norm = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("score") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0))
+        side = (
+            df.crossJoin(F.broadcast(mm))
+            .select(
+                F.col(id_col),
+                F.round(F.lit(float(w)) * norm, 6)
+                .cast("decimal(20,6)")
+                .alias(f"{name}_contrib"),
+            )
+        )
+        joined = side if joined is None else joined.join(
+            side, id_col, "full_outer"
+        )
+    zero = F.lit(0).cast("decimal(20,6)")
+    score = F.coalesce(F.col(f"{names[0]}_contrib"), zero)
+    for n in names[1:]:
+        score = (score + F.coalesce(F.col(f"{n}_contrib"), zero)).cast(
+            "decimal(20,6)"
+        )
+    n_lists = sum(
+        F.when(F.col(f"{n}_contrib").isNotNull(), 1).otherwise(0)
+        for n in names
+    ).cast("int")
+    return (
+        joined.select(
+            id_col, n_lists.alias("n_lists"), score.alias("_sc")
+        )
+        .orderBy(F.col("_sc").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_lists",
+            F.col("_sc").cast("double").alias("fused_score"),
+        )
+    )

@@ -12156,6 +12156,248 @@ def q_streaming_dual_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-11: hybrid retrieval fusion — the BM25 tier and the ANN tier fused
+# into one ranking (RRF and weighted-score), the retrieval shape
+# decontamination / eval-mining pipelines actually serve.
+
+_BM25_BRANCH_CTES = """
+    dl AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      )
+      WHERE term IN ('vector', 'hash', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scoredt AS (
+      SELECT tf.doc_id,
+             round(
+               round(ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                          / (dft.df + CAST(0.5 AS DOUBLE))), 6)
+               * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl.dl
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))), 6)
+               AS per_term
+      FROM tf
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id,
+             CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE) AS bm25
+      FROM scoredt GROUP BY doc_id
+      ORDER BY CAST(CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE)
+                    AS DECIMAL(32,12)) DESC, doc_id
+      LIMIT 20
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT e.vec_id, unnest(e.embedding) AS a,
+             generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    qx AS (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i FROM q),
+    sv AS (
+      SELECT vec_id,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ex JOIN qx USING (i)
+      GROUP BY vec_id
+    ),
+    den AS (
+      SELECT vec_id AS doc_id,
+             CAST(round(dp / (sqrt(na2) * sqrt(nb2)), 4)
+                  AS DECIMAL(32,12)) AS c4
+      FROM sv
+      ORDER BY c4 DESC, doc_id
+      LIMIT 20
+    )
+"""
+
+
+def _fusion_branches(spark: SparkSession, sf_dir: str):
+    """The two top-20 retrieval branches every fusion query shares: the
+    BM25 list for the bag-of-terms query {vector, hash, merge} and the
+    brute-force cosine list for the vec_id=0 query vector. Both are
+    k-row model-sized outputs; the corpus is scanned only inside the
+    branches (fusion itself joins two 20-row lists). Ranking keys are
+    fixed-point casts with doc_id tie-breaks on BOTH the cut and the
+    rank (the round-5 never-rank-on-raw-doubles contract)."""
+    from .operators.retrieval import bm25_topk
+    from .operators.similarity import cosine
+
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["vector", "hash", "merge"], k=20)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("_qvec")), 4)
+            .cast("decimal(32,12)")
+            .alias("_c4"),
+        )
+        .orderBy(F.col("_c4").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    return bm, dense
+
+
+@register(
+    "retrieval_rrf_fusion",
+    f"""
+    WITH {_BM25_BRANCH_CTES},
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY CAST(bm25 AS DECIMAL(32,12)) DESC, doc_id
+             ) AS bm25_rank
+      FROM bm
+    ),
+    denr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY c4 DESC, doc_id) AS dense_rank
+      FROM den
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             b.bm25_rank, d.dense_rank,
+             (CASE WHEN b.bm25_rank IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN d.dense_rank IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_lists,
+             coalesce(CAST(round(CAST(1.0 AS DOUBLE) / (60 + b.bm25_rank), 6)
+                           AS DECIMAL(20,6)), CAST(0 AS DECIMAL(20,6)))
+             + coalesce(CAST(round(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank), 6)
+                             AS DECIMAL(20,6)), CAST(0 AS DECIMAL(20,6)))
+               AS sc
+      FROM bmr b FULL OUTER JOIN denr d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(bm25_rank AS INTEGER) AS bm25_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           CAST(n_lists AS INTEGER) AS n_lists,
+           CAST(sc AS DOUBLE) AS rrf_score
+    FROM fused
+    ORDER BY sc DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (``operators.retrieval.rrf_fuse``, k0=60): the BM25 top-20 for
+    {vector, hash, merge} fused with the ANN tier's cosine top-20 for
+    the vec_id=0 query vector — rank-based fusion needs no score
+    calibration between tiers, which is why it is the hybrid-search
+    default (RAG retrieval, decontamination candidate mining). Plan
+    shape: the corpus is scanned once per branch; fusion itself is a
+    full-outer join of two 20-row lists plus a fixed-arity decimal sum —
+    documents covered by only one tier survive with the other rank null.
+    Determinism: each 1/(60+rank) term is 6dp-rounded into
+    DECIMAL(20,6); branch ranks cut AND rank on fixed-point keys with
+    doc_id tie-breaks."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import rrf_fuse
+
+    bm, dense = _fusion_branches(spark, sf_dir)
+    wb = Window.orderBy(
+        F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
+    )
+    bm_r = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    wd = Window.orderBy(F.col("_c4").desc(), F.col("doc_id"))
+    dense_r = dense.select("doc_id", F.row_number().over(wd).alias("rank"))
+    return rrf_fuse({"bm25": bm_r, "dense": dense_r}, k=10, k0=60).orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+
+
+@register(
+    "retrieval_weighted_fusion",
+    f"""
+    WITH {_BM25_BRANCH_CTES},
+    bmm AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM bm),
+    bmc AS (
+      SELECT doc_id,
+             CAST(round(CAST(0.7 AS DOUBLE)
+                        * (CASE WHEN mx > mn
+                                THEN (bm25 - mn) / (mx - mn)
+                                ELSE CAST(1.0 AS DOUBLE) END), 6)
+                  AS DECIMAL(20,6)) AS contrib
+      FROM bm CROSS JOIN bmm
+    ),
+    dmm AS (
+      SELECT min(CAST(c4 AS DOUBLE)) AS mn, max(CAST(c4 AS DOUBLE)) AS mx
+      FROM den
+    ),
+    dnc AS (
+      SELECT doc_id,
+             CAST(round(CAST(0.3 AS DOUBLE)
+                        * (CASE WHEN mx > mn
+                                THEN (CAST(c4 AS DOUBLE) - mn) / (mx - mn)
+                                ELSE CAST(1.0 AS DOUBLE) END), 6)
+                  AS DECIMAL(20,6)) AS contrib
+      FROM den CROSS JOIN dmm
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             (CASE WHEN b.contrib IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN d.contrib IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_lists,
+             coalesce(b.contrib, CAST(0 AS DECIMAL(20,6)))
+             + coalesce(d.contrib, CAST(0 AS DECIMAL(20,6))) AS sc
+      FROM bmc b FULL OUTER JOIN dnc d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_lists AS INTEGER) AS n_lists,
+           CAST(sc AS DOUBLE) AS fused_score
+    FROM fused
+    ORDER BY sc DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_retrieval_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via weighted-score fusion
+    (``operators.retrieval.weighted_score_fuse``, BM25 0.7 / dense 0.3):
+    each tier's top-20 scores min-max normalized WITHIN the list, scaled
+    by the tier weight, and summed — the calibrated alternative to RRF
+    when relative magnitudes inside a list carry signal (a steep BM25
+    head outvoting a flat ANN tail is invisible to rank fusion). Plan:
+    each list's 1-row min/max stat broadcasts back onto its 20 rows, the
+    lists full-outer-join on doc_id, missing tiers contribute 0.
+    Determinism: normalization divides identical doubles; each weighted
+    contribution is 6dp-rounded into DECIMAL(20,6) before the
+    fixed-arity sum."""
+    from .operators.retrieval import weighted_score_fuse
+
+    bm, dense = _fusion_branches(spark, sf_dir)
+    bm_s = bm.select("doc_id", F.col("bm25").alias("score"))
+    dense_s = dense.select(
+        "doc_id", F.col("_c4").cast("double").alias("score")
+    )
+    return weighted_score_fuse(
+        {"bm25": (bm_s, 0.7), "dense": (dense_s, 0.3)}, k=10
+    ).orderBy(F.col("fused_score").desc(), F.col("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

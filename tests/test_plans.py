@@ -284,6 +284,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # joint click×error hourly spine: calendar-bounded (≤672 rows in
         # the fixed 28-day window), data-size-independent
         "ts_cross_correlation",
+        # global row_number over the two 20-row retrieval branch lists
+        # (top-k model-sized inputs by construction)
+        "retrieval_rrf_fusion",
     }
 
     one_row_broadcast = {
@@ -327,6 +330,11 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "agg_hourly_corr_matrix",  # tiny hours x type-vocabulary grid fill
         "pipeline_expectations",  # 1-row total × 1-row orphan-count join
         "ts_cross_correlation",  # 1-row joint-mean broadcast (centering)
+        # 1-row corpus-stats + 1-row query-vector broadcasts in the two
+        # retrieval branches (fusion itself joins two 20-row lists)
+        "retrieval_rrf_fusion",
+        # same branch broadcasts + each list's 1-row min/max stat
+        "retrieval_weighted_fusion",
     }
     python_ok = {
         "mm_binary_meta",
