@@ -1393,3 +1393,89 @@ def block_dedup_rebuild(
             F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def chunk_doc_reconcile(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk→document dedup reconciliation — the DECISION layer a crawl
+    pipeline runs between chunk-level dedup and corpus materialization:
+    chunk verdicts (is this window's content duplicated across
+    documents?) roll up to a per-document keep/drop decision with
+    representative election, so heavily-duplicated documents drop
+    WITHOUT the corpus losing the content (its canonical holder keeps
+    it).
+
+    Per document: ``n_chunks`` (stride-``stride`` windows of
+    ``chunk_tokens`` tokens, the ``pipeline_chunk_windows`` chunking),
+    ``n_dup_chunks`` (chunks whose exact content occurs in >1 distinct
+    document), ``frac_dup``, ``rep_id`` (the smallest doc id among ALL
+    documents sharing any duplicated chunk with this one — computed as
+    min-over-chunks of each chunk's min-holder, so it needs no pair
+    join), and ``decision``:
+
+    - ``keep``      — ``frac_dup`` < ``threshold``: mostly original;
+    - ``keep_rep``  — above threshold but THE canonical holder
+      (``doc_id == rep_id``) of its shared content;
+    - ``drop``      — above threshold and the content's canonical holder
+      is some other (smaller-id) document.
+
+    Election is one-hop (min over directly shared chunks), the decision
+    rule production reconciliation uses; transitive clustering is the
+    ``dedup_clusters`` family's job. Scale shape: one explode (scan-
+    shaped chunking), one groupBy(chunk hash) with map-side partial
+    aggregation, one equi-join back, one groupBy(doc) — every stage
+    linear in chunk instances, NO pair join, so a 10×-duplicated corpus
+    costs 10× (each chunk group aggregates 10 rows; nothing is
+    quadratic in copy count).
+
+    Determinism: chunk identity is the md5 of the exact window text;
+    ``frac_dup`` divides exact integers (identical doubles on both
+    engines) and the threshold compares those doubles.
+    """
+    ct, st = int(chunk_tokens), int(stride)
+    chunks = (
+        df.select(
+            F.col(id_col),
+            tokens(normalize_text(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(_toks) - 1, 0), {st}),"
+                    f" s -> md5(array_join(slice(_toks, s + 1, {ct}), ' ')))"
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    stats = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd"),
+        F.min(F.col(id_col)).alias("_rep"),
+    )
+    enr = chunks.join(stats, "chunk_md5")
+    dup = F.col("_nd") > 1
+    roll = enr.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.min(F.when(dup, F.col("_rep"))).alias("rep_id"),
+    )
+    frac = F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast(
+        "double"
+    )
+    return roll.select(
+        F.col(id_col),
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(frac, 6).alias("frac_dup"),
+        "rep_id",
+        F.when(frac < F.lit(float(threshold)), F.lit("keep"))
+        .when(F.col(id_col) == F.col("rep_id"), F.lit("keep_rep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
+    )

@@ -12397,6 +12397,185 @@ def q_retrieval_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("fused_score").desc(), F.col("doc_id"))
 
 
+@register(
+    "dedup_chunk_doc_reconcile",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+      FROM c WHERE start < greatest(len(toks), 1)
+    ),
+    st AS (
+      SELECT chunk_md5, count(DISTINCT doc_id) AS nd, min(doc_id) AS rep
+      FROM ch GROUP BY chunk_md5
+    ),
+    e AS (SELECT ch.doc_id, st.nd, st.rep FROM ch JOIN st USING (chunk_md5)),
+    r AS (
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             min(CASE WHEN nd > 1 THEN rep END) AS rep_id
+      FROM e GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS frac_dup,
+           rep_id,
+           CASE WHEN CAST(n_dup_chunks AS DOUBLE) / n_chunks
+                     < CAST(0.5 AS DOUBLE) THEN 'keep'
+                WHEN doc_id = rep_id THEN 'keep_rep'
+                ELSE 'drop' END AS decision
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_chunk_doc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document dedup reconciliation
+    (``operators.dedup.chunk_doc_reconcile``): chunk-level duplication
+    verdicts (64-token windows at stride 48, the
+    ``pipeline_chunk_windows`` chunking; a chunk is duplicated when its
+    exact content occurs in >1 distinct document) roll up to the
+    per-document keep/drop decision a crawl pipeline runs before corpus
+    materialization — ``frac_dup`` against a 0.5 threshold, with the
+    canonical holder (smallest doc id sharing any duplicated chunk,
+    computed as min-over-chunks of per-chunk min-holders — NO pair join)
+    electing ``keep_rep`` so dropped duplicates never orphan content.
+    Every stage is linear in chunk instances (explode → chunk-hash
+    groupBy → join back → doc groupBy), so a 10×-duplicated corpus costs
+    ~10×, never copies². One-hop election by design; transitive
+    clustering is ``dedup_clusters_representative``'s job."""
+    from .operators.dedup import chunk_doc_reconcile
+
+    docs = _table(spark, sf_dir, "documents")
+    return chunk_doc_reconcile(
+        docs, chunk_tokens=64, stride=48, threshold=0.5
+    ).orderBy("doc_id")
+
+
+def _zorder_skipping_oracle() -> str:
+    from .functions.zorder import morton_sql
+
+    return f"""
+    WITH ab AS (
+      SELECT event_id, (hour(ts) * 60 + minute(ts)) AS a,
+             (user_id & 2047) AS b
+      FROM events
+    ),
+    k AS (SELECT event_id, a, b, ({morton_sql('a', 'b', 11)}) AS zkey
+          FROM ab),
+    u AS (
+      SELECT '1_zorder' AS layout, zkey >> 14 AS file_id, a, b FROM k
+      UNION ALL
+      SELECT '2_asorted' AS layout, a >> 5 AS file_id, a, b FROM k
+      UNION ALL
+      SELECT '3_unordered' AS layout, event_id % 64 AS file_id, a, b FROM k
+    ),
+    boxes AS (
+      SELECT layout, file_id,
+             min(a) AS a_min, max(a) AS a_max,
+             min(b) AS b_min, max(b) AS b_max
+      FROM u GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN a_min <= 659 AND a_max >= 600
+                          AND b_min <= 127 AND b_max >= 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           round(CAST(sum(CASE WHEN a_min <= 659 AND a_max >= 600
+                                AND b_min <= 127 AND b_max >= 64
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS frac_touched
+    FROM boxes
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@register("layout_zorder_file_skipping", _zorder_skipping_oracle())
+def q_layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping proof for the Z-order layout (functions/zorder.py):
+    the SAME 2-D range query (minute-of-day ∈ [600, 660), low user bits ∈
+    [64, 128)) priced against three file layouts — Z-curve range
+    sharding (``zkey >> 14``, the file boundaries
+    ``zorder_layout``'s ``repartitionByRange`` produces), single-dimension
+    sort sharding (``a >> 5``), and insertion-order sharding
+    (``event_id % 64``, the no-layout baseline). A min/max-pruning reader
+    opens a file only when its per-file bounding box intersects the query
+    box, so ``files_touched / n_files`` IS the scan fraction each layout
+    buys: Z-order bounds BOTH dimensions per file (few files touched),
+    the a-sort prunes a but never b, insertion order touches everything.
+    ``tests/test_zorder_diagnostics.py`` proves the same effect on REAL
+    parquet: events written through ``zorder_layout`` answer this box
+    from fewer files (``input_file_name()`` distinct count) than an
+    unordered write of the same file count, and exactly the files whose
+    footer-level min/max intersect. One explode-free scan, one
+    (layout, file) aggregation, one 3-row readout."""
+    from .functions.zorder import morton_code
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("a"),
+        F.col("user_id").bitwiseAND(F.lit(2047)).alias("b"),
+    )
+    k = ev.withColumn("zkey", morton_code(F.col("a"), F.col("b"), 11))
+    layouts = [
+        ("1_zorder", F.shiftright("zkey", 14)),
+        ("2_asorted", F.shiftright(F.col("a"), 5)),
+        ("3_unordered", F.pmod(F.col("event_id"), F.lit(64)).cast("long")),
+    ]
+    u = None
+    for name, fid in layouts:
+        part = k.select(
+            F.lit(name).alias("layout"),
+            fid.cast("long").alias("file_id"),
+            "a",
+            "b",
+        )
+        u = part if u is None else u.unionByName(part)
+    boxes = u.groupBy("layout", "file_id").agg(
+        F.min("a").alias("a_min"),
+        F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"),
+        F.max("b").alias("b_max"),
+    )
+    hit = (
+        (F.col("a_min") <= 659)
+        & (F.col("a_max") >= 600)
+        & (F.col("b_min") <= 127)
+        & (F.col("b_max") >= 64)
+    )
+    return (
+        boxes.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+                "files_touched"
+            ),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "files_touched",
+            F.round(
+                F.col("files_touched").cast("double")
+                / F.col("n_files").cast("double"),
+                4,
+            ).alias("frac_touched"),
+        )
+        .orderBy("layout")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
