@@ -193,25 +193,23 @@ _LOGIT_FIT_MEMO: dict[tuple, tuple] = {}
 # DISK, so eviction rmtrees the stale dir and an atexit hook reclaims
 # everything at process end — the streaming-store leak (ADVICE r9) is
 # not reintroduced by the index store.
-_IVFPQ_INDEX_MEMO: dict[tuple, str] = {}
-# stale index dirs evicted mid-session (dataset regenerated in place):
-# deletion is DEFERRED to the atexit hook because a previously returned
-# lazy DataFrame may still reference the old directory — rmtree-ing it
-# immediately turns a later action on that handle into a
-# FileNotFoundException (ADVICE round-10). Disk cost is bounded: one
-# tombstone per regeneration event, all reclaimed at process end.
-_IVFPQ_TOMBSTONES: list[str] = []
+# table-path → (store root, fingerprint, current version path). The store
+# root is a VERSIONED index store (operators/pq.py::ivfpq_publish_index):
+# a dataset regenerated in place publishes a NEW immutable version into
+# the same root and the manifest pointer flips atomically — a previously
+# returned lazy DataFrame keeps reading its (retained) version instead of
+# hitting a FileNotFoundException from an eager rmtree (ADVICE round-10);
+# retention GC reclaims versions two refreshes behind, and the atexit
+# hook removes the whole root at process end.
+_IVFPQ_INDEX_MEMO: dict[tuple, tuple] = {}
 
 
 def _cleanup_index_stores() -> None:
     import shutil
 
-    for p in _IVFPQ_INDEX_MEMO.values():
-        shutil.rmtree(p, ignore_errors=True)
+    for entry in _IVFPQ_INDEX_MEMO.values():
+        shutil.rmtree(entry[0], ignore_errors=True)
     _IVFPQ_INDEX_MEMO.clear()
-    for p in _IVFPQ_TOMBSTONES:
-        shutil.rmtree(p, ignore_errors=True)
-    _IVFPQ_TOMBSTONES.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -5871,7 +5869,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving from disk or from the formula is value-identical."""
     import tempfile
 
-    from .operators.pq import ivfpq_persisted_topk, ivfpq_write_index, pq_fit
+    from .operators.pq import ivfpq_persisted_topk, ivfpq_publish_index, pq_fit
 
     emb = _table(spark, sf_dir, "embeddings")
     fkey = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
@@ -5879,21 +5877,22 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if books is None:
         books = pq_fit(emb, m=4, k=8, n_iter=2)
         _memo_put(_PQ_FIT_MEMO, fkey, books)
-    ikey = fkey + ("cellidx",)
-    path = _IVFPQ_INDEX_MEMO.get(ikey)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
-        ivfpq_write_index(emb, books, path)
-        stale = [
-            k for k in _IVFPQ_INDEX_MEMO
-            if k[0][0] == ikey[0][0] and k[0] != ikey[0]
-        ]
-        # tombstone, don't rmtree: a lazy DataFrame returned before the
-        # regeneration may still read the old dir (ADVICE round-10);
-        # the atexit hook reclaims tombstones at process end
-        for k in stale:
-            _IVFPQ_TOMBSTONES.append(_IVFPQ_INDEX_MEMO.pop(k))
-        _IVFPQ_INDEX_MEMO[ikey] = path
+    skey = (fkey[0][0], 4, 8, 2, "cellidx")
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey[0]:
+        # first build, or the dataset was regenerated in place: publish a
+        # new immutable version into the (existing) store root — the
+        # manifest pointer flips atomically and readers of the previous
+        # version keep working until retention GC, two refreshes later
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix="ivfpq_store_"
+        )
+        path = ivfpq_publish_index(
+            emb, books, root, retain=2, fingerprint=repr(fkey[0])
+        )
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey[0], path)
+    else:
+        path = entry[2]
     qid = emb.agg(F.min("vec_id")).first()[0]
     qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
     query = [float(x) for x in qrow[0]]

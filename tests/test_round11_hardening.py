@@ -73,34 +73,44 @@ def test_bench_baseline_flag_bounds():
     assert bench._load_baseline(["--no-baseline"]) is None
 
 
-def test_ivfpq_stale_eviction_tombstones(tmp_path):
-    """Evicting a stale persisted index defers the rmtree to process
-    exit: the old directory must still exist right after eviction (a
-    lazy DataFrame may reference it) and be listed for atexit reclaim
-    (ADVICE round-10)."""
+def test_persisted_index_refresh_keeps_old_version_readable(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE round-10 scenario, end-to-end at the registry level: a
+    dataset regenerated in place republishes the persisted code index as
+    a NEW version in the same store — a lazy DataFrame returned BEFORE
+    the regeneration keeps collecting (its version directory is retained
+    by the manifest store, never rmtree'd under it), and the serve path
+    flips to the new version."""
+    import os
+
     from ambient_sound_analysis_api_spark import registry as R
 
-    old = tmp_path / "stale_idx"
-    old.mkdir()
-    (old / "part-0.parquet").write_bytes(b"x")
-    stale_key = ((str(tmp_path / "t.parquet"), 1, 1), 4, 8, 2, "cellidx")
-    fresh_key = ((str(tmp_path / "t.parquet"), 2, 2), 4, 8, 2, "cellidx")
-    R._IVFPQ_INDEX_MEMO[stale_key] = str(old)
-    try:
-        # replicate the registry eviction path: same table path, new
-        # fingerprint → stale entry tombstoned, not rmtree'd
-        stale = [
-            k for k in R._IVFPQ_INDEX_MEMO
-            if k[0][0] == fresh_key[0][0] and k[0] != fresh_key[0]
-        ]
-        for k in stale:
-            R._IVFPQ_TOMBSTONES.append(R._IVFPQ_INDEX_MEMO.pop(k))
-        R._IVFPQ_INDEX_MEMO[fresh_key] = str(tmp_path / "fresh_idx")
-        assert old.exists(), "stale dir must survive until process exit"
-        assert str(old) in R._IVFPQ_TOMBSTONES
-        R._cleanup_index_stores()
-        assert not old.exists(), "atexit hook must reclaim tombstones"
-        assert not R._IVFPQ_TOMBSTONES and not R._IVFPQ_INDEX_MEMO
-    finally:
-        R._IVFPQ_INDEX_MEMO.pop(stale_key, None)
-        R._IVFPQ_INDEX_MEMO.pop(fresh_key, None)
+    q = R.queries()["emb_ivfpq_persisted_topk"]
+    before = q(spark, sf_dir)
+    skey = next(
+        k for k in R._IVFPQ_INDEX_MEMO if k[0].startswith(sf_dir)
+    )
+    root, fp1, v1 = R._IVFPQ_INDEX_MEMO[skey]
+    lazy_old = spark.read.parquet(v1)
+    n_old = lazy_old.count()
+
+    # simulate in-place regeneration: same path, new fingerprint
+    real_fp = R._dataset_fingerprint
+
+    def fake_fp(sf, table):
+        f = real_fp(sf, table)
+        return (f[0], f[1] + 1, f[2]) if table == "embeddings" else f
+
+    monkeypatch.setattr(R, "_dataset_fingerprint", fake_fp)
+    after = q(spark, sf_dir)
+    root2, fp2, v2 = R._IVFPQ_INDEX_MEMO[skey]
+    assert root2 == root and v2 != v1 and fp2 != fp1
+    # the pre-refresh lazy handle still reads its immutable version
+    assert os.path.exists(v1)
+    assert lazy_old.count() == n_old
+    # both serves return the same 12-row top-k (same data after all)
+    assert before.count() == after.count() == 12
+    monkeypatch.setattr(R, "_dataset_fingerprint", real_fp)
+    # restore the true-fingerprint entry so later tests reuse the memo
+    R._IVFPQ_INDEX_MEMO.pop(skey, None)
