@@ -12736,6 +12736,104 @@ def q_emb_ivfpq_incremental_recall_gate(
     )
 
 
+@register(
+    "streaming_ann_ingest",
+    f"""
+    WITH {_pq_ctes()},
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    )
+    {_pq_incremental_ctes()}
+    SELECT na.vec_id,
+           CAST(na.label AS INTEGER) AS cell,
+           CAST(ncode0.code_0 AS INTEGER) AS code_0,
+           CAST(ncode1.code_1 AS INTEGER) AS code_1,
+           CAST(ncode2.code_2 AS INTEGER) AS code_2,
+           CAST(ncode3.code_3 AS INTEGER) AS code_3
+    FROM nassign na
+    JOIN ncode0 USING (vec_id)
+    JOIN ncode1 USING (vec_id)
+    JOIN ncode2 USING (vec_id)
+    JOIN ncode3 USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-fed incremental ANN maintenance (round-10 VERDICT #8;
+    ``streaming/ann.py``): the delta batch (vec_id % 10 = 3, reversed
+    vectors under +1M ids — the ``emb_ivfpq_incremental`` corpus) arrives
+    as TWO files consumed by an ``availableNow`` file stream
+    (maxFilesPerTrigger=1, so the admission really runs per micro-batch),
+    each micro-batch cell-assigned + PQ-encoded against the MEMOIZED
+    standing model (``ivfpq_delta_index`` — no refit) and committed into
+    the ``batch=<id>/cell=<c>`` code store by one atomic rename whose
+    target-existence is the replay gate. The readout is the GROWN DELTA
+    INDEX itself — every admitted (vec_id, cell, code_*) row — which the
+    oracle rebuilds from the fitted chains and exact-decimal assignment:
+    codes are deterministic, so streamed admission and one-shot encode
+    are bit-identical (the batch-equivalence contract;
+    ``tests/test_streaming_ann.py`` adds the crash-replay and
+    rename-race proofs). Temp tree reclaimed in ``finally`` after an
+    eager localCheckpoint of the (batch-sized) readout."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_cell_centroids
+    from .streaming.ann import read_streamed_codes, streamed_ann_ingest
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        from .operators.pq import pq_fit
+
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    cents = ivf_cell_centroids(emb)
+    new = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        # two source files → two micro-batches under maxFilesPerTrigger=1
+        # split on a digit that actually varies (every delta id is
+        # ≡ 3 mod 10, so vec_id % 2 would make one batch empty)
+        half = F.floor(F.col("vec_id") / 10) % 2
+        new.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+        new.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streamed_ann_ingest(spark, stream, store, cents, books)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            read_streamed_codes(spark, store)
+            .select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                *[F.col(f"code_{s}").cast("int").alias(f"code_{s}")
+                  for s in range(4)],
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 
 
