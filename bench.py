@@ -122,6 +122,16 @@ HEADLINE = [
     # memoized build) and the fused one-pass-per-table expectation suite
     "emb_ivfpq_persisted_topk",
     "pipeline_expectations",
+    # round-11: hybrid retrieval fusion (two top-20 branches + a 20-row
+    # full-outer fuse), the chunk→doc dedup decision rollup (explode +
+    # two linear shuffles, no pair join), the IVFADC+R passing recall
+    # gate (nprobe=9 ADC shortlist + 200-vector exact refine; memoized
+    # m=8 codebooks so the entry times the serve, not the fit), and the
+    # per-file min/max skipping audit (pure scan + one small agg)
+    "retrieval_rrf_fusion",
+    "dedup_chunk_doc_reconcile",
+    "emb_ivfpq_incremental_recall_gate",
+    "layout_zorder_file_skipping",
 ]
 
 
