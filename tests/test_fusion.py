@@ -14,6 +14,21 @@ from ambient_sound_analysis_api_spark.operators.retrieval import (
     weighted_score_fuse,
 )
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _drain_operator_caches(spark):
+    """bm25 branches persist the tokenized dl/tf tables over the raw
+    documents read — drain tracked caches after each test so cached
+    subtrees don't plan-match into later scan-counting suites."""
+    yield
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+
+    release_caches()
+
 
 def _ranking(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, rank int")

@@ -22,6 +22,21 @@ from ambient_sound_analysis_api_spark.streaming.ann import (
     streamed_ann_ingest,
 )
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _drain_operator_caches(spark):
+    """The serve path persists the centroid table over the SAME parquet
+    read other plan tests scan-count — drain tracked caches after each
+    test so cached subtrees don't plan-match into later suites."""
+    yield
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+
+    release_caches()
+
 
 def _setup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
