@@ -232,3 +232,48 @@ def merge_partials_monthly(
             F.max("mx").alias("max_value"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: credit each conversion to the
+    user's most recent preceding non-conversion event type.
+
+    The standard marketing/product analytics rollup — which touchpoint
+    (view, click, signup, …) immediately preceded each purchase?  Plan
+    shape: ONE user-partitioned ordered window (``last(..,
+    ignorenulls)`` over rows preceding the current one) tags every
+    conversion with its touch type in a single shuffle on ``user_id``,
+    then a grid-sized group-by counts conversions per touch.
+    Conversions with no preceding event credit ``'direct'``.  Ordering
+    ties break on the event id so the attribution is deterministic
+    under replays and repartitioning.
+
+    Returns (touch_type, n_conversions) ordered by touch_type.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.withColumn(
+        "_touch",
+        F.last(
+            F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.coalesce(F.col("_touch"), F.lit("direct")).alias("touch_type"))
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+        .orderBy("touch_type")
+    )

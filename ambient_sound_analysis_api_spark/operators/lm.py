@@ -363,3 +363,68 @@ def bpe_train(
         # over the same corpus would produce (word-frequency-level)
         return out, sym
     return out
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf-law tail fit: OLS of ln(freq) on ln(rank) over the top-N
+    vocabulary.
+
+    The classic corpus-health readout — natural text shows a log-log
+    slope near −1; heavily templated/boilerplate corpora flatten the
+    head, spam inflates the tail.  Plan shape: token explode + grouped
+    term frequencies (the ``text_vocab_topk`` scan, map-side combined),
+    a deterministic TakeOrdered top-N (freq desc, token asc — no window
+    over the vocabulary), then ranks via one row_number window over the
+    N-row limited list and a closed-form OLS aggregate to a single row.
+    Everything after the term-frequency shuffle is N-row-sized.
+
+    Returns ONE row: (slope, intercept, r2, n_ranks, top_freq), the
+    regression columns 6dp-rounded.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import letter_tokens
+
+    tf = (
+        docs.select(F.explode(letter_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(top_n)
+    )
+    ranked = tf.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token"))
+        ),
+    ).select(
+        # 12dp DECIMAL snap before the moment sums: decimal products/sums
+        # are exact and associative, so every OLS input is bit-identical
+        # across engines and aggregation orders (house determinism rule:
+        # never raw doubles through a reduction that feeds a hash check)
+        F.log(F.col("rank").cast("double")).cast("decimal(18,12)").alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,12)").alias("y"),
+        "freq",
+        "rank",
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxx, syy, sxy = (
+        F.sum(F.col("x") * F.col("x")).cast("double"),
+        F.sum(F.col("y") * F.col("y")).cast("double"),
+        F.sum(F.col("x") * F.col("y")).cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return ranked.agg(
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq"))).cast("bigint").alias("top_freq"),
+    )

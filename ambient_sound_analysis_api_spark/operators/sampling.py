@@ -235,3 +235,73 @@ def epoch_manifest(
         .withColumn("epoch", F.explode(kept))
         .drop("_ek")
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    quality: Column,
+    n_tokens: Column,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget, computed
+    over the score VOCABULARY instead of a global document sort.
+
+    The curation move "keep the best documents until the token budget is
+    spent" is a greedy knapsack whose textbook implementation — sort all
+    docs by quality, running-sum the tokens, cut — needs a global sort
+    of the corpus.  At 100 TB that sort is the job.  This operator
+    quantizes quality to 6 decimals and aggregates tokens per DISTINCT
+    score first (map-side combined), so the only ordered pass is a
+    cumulative window over at most 10^6+1 DECIMAL(10,6) values; the
+    cutoff score q_cut is then the smallest score whose
+    descending-cumulative token mass still fits the budget, and
+    selection is a broadcast semi-predicate ``q >= q_cut`` the optimizer
+    pushes onto the scan.
+
+    Granularity contract: selection is by whole score class — all docs
+    at q_cut are kept, so the selected mass is the largest
+    score-class-aligned prefix ≤ budget.  (Splitting the boundary class
+    doc-by-doc would reintroduce the data-sized sort for ≤ one class of
+    slack.)
+
+    Returns per-source rollup of the selected set:
+    (source, n_docs, n_tokens, mean_q, q_cut), ordered by source.
+    """
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "source",
+        F.round(quality, 6).cast("decimal(10,6)").alias("_q"),
+        n_tokens.cast("bigint").alias("_nt"),
+    )
+    hist = d.groupBy("_q").agg(F.sum("_nt").alias("_toks"))
+    w = (
+        Window.orderBy(F.col("_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_toks").over(w))
+    total = hist.agg(F.sum("_toks").alias("_total"))
+    cut = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("_cum") <= F.col("_total") * F.lit(float(budget_frac)))
+        .agg(F.min("_q").alias("q_cut"))
+    )
+    return (
+        d.crossJoin(F.broadcast(cut))
+        .filter(F.col("_q") >= F.col("q_cut"))
+        .groupBy("source", "q_cut")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            # decimal sum over the DECIMAL(10,6) scores: exact, so the
+            # mean is engine/partition-order independent
+            F.round(
+                F.sum("_q").cast("double") / F.count("_q"), 6
+            ).alias("mean_q"),
+        )
+        .select("source", "n_docs", "n_tokens", "mean_q",
+                F.col("q_cut").cast("double").alias("q_cut"))
+        .orderBy("source")
+    )

@@ -635,3 +635,105 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", "rank", "cosine_sim")
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    split: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension centroid drift between two embedding snapshots.
+
+    The embedding analog of ``pipeline_drift_psi``: given a boolean
+    ``split`` (old vs new snapshot — a batch id, an ingest date, a
+    parity), compare the two snapshot centroids dimension by dimension.
+    Embedding-distribution drift is the canonical tripwire for "the
+    upstream encoder changed" / "the corpus mix shifted" before any
+    ANN-recall symptom shows up.
+
+    Plan: posexplode of the vector (map-side, no shuffle) into
+    (dim, value), then ONE grouped aggregate on dim with conditional
+    averages for the two snapshots — the output is dimension-sized
+    (d rows), the shuffle moves only the d × partial-agg rows, and no
+    join or window appears anywhere.
+
+    Returns (dim, mean_a, mean_b, delta, abs_delta) ordered by dim,
+    6dp-rounded.
+    """
+    exploded = emb.select(
+        split.alias("_in_a"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "_v"),
+    )
+    # decimal-summed means (house _DECMEAN idiom): associative, so the
+    # per-dimension centroids are bit-identical across engines and
+    # partition orders before the 6dp display rounding
+    dec = F.col("_v").cast("decimal(28,10)")
+    mean_a = F.sum(F.when(F.col("_in_a"), dec)).cast("double") / F.count(
+        F.when(F.col("_in_a"), F.lit(1))
+    )
+    mean_b = F.sum(F.when(~F.col("_in_a"), dec)).cast("double") / F.count(
+        F.when(~F.col("_in_a"), F.lit(1))
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(mean_b - mean_a, 6).alias("delta"),
+            F.round(F.abs(mean_b - mean_a), 6).alias("abs_delta"),
+        )
+        .orderBy("dim")
+    )
+
+
+def mutual_knn(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    max_block_size: int | None = 1024,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor pairs: (a, b) where each vector is in
+    the other's top-k.
+
+    Mutual-kNN is the high-precision core of the kNN graph — the edge
+    set SemDeDup-style dedup and reciprocal-match retrieval actually
+    trust, because one-directional neighbors in a dense region are
+    mostly hub artifacts.  Built as the self-join of ``knn_graph`` on
+    the reversed edge (src=nbr AND nbr=src) with ``src < nbr`` emitting
+    each mutual pair once; the join keys are the (id, id) edge pair, so
+    the shuffle is edge-sized (≤ k·n rows), never pairwise.
+
+    Returns (src_id, nbr_id, rank_ab, rank_ba, cosine_sim) ordered by
+    (src_id, nbr_id); ``cosine_sim`` is the shared 4dp score (the edge
+    is symmetric).
+    """
+    kg = knn_graph(
+        emb, k=k, id_col=id_col, vec_col=vec_col, block_col=block_col,
+        max_block_size=max_block_size, warn_on_truncation=False,
+    )
+    a = kg.select(
+        F.col("src_id").alias("_a"),
+        F.col("nbr_id").alias("_b"),
+        F.col("rank").alias("rank_ab"),
+        F.col("cosine_sim").alias("cosine_sim"),
+    )
+    b = kg.select(
+        F.col("nbr_id").alias("_a"),
+        F.col("src_id").alias("_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(b, ["_a", "_b"])
+        .filter(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("src_id"),
+            F.col("_b").alias("nbr_id"),
+            "rank_ab",
+            "rank_ba",
+            "cosine_sim",
+        )
+        .orderBy("src_id", "nbr_id")
+    )

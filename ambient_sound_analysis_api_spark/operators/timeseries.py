@@ -157,3 +157,89 @@ def gap_fill(
         return out
 
     return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+
+
+def cusum_changepoint(
+    buckets: DataFrame,
+    ts_col: str = "bucket_ts",
+    val_col: str = "xb",
+) -> DataFrame:
+    """Single-changepoint detection via the CUSUM statistic over a
+    bucketed series.
+
+    Input is an already-bucketed series (one row per time bucket, e.g.
+    the 5-minute means of ``aggregations.bucket_mean``) — the heavy
+    reduction from raw points to buckets happens upstream as a grouped
+    aggregate, so the ordered pass here runs over a CALENDAR-BOUNDED
+    table (window length / bucket width rows), never the raw data.
+
+    The statistic: center the series on its global mean, take the
+    running cumulative sum, and the changepoint estimate is the bucket
+    maximizing |cusum| (Page 1954 / the standard mean-shift CUSUM
+    estimator).  Plan shape: one 1-row global-mean broadcast, one
+    ordered cumulative window over the bounded bucket table, a
+    TakeOrdered(1) for the argmax (|cusum| desc, bucket asc tie-break on
+    the DECIMAL-cast magnitude — never raw doubles across engines), and
+    one final 1-row broadcast back against the buckets for the pre/post
+    split means.
+
+    Returns ONE row: (cp_ts, max_abs_cusum, mean_pre, mean_post, shift,
+    n_pre, n_post) — ``mean_pre`` includes the changepoint bucket itself
+    (the CUSUM peak marks the END of the pre-shift regime), ratios
+    6dp-rounded.
+    """
+    from pyspark.sql import Window
+
+    b = buckets.select(
+        F.col(ts_col).alias("_t"), F.col(val_col).cast("double").alias("_x")
+    )
+    # decimal-summed mean: associative, so bit-identical across engines
+    # and partitionings (house _DECMEAN idiom)
+    mean_row = b.agg(
+        (
+            F.sum(F.col("_x").cast("decimal(28,10)")).cast("double")
+            / F.count("_x")
+        ).alias("_mu")
+    )
+    centered = b.crossJoin(F.broadcast(mean_row))
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # accumulate DECIMAL deviations: decimal addition is associative, so
+    # the running sum is independent of the engine's window-sum strategy
+    # (Spark runs sequential, DuckDB may segment-tree)
+    cs = centered.withColumn(
+        "_cusum",
+        F.sum(
+            (F.col("_x") - F.col("_mu")).cast("decimal(28,10)")
+        ).over(w).cast("double"),
+    )
+    cp = (
+        cs.orderBy(
+            F.round(F.abs(F.col("_cusum")), 6)
+            .cast("decimal(24,6)")
+            .desc(),
+            F.col("_t"),
+        )
+        .limit(1)
+        .select(
+            F.col("_t").alias("_cp"),
+            F.round(F.abs(F.col("_cusum")), 6).alias("_mag"),
+        )
+    )
+    split = b.crossJoin(F.broadcast(cp))
+    pre = F.col("_t") <= F.col("_cp")
+    dec = F.col("_x").cast("decimal(28,10)")
+    mean_pre = F.sum(F.when(pre, dec)).cast("double") / F.count(
+        F.when(pre, F.lit(1))
+    )
+    mean_post = F.sum(F.when(~pre, dec)).cast("double") / F.count(
+        F.when(~pre, F.lit(1))
+    )
+    return split.agg(
+        F.date_format(F.first("_cp"), "yyyy-MM-dd'T'HH:mm:ss").alias("cp_ts"),
+        F.first("_mag").alias("max_abs_cusum"),
+        F.round(mean_pre, 6).alias("mean_pre"),
+        F.round(mean_post, 6).alias("mean_post"),
+        F.round(mean_post - mean_pre, 6).alias("shift"),
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("n_pre"),
+        F.sum(F.when(~pre, 1).otherwise(0)).cast("bigint").alias("n_post"),
+    )

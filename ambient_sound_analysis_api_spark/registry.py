@@ -12835,6 +12835,461 @@ def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 15. round 11 second wave — filter evaluation, changepoints, budgeted
+# curation, embedding drift, corpus-law fits, attribution (extension
+# surface; no reference analog)
+
+# the quality-score CTE pair shared by the eval/budget oracles — the exact
+# SQL twin of functions.text.quality_score, proven hash-equal by
+# text_quality_deciles since round 4; n_tok_i is the BIGINT token count
+# (the pipeline_sequence_pack idiom)
+_QX_DUCK = r"""qscore AS (
+      SELECT doc_id, lang, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS p_ratio,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      FROM documents
+    ),
+    qx AS (
+      SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tok_i,
+             (least(n_tok / 50.0, 1.0)
+              + least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5.0, 1.0)
+              + (1.0 - least(p_ratio * 4.0, 1.0))) / 3.0 AS q
+      FROM qscore
+    )"""
+
+
+@register(
+    "eval_quality_confusion",
+    f"""
+    WITH {_QX_DUCK},
+    d AS (
+      SELECT q AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qx
+    ),
+    thr AS (SELECT CAST(i AS DOUBLE) / 10 AS threshold FROM range(1, 10) t(i)),
+    c AS (
+      SELECT thr.threshold,
+             sum(CASE WHEN d.s >= thr.threshold AND d.y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN d.s >= thr.threshold AND d.y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN d.s <  thr.threshold AND d.y = 1 THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN d.s <  thr.threshold AND d.y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM d, thr GROUP BY thr.threshold
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp / nullif(tp + fp, 0), 6) AS prec,
+           round(tp / nullif(tp + fn, 0), 6) AS rec,
+           round(2 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM c ORDER BY threshold
+    """,
+)
+def q_eval_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep confusion matrix for the heuristic quality filter
+    against the English-language proxy label (the quality signals are
+    anglocentric by construction — stopword list — so lang='en' is the
+    natural recoverable target). ONE fused aggregation pass computes all
+    9×4 confusion cells as conditional sums (map-side combined, single
+    1-row output before the stack unpivot) — the sweep costs one scan
+    regardless of grid size or corpus size. Extension surface: the
+    reference has no model-evaluation endpoints."""
+    from .functions.text import quality_score
+    from .operators.evalmetrics import confusion_sweep
+
+    docs = _table(spark, sf_dir, "documents")
+    return confusion_sweep(
+        docs, quality_score(F.col("text")), F.col("lang") == "en"
+    )
+
+
+@register(
+    "eval_quality_auc",
+    f"""
+    WITH {_QX_DUCK},
+    d AS (
+      SELECT q, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qx
+    ),
+    hist AS (
+      SELECT CAST(round(q, 6) AS DECIMAL(10,6)) AS s,
+             sum(y) AS n_pos, sum(1 - y) AS n_neg
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT n_pos, n_neg,
+             sum(n_neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - n_neg
+               AS neg_below
+      FROM hist
+    )
+    SELECT round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+                 / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc,
+           round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+                 / (CAST(sum(n_pos) AS DOUBLE) * sum(n_neg)) - 1.0, 6) AS gini,
+           CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_scores
+    FROM r
+    """,
+)
+def q_eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney, midrank ties) of the quality score
+    against the English proxy label, computed over the 6dp score
+    VOCABULARY: the histogram group-by collapses the corpus map-side, the
+    only ordered pass is a cumulative window over ≤ 10^6+1 DECIMAL score
+    values (data-size-independent), and every reduction term is an exact
+    integer — the single double division happens once at the end."""
+    from .functions.text import quality_score
+    from .operators.evalmetrics import binary_auc
+
+    docs = _table(spark, sf_dir, "documents")
+    return binary_auc(
+        docs, quality_score(F.col("text")), F.col("lang") == "en"
+    )
+
+
+@register(
+    "eval_quality_calibration",
+    f"""
+    WITH {_QX_DUCK},
+    d AS (
+      SELECT q, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qx
+    ),
+    b AS (
+      SELECT least(CAST(floor(q * 10) AS INTEGER), 9) AS bin, q, y FROM d
+    ),
+    pb AS (
+      SELECT bin, count(*) AS n,
+             CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE) / count(q) AS ms,
+             CAST(sum(y) AS DOUBLE) / count(y) AS fp
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT count(*) AS total FROM d)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(ms, 6) AS mean_score, round(fp, 6) AS frac_pos,
+           round(abs(fp - ms), 6) AS gap,
+           round(n / CAST(total AS DOUBLE), 6) AS weight,
+           round(abs(fp - ms) * n / CAST(total AS DOUBLE), 6) AS ece_term
+    FROM pb, tot ORDER BY bin
+    """,
+)
+def q_eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the quality score vs the English
+    proxy label: fixed-width bin group-by (≤10 output rows, map-side
+    combined) + one 1-row total broadcast. Σ ece_term IS the expected
+    calibration error, kept per-bin so the readout localizes the
+    miscalibration instead of averaging it away."""
+    from .functions.text import quality_score
+    from .operators.evalmetrics import calibration_bins
+
+    docs = _table(spark, sf_dir, "documents")
+    return calibration_bins(
+        docs, quality_score(F.col("text")), F.col("lang") == "en"
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // 300000000) * 300 AS t,
+             {_DECMEAN_DUCK} AS x
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '{_WS}' AND ts < TIMESTAMP '{_WE}'
+        AND isfinite(value)
+      GROUP BY 1
+    ),
+    mu AS (
+      SELECT CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x) AS mu
+      FROM b
+    ),
+    cs AS (
+      SELECT t,
+             CAST(sum(CAST(x - mu AS DECIMAL(28,10)))
+                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cusum
+      FROM b, mu
+    ),
+    cp AS (
+      SELECT t AS cp_t, round(abs(cusum), 6) AS mag
+      FROM cs
+      ORDER BY CAST(round(abs(cusum), 6) AS DECIMAL(24,6)) DESC, t
+      LIMIT 1
+    )
+    SELECT strftime(make_timestamp(cp.cp_t * 1000000), '{_ISO_DUCK}') AS cp_ts,
+           cp.mag AS max_abs_cusum,
+           round(CAST(sum(CASE WHEN b.t <= cp.cp_t
+                          THEN CAST(b.x AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN b.t <= cp.cp_t THEN 1 END), 6) AS mean_pre,
+           round(CAST(sum(CASE WHEN b.t > cp.cp_t
+                          THEN CAST(b.x AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN b.t > cp.cp_t THEN 1 END), 6) AS mean_post,
+           round(CAST(sum(CASE WHEN b.t > cp.cp_t
+                          THEN CAST(b.x AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN b.t > cp.cp_t THEN 1 END)
+                 - CAST(sum(CASE WHEN b.t <= cp.cp_t
+                            THEN CAST(b.x AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN b.t <= cp.cp_t THEN 1 END), 6) AS shift,
+           CAST(sum(CASE WHEN b.t <= cp.cp_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre,
+           CAST(sum(CASE WHEN b.t > cp.cp_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_post
+    FROM b, cp GROUP BY cp.cp_t, cp.mag
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint estimate (Page's CUSUM) on the click
+    channel's 5-minute bucket means over the fixed 7-day window
+    (``operators.timeseries.cusum_changepoint``). The raw→bucket
+    reduction is the grouped aggregate of agg_bucket_mean_5m; everything
+    ordered after it runs over the CALENDAR-BOUNDED bucket table (≤2016
+    rows), with decimal-accumulated deviations so the running sum is
+    engine/strategy independent."""
+    from .operators.timeseries import cusum_changepoint
+
+    bb = timeseries.window_filter(
+        _broadband_view(spark, sf_dir, WINDOW_START, WINDOW_END),
+        WINDOW_START, WINDOW_END,
+    ).filter(F.col("hydrophone") == "click")
+    buckets = agg.resample_mean(bb, 300, keys=[], exact=True)
+    return cusum_changepoint(buckets, ts_col="bucket_ts", val_col="mean_value")
+
+
+@register(
+    "pipeline_token_budget",
+    f"""
+    WITH {_QX_DUCK},
+    d AS (
+      SELECT source, CAST(round(q, 6) AS DECIMAL(10,6)) AS q6, n_tok_i AS nt
+      FROM qx
+    ),
+    hist AS (SELECT q6, sum(nt) AS toks FROM d GROUP BY q6),
+    cum AS (
+      SELECT q6,
+             sum(toks) OVER (ORDER BY q6 DESC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT sum(nt) AS total FROM d),
+    cut AS (
+      SELECT min(q6) AS q_cut
+      FROM cum, tot WHERE cum <= CAST(total AS DOUBLE) * 0.5
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.nt) AS BIGINT) AS n_tokens,
+           round(CAST(sum(d.q6) AS DOUBLE) / count(d.q6), 6) AS mean_q,
+           CAST(cut.q_cut AS DOUBLE) AS q_cut
+    FROM d, cut
+    WHERE d.q6 >= cut.q_cut
+    GROUP BY d.source, cut.q_cut
+    ORDER BY d.source
+    """,
+)
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection under a 50% token budget
+    (``operators.sampling.token_budget_select``): the greedy knapsack
+    computed over the 6dp score VOCABULARY instead of a global document
+    sort — the cumulative pass runs over ≤ 10^6+1 distinct DECIMAL
+    scores, and the final selection is a broadcast ``q >= q_cut``
+    predicate pushed onto the scan. Whole-score-class granularity
+    (documented): the selected mass is the largest class-aligned prefix
+    within budget."""
+    from .functions.text import quality_score, token_count
+    from .operators.sampling import token_budget_select
+
+    docs = _table(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs,
+        quality_score(F.col("text")),
+        token_count(F.col("text")),
+        budget_frac=0.5,
+    )
+
+
+@register(
+    "emb_drift_centroid",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 = 0 AS in_a,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+      FROM embeddings
+    )
+    SELECT dim,
+           round(CAST(sum(CASE WHEN in_a
+                          THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN in_a THEN 1 END), 6) AS mean_a,
+           round(CAST(sum(CASE WHEN NOT in_a
+                          THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN NOT in_a THEN 1 END), 6) AS mean_b,
+           round(CAST(sum(CASE WHEN NOT in_a
+                          THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN NOT in_a THEN 1 END)
+                 - CAST(sum(CASE WHEN in_a
+                            THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / count(CASE WHEN in_a THEN 1 END), 6) AS delta,
+           round(abs(CAST(sum(CASE WHEN NOT in_a
+                              THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                     / count(CASE WHEN NOT in_a THEN 1 END)
+                     - CAST(sum(CASE WHEN in_a
+                                THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                     / count(CASE WHEN in_a THEN 1 END)), 6) AS abs_delta
+    FROM e GROUP BY dim ORDER BY dim
+    """,
+)
+def q_emb_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension centroid drift between the even/odd vec_id snapshot
+    halves (``operators.similarity.centroid_drift``) — the embedding
+    analog of pipeline_drift_psi, the tripwire for encoder swaps and
+    corpus-mix shifts before any ANN-recall symptom. Map-side posexplode
+    + ONE grouped aggregate on dim with decimal-summed conditional
+    means: d-row output, no join, no window."""
+    from .operators.similarity import centroid_drift
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, F.col("vec_id") % 2 == 0)
+
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH tf AS (
+      SELECT token, count(*) AS freq
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+      )
+      GROUP BY token ORDER BY freq DESC, token LIMIT 200
+    ),
+    r AS (
+      SELECT CAST(ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+                          AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+             CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,12)) AS y,
+             freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM tf
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(count(*) AS BIGINT) AS n_ranks,
+             CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq
+      FROM r
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           n_ranks, top_freq
+    FROM s
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law tail fit (``operators.lm.zipf_fit``): OLS of ln(freq) on
+    ln(rank) over the deterministic top-200 vocabulary — the corpus-health
+    slope (natural text ≈ −1; boilerplate flattens it). Term frequencies
+    are the text_vocab_topk scan; the top-N is TakeOrdered (no window over
+    the vocabulary); OLS inputs are 12dp-DECIMAL snapped so the moment
+    sums are exact."""
+    from .operators.lm import zipf_fit
+
+    docs = _table(spark, sf_dir, "documents")
+    return zipf_fit(docs)
+
+
+@register(
+    "emb_mutual_knn",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             a.embedding AS va, b.embedding AS vb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    x AS (
+      SELECT src_id, nbr_id,
+             sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)) AS dp,
+             sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)) AS na2,
+             sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)) AS nb2
+      FROM (SELECT src_id, nbr_id, unnest(va) AS ua, unnest(vb) AS ub FROM p)
+      GROUP BY src_id, nbr_id
+    ),
+    s AS (
+      SELECT src_id, nbr_id,
+             round(dp / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+      FROM x
+    ),
+    k AS (
+      SELECT src_id, nbr_id, cosine_sim,
+             row_number() OVER (
+               PARTITION BY src_id
+               ORDER BY CAST(cosine_sim AS DECIMAL(32,12)) DESC, nbr_id
+             ) AS rank
+      FROM s
+    ),
+    topk AS (SELECT * FROM k WHERE rank <= 3)
+    SELECT a.src_id, a.nbr_id,
+           a.rank AS rank_ab, b.rank AS rank_ba, a.cosine_sim
+    FROM topk a
+    JOIN topk b ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+    WHERE a.src_id < a.nbr_id
+    ORDER BY a.src_id, a.nbr_id
+    """,
+)
+def q_emb_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edge set (``operators.similarity.mutual_knn``): pairs
+    where each vector is in the other's blocked top-3 — the
+    high-precision subgraph SemDeDup-style dedup trusts (one-directional
+    neighbors in dense regions are hub artifacts). Self-join of the kNN
+    graph on the reversed edge; the shuffle is edge-sized (≤ k·n), never
+    pairwise. Same explicit ``max_block_size=None`` opt-out as
+    emb_knn_graph (bounded label blocks; capacity split isn't
+    SQL-portable)."""
+    from .operators.similarity import mutual_knn
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return mutual_knn(emb, k=3, max_block_size=None)
+
+
+@register(
+    "agg_attribution_last_touch",
+    """
+    WITH t AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (``operators.aggregations.last_touch_attribution``): every purchase
+    credits the user's most recent preceding non-purchase event type —
+    ONE user-partitioned ordered window (single shuffle on user_id), then
+    a grid-sized rollup; (ts, event_id) ordering makes the credit
+    deterministic under replays. Purchases with no preceding touch
+    credit 'direct'."""
+    from .operators.aggregations import last_touch_attribution
+
+    return last_touch_attribution(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -306,6 +306,17 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # nlist-row probe ranking inside the incremental serve, reused by
         # the rerank gate
         "emb_ivfpq_incremental_recall_gate",
+        # cumulative window over the 6dp score VOCABULARY (≤ 10^6+1
+        # DECIMAL(10,6) rows after the histogram group-by) — bounded by
+        # quantization, not data size
+        "eval_quality_auc",
+        # same score-vocabulary cumulative pass for the budget cutoff
+        "pipeline_token_budget",
+        # running CUSUM over the calendar-bounded 5m bucket table
+        # (≤2016 rows in the fixed 7-day window)
+        "ts_cusum_changepoint",
+        # row_number over the TakeOrdered top-200 vocabulary list
+        "text_zipf_fit",
     }
 
     one_row_broadcast = {
@@ -357,6 +368,12 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "retrieval_rrf_fusion",
         # same branch broadcasts + each list's 1-row min/max stat
         "retrieval_weighted_fusion",
+        "eval_quality_calibration",  # 1-row total-count broadcast
+        # 1-row global-mean broadcast (centering) + 1-row changepoint
+        # broadcast for the pre/post split
+        "ts_cusum_changepoint",
+        # 1-row token-total broadcast + 1-row q_cut broadcast predicate
+        "pipeline_token_budget",
     }
     python_ok = {
         "mm_binary_meta",

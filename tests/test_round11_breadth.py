@@ -1,0 +1,287 @@
+"""Unit tests for the round-11 second-wave operators: filter evaluation
+(confusion/AUC/calibration), CUSUM changepoint, token-budget curation,
+embedding centroid drift, Zipf fit, mutual-kNN, last-touch attribution."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# evalmetrics
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "s double, y int")
+
+
+def test_confusion_sweep_counts_and_ratios(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        confusion_sweep,
+    )
+
+    df = _labeled(
+        spark,
+        [(0.9, 1), (0.8, 1), (0.7, 0), (0.2, 1), (0.1, 0), (0.05, 0)],
+    )
+    out = confusion_sweep(
+        df, F.col("s"), F.col("y") == 1, thresholds=[0.5]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # pred+ = {0.9, 0.8, 0.7}; positives = {0.9, 0.8, 0.2}
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 2)
+    assert r.prec == pytest.approx(2 / 3, abs=1e-6)
+    assert r.rec == pytest.approx(2 / 3, abs=1e-6)
+    assert r.f1 == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_confusion_sweep_null_ratios_on_empty_cells(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        confusion_sweep,
+    )
+
+    # no predicted positives at t=0.9 → precision NULL, recall 0
+    df = _labeled(spark, [(0.1, 1), (0.2, 0)])
+    r = confusion_sweep(df, F.col("s"), F.col("y") == 1, thresholds=[0.9]).collect()[0]
+    assert r.tp == 0 and r.fp == 0
+    assert r.prec is None
+    assert r.rec == 0.0
+
+
+def test_binary_auc_perfect_and_midrank(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import binary_auc
+
+    # perfectly separated → AUC 1.0
+    perfect = _labeled(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+    r = binary_auc(perfect, F.col("s"), F.col("y") == 1).collect()[0]
+    assert r.auc == 1.0 and r.gini == 1.0
+    assert (r.n_pos, r.n_neg) == (2, 2)
+
+    # one tied score class (0.5 holds one pos + one neg) → midrank:
+    # pairs: (pos .5 vs neg .5)=0.5, (pos .5 vs neg .1)=1 → AUC=(1+0.5)/2=0.75
+    tied = _labeled(spark, [(0.5, 1), (0.5, 0), (0.1, 0)])
+    r2 = binary_auc(tied, F.col("s"), F.col("y") == 1).collect()[0]
+    assert r2.auc == pytest.approx(0.75, abs=1e-6)
+    assert r2.n_scores == 2
+
+
+def test_binary_auc_random_scores_half(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import binary_auc
+
+    # label independent of a constant score → AUC exactly 0.5 by midrank
+    const = _labeled(spark, [(0.4, 1), (0.4, 0), (0.4, 1), (0.4, 0)])
+    r = binary_auc(const, F.col("s"), F.col("y") == 1).collect()[0]
+    assert r.auc == pytest.approx(0.5, abs=1e-6)
+
+
+def test_calibration_bins_weights_and_ece(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    df = _labeled(
+        spark,
+        [(0.05, 0), (0.15, 0), (0.15, 1), (0.95, 1), (1.0, 1)],
+    )
+    rows = calibration_bins(df, F.col("s"), F.col("y") == 1).collect()
+    by_bin = {r.bin: r for r in rows}
+    # score 1.0 clamps into bin 9
+    assert set(by_bin) == {0, 1, 9}
+    assert by_bin[9].n == 2 and by_bin[9].frac_pos == 1.0
+    assert by_bin[1].frac_pos == pytest.approx(0.5, abs=1e-6)
+    assert sum(r.weight for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert r.ece_term == pytest.approx(r.gap * r.weight, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+
+
+def test_cusum_changepoint_detects_step(spark):
+    from datetime import datetime, timedelta
+
+    from ambient_sound_analysis_api_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(minutes=5 * i), 1.0 if i < 10 else 5.0)
+        for i in range(20)
+    ]
+    buckets = spark.createDataFrame(rows, "bucket_ts timestamp, xb double")
+    r = cusum_changepoint(buckets, ts_col="bucket_ts", val_col="xb").collect()[0]
+    # |cusum| peaks at the LAST pre-shift bucket (i=9)
+    assert r.cp_ts == "2024-01-01T00:45:00"
+    assert r.n_pre == 10 and r.n_post == 10
+    assert r.mean_pre == pytest.approx(1.0, abs=1e-6)
+    assert r.mean_post == pytest.approx(5.0, abs=1e-6)
+    assert r.shift == pytest.approx(4.0, abs=1e-6)
+    # peak magnitude = 10 buckets × |1 − 3| = 20
+    assert r.max_abs_cusum == pytest.approx(20.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# token budget
+
+
+def test_token_budget_whole_class_granularity(spark):
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0.9, 100),
+            ("a", 0.8, 100),
+            ("b", 0.7, 100),
+            ("b", 0.7, 100),
+            ("b", 0.1, 100),
+        ],
+        "source string, q double, nt int",
+    )
+    # budget = 0.5 × 500 = 250 → q=0.9 (100) + q=0.8 (200) fit; the 0.7
+    # class (2 docs, cum 400) does not → cut at 0.8
+    out = token_budget_select(
+        df, F.col("q"), F.col("nt"), budget_frac=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.source == "a" and r.n_docs == 2 and r.n_tokens == 200
+    assert r.q_cut == pytest.approx(0.8, abs=1e-6)
+
+    # raising the budget to 0.8 (=400) admits the whole 0.7 class
+    out2 = token_budget_select(
+        df, F.col("q"), F.col("nt"), budget_frac=0.8
+    ).collect()
+    assert {(r.source, r.n_docs) for r in out2} == {("a", 2), ("b", 2)}
+
+    with pytest.raises(ValueError):
+        token_budget_select(df, F.col("q"), F.col("nt"), budget_frac=0.0)
+
+
+# ---------------------------------------------------------------------------
+# centroid drift
+
+
+def test_centroid_drift_exact_deltas(spark):
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (2, [3.0, 0.0]),
+            (1, [1.0, 10.0]),
+            (3, [3.0, 30.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = centroid_drift(df, F.col("vec_id") % 2 == 0).collect()
+    d = {r.dim: r for r in rows}
+    assert d[0].mean_a == 2.0 and d[0].mean_b == 2.0 and d[0].delta == 0.0
+    assert d[1].mean_a == 0.0 and d[1].mean_b == 20.0
+    assert d[1].delta == 20.0 and d[1].abs_delta == 20.0
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+
+
+def test_zipf_fit_two_point_exact_line(spark):
+    from ambient_sound_analysis_api_spark.operators.lm import zipf_fit
+
+    # freq(a)=4, freq(b)=2 at ranks 1,2: ln-ln slope exactly
+    # (ln2 − ln4)/(ln2 − ln1) = −1, intercept = mean adjustment = ln4
+    docs = spark.createDataFrame(
+        [("a a a a b b",)], "text string"
+    )
+    r = zipf_fit(docs).collect()[0]
+    assert r.n_ranks == 2 and r.top_freq == 4
+    assert r.slope == pytest.approx(-1.0, abs=1e-6)
+    assert r.intercept == pytest.approx(math.log(4.0), abs=1e-6)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mutual kNN
+
+
+def test_mutual_knn_filters_hub_edges(spark):
+    from ambient_sound_analysis_api_spark.operators.similarity import mutual_knn
+
+    # a and b are reciprocal nearest; c's nearest is a, but a's top-1 is b
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.14], 0),
+            (3, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = mutual_knn(df, k=1, max_block_size=None).collect()
+    assert [(r.src_id, r.nbr_id) for r in rows] == [(1, 2)]
+    assert rows[0].rank_ab == 1 and rows[0].rank_ba == 1
+
+    # with k=2 every pair in a 3-block is mutual: 3 undirected edges
+    rows2 = mutual_knn(df, k=2, max_block_size=None).collect()
+    assert len(rows2) == 3
+
+
+# ---------------------------------------------------------------------------
+# attribution
+
+
+def test_last_touch_attribution_credits_and_direct(spark):
+    from datetime import datetime
+
+    from ambient_sound_analysis_api_spark.operators.aggregations import (
+        last_touch_attribution,
+    )
+
+    t = datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, minute):
+        from datetime import timedelta
+
+        return (eid, t + timedelta(minutes=minute), uid, typ)
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 1, "view", 0),
+            ev(2, 1, "purchase", 1),     # ← view
+            ev(3, 1, "click", 2),
+            ev(4, 1, "purchase", 3),     # ← click
+            ev(5, 2, "purchase", 0),     # ← direct (no preceding)
+            ev(6, 3, "purchase", 1),     # ← direct
+            ev(7, 3, "view", 2),         # after the purchase: no credit
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = last_touch_attribution(df).collect()
+    got = {r.touch_type: r.n_conversions for r in rows}
+    assert got == {"view": 1, "click": 1, "direct": 2}
+
+
+def test_last_touch_attribution_tie_breaks_on_event_id(spark):
+    from datetime import datetime
+
+    from ambient_sound_analysis_api_spark.operators.aggregations import (
+        last_touch_attribution,
+    )
+
+    t = datetime(2024, 1, 1)
+    # same-timestamp view(id=1) then purchase(id=2): the view PRECEDES by
+    # id order, deterministically
+    df = spark.createDataFrame(
+        [(1, t, 1, "view"), (2, t, 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = last_touch_attribution(df).collect()
+    assert {r.touch_type: r.n_conversions for r in rows} == {"view": 1}
