@@ -132,6 +132,13 @@ HEADLINE = [
     "dedup_chunk_doc_reconcile",
     "emb_ivfpq_incremental_recall_gate",
     "layout_zorder_file_skipping",
+    # round-11 second wave: the score-vocabulary AUC (histogram group-by
+    # + bounded cumulative window), the vocabulary-cumsum token-budget
+    # cut, and the user-windowed last-touch attribution — three agg
+    # shapes the set lacked
+    "eval_quality_auc",
+    "pipeline_token_budget",
+    "agg_attribution_last_touch",
 ]
 
 
