@@ -191,3 +191,29 @@ def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
         "p.min_v",
         "p.max_v",
     )
+
+
+def cell_balance(assignments: DataFrame, cell_col: str = "cluster") -> DataFrame:
+    """Partition-balance audit of an index cell assignment (IVF cells,
+    LSH buckets, shard keys): the serving-side twin of ``skew_report``.
+
+    An IVF serve fans queries into cells; one hot cell means one hot
+    task per probe at cluster scale, so the build-time pre-flight is
+    this single summary row: cell count, the hottest cell's size, its
+    ratio to the mean NON-EMPTY cell, and its share of all vectors.
+
+    Plan: one group-by on the cell id (output is nlist-sized) + one
+    global fold to a single row.  Ratios are single IEEE divisions of
+    exact integers, 6dp-rounded.
+    """
+    sizes = assignments.groupBy(cell_col).agg(F.count("*").alias("_n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("_n").cast("bigint").alias("n_vecs"),
+        F.max("_n").cast("bigint").alias("max_cell"),
+        F.min("_n").cast("bigint").alias("min_cell"),
+        F.round(
+            F.max("_n") * F.count("*") / F.sum("_n"), 6
+        ).alias("max_over_mean"),
+        F.round(F.max("_n") / F.sum("_n"), 6).alias("top_share"),
+    )

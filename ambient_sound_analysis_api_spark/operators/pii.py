@@ -56,3 +56,51 @@ def pii_scrub(
         F.regexp_count(text, F.lit(LONGNUM_RE)).alias("n_long_numbers"),
         scrub_text(text).alias("scrubbed"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+    by: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple.
+
+    A record is k-anonymous when at least k records share its full
+    quasi-identifier combination; releasing (or training on) rows from
+    smaller groups risks re-identification, so the standard curation
+    move is to suppress them.  This operator reports the damage BEFORE
+    the suppression: per ``by`` rollup key (or one global row), how many
+    QI equivalence classes exist, how many fall below k, and what
+    fraction of records suppression would remove.
+
+    Plan shape: one group-by on the QI tuple (map-side combined; output
+    is QI-cardinality-sized, a vocabulary, not data-sized), then a
+    grid-sized conditional rollup.  No window, no join.
+
+    Returns (by?, n_groups, n_small_groups, n_rows, n_suppressed,
+    suppression_rate) with the rate 6dp-rounded, ordered by the rollup
+    key.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = [by, *quasi_identifiers] if by else list(quasi_identifiers)
+    classes = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    small = F.col("_n") < k
+    rollup = [by] if by else []
+    out = classes.groupBy(*rollup).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias(
+            "n_small_groups"
+        ),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(small, F.col("_n")).otherwise(0)).cast("bigint").alias(
+            "n_suppressed"
+        ),
+        F.round(
+            F.sum(F.when(small, F.col("_n")).otherwise(0))
+            / F.sum("_n"),
+            6,
+        ).alias("suppression_rate"),
+    )
+    return out.orderBy(by) if by else out

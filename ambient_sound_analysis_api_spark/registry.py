@@ -11230,10 +11230,9 @@ def q_maintenance_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_diff(spark, docs.schema, new.schema).orderBy("column_name")
 
 
-@register(
-    "ts_seasonal_decompose",
-    """
-    WITH daily AS (
+# the decompose CTE chain, shared with ts_seasonal_strength (which
+# re-aggregates the same components into Hyndman-style strength scores)
+_SEASONAL_CTES = """daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(value)
                AS m
@@ -11259,15 +11258,25 @@ def q_maintenance_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(*) AS seasonal
       FROM tr WHERE trend IS NOT NULL
       GROUP BY event_type, dow
-    )
-    SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day,
-           round(t.m, 6) AS daily_mean,
-           round(t.trend, 6) AS trend,
-           round(CASE WHEN t.trend IS NOT NULL THEN s.seasonal END, 6)
-             AS seasonal,
-           round(t.m - t.trend - s.seasonal, 6) AS residual
-    FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
-    ORDER BY t.event_type, t.day
+    ),
+    comp AS (
+      SELECT t.event_type, strftime(t.day, '%Y-%m-%d') AS day,
+             round(t.m, 6) AS daily_mean,
+             round(t.trend, 6) AS trend,
+             round(CASE WHEN t.trend IS NOT NULL THEN s.seasonal END, 6)
+               AS seasonal,
+             round(t.m - t.trend - s.seasonal, 6) AS residual
+      FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+    )"""
+
+
+@register(
+    "ts_seasonal_decompose",
+    f"""
+    WITH {_SEASONAL_CTES}
+    SELECT event_type, day, daily_mean, trend, seasonal, residual
+    FROM comp
+    ORDER BY event_type, day
     """,
 )
 def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13287,6 +13296,192 @@ def q_agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.aggregations import last_touch_attribution
 
     return last_touch_attribution(_events(spark, sf_dir))
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DOUBLE),
+                 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted equi-join (``operators.joins.salted_join``) as an
+    oracle-checked query: orders ⋈ customer with the shuffle key widened
+    to (custkey, salt) — each hot key splits across ``salt`` reducers,
+    the right side replicates once per salt value. The oracle is the
+    PLAIN join aggregate: for inner joins the salt only redistributes
+    matching rows, so result equality under the hash gate IS the
+    correctness proof of the strategy (the plan-equivalence twin of
+    ``tests/test_plans.py::test_salted_join_matches_plain_join``). At
+    cluster scale this is the manual fallback when AQE's runtime skew
+    split can't see the skew (non-sort-merge plans, pre-AQE engines)."""
+    from .operators.joins import salted_join
+
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, ["o_custkey"], salt=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "pipeline_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT lang, source, count(*) AS _n FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN _n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(_n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS BIGINT)
+             AS n_suppressed,
+           round(sum(CASE WHEN _n < 5 THEN _n ELSE 0 END) / sum(_n), 6)
+             AS suppression_rate
+    FROM classes GROUP BY lang ORDER BY lang
+    """,
+)
+def q_pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (``operators.pii.k_anonymity_report``, k=5) over
+    the (source) quasi-identifier rolled up per language: how many QI
+    equivalence classes fall below k and what fraction of documents a
+    suppression pass would remove — the privacy pre-flight that runs
+    NEXT TO the PII scrub (pipeline_pii_scrub) before a corpus release.
+    One vocabulary-sized group-by + a grid-sized conditional rollup; no
+    window, no join."""
+    from .operators.pii import k_anonymity_report
+
+    docs = _table(spark, sf_dir, "documents")
+    return k_anonymity_report(docs, ["source"], k=5, by="lang")
+
+
+@register(
+    "ts_seasonal_strength",
+    f"""
+    WITH {_SEASONAL_CTES},
+    base AS (
+      SELECT event_type,
+             CAST(residual AS DECIMAL(12,6)) AS r,
+             CAST(seasonal AS DECIMAL(12,6)) + CAST(residual AS DECIMAL(12,6))
+               AS sr,
+             CAST(trend AS DECIMAL(12,6)) + CAST(residual AS DECIMAL(12,6))
+               AS tr2
+      FROM comp WHERE trend IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((CAST(count(*) AS DOUBLE) * CAST(sum(r * r) AS DOUBLE)
+                  - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+             AS var_residual,
+           round(greatest(0.0, 1.0 -
+                 ((CAST(count(*) AS DOUBLE) * CAST(sum(r * r) AS DOUBLE)
+                   - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+                  / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+                 / ((CAST(count(*) AS DOUBLE) * CAST(sum(sr * sr) AS DOUBLE)
+                     - CAST(sum(sr) AS DOUBLE) * CAST(sum(sr) AS DOUBLE))
+                    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))),
+                 6) AS f_seasonal,
+           round(greatest(0.0, 1.0 -
+                 ((CAST(count(*) AS DOUBLE) * CAST(sum(r * r) AS DOUBLE)
+                   - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+                  / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+                 / ((CAST(count(*) AS DOUBLE) * CAST(sum(tr2 * tr2) AS DOUBLE)
+                     - CAST(sum(tr2) AS DOUBLE) * CAST(sum(tr2) AS DOUBLE))
+                    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))),
+                 6) AS f_trend
+    FROM base GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman-style seasonal/trend strength scores over the
+    decomposition components: F_seasonal = max(0, 1 −
+    Var(R)/Var(S+R)), F_trend = max(0, 1 − Var(R)/Var(T+R)) per
+    event_type — the one-row-per-series triage that decides which
+    series deserve a seasonal model at all. Reuses the
+    ts_seasonal_decompose plan (shared CTE chain in the oracle) and
+    re-aggregates its 6dp components; variance moments accumulate as
+    exact DECIMAL(12,6) products so the scores are engine-order
+    independent."""
+    comp = q_ts_seasonal_decompose(spark, sf_dir)
+    r = F.col("residual").cast("decimal(12,6)")
+    sr = F.col("seasonal").cast("decimal(12,6)") + r
+    tr2 = F.col("trend").cast("decimal(12,6)") + r
+    base = comp.filter(F.col("trend").isNotNull()).select(
+        "event_type", r.alias("r"), sr.alias("sr"), tr2.alias("tr2")
+    )
+
+    def _var(c: str):
+        n = F.count("*").cast("double")
+        s = F.sum(F.col(c)).cast("double")
+        ss = F.sum(F.col(c) * F.col(c)).cast("double")
+        return (n * ss - s * s) / (n * n)
+
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(_var("r"), 6).alias("var_residual"),
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - _var("r") / _var("sr")), 6
+            ).alias("f_seasonal"),
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - _var("r") / _var("tr2")), 6
+            ).alias("f_trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "emb_ivf_balance",
+    f"""
+    WITH {_kmeans_ctes()}
+    , sizes AS (SELECT cluster, count(*) AS _n FROM af GROUP BY cluster)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(_n) AS BIGINT) AS n_vecs,
+           CAST(max(_n) AS BIGINT) AS max_cell,
+           CAST(min(_n) AS BIGINT) AS min_cell,
+           round(max(_n) * count(*) / CAST(sum(_n) AS DOUBLE), 6)
+             AS max_over_mean,
+           round(max(_n) / CAST(sum(_n) AS DOUBLE), 6) AS top_share
+    FROM sizes
+    """,
+)
+def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance pre-flight (``operators.diagnostics.
+    cell_balance``): the serving-side skew audit for the ANN tier — one
+    hot cell is one hot task per probe at cluster scale, so the build
+    pipeline gates on max-cell/mean-cell before publishing an index.
+    Same deterministic k-means fit as emb_kmeans_profile (k=8, 4
+    Lloyd's iterations, decimal centroid updates); the audit itself is
+    an nlist-sized group-by + one global fold."""
+    from .operators.clustering import kmeans_fit, kmeans_predict
+    from .operators.diagnostics import cell_balance
+
+    emb = _table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=4)
+    pred = kmeans_predict(emb, centroids)
+    return cell_balance(pred, cell_col="cluster")
 
 
 # ---------------------------------------------------------------------------

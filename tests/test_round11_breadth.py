@@ -285,3 +285,82 @@ def test_last_touch_attribution_tie_breaks_on_event_id(spark):
     )
     rows = last_touch_attribution(df).collect()
     assert {r.touch_type: r.n_conversions for r in rows} == {"view": 1}
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+
+
+def test_k_anonymity_report_counts(spark):
+    from ambient_sound_analysis_api_spark.operators.pii import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 5 + [("en", "b")] * 2 + [("de", "c")] * 3,
+        "lang string, source string",
+    )
+    rows = k_anonymity_report(df, ["source"], k=5, by="lang").collect()
+    by_lang = {r.lang: r for r in rows}
+    en = by_lang["en"]
+    assert (en.n_groups, en.n_small_groups) == (2, 1)
+    assert (en.n_rows, en.n_suppressed) == (7, 2)
+    assert en.suppression_rate == pytest.approx(2 / 7, abs=1e-6)
+    de = by_lang["de"]
+    assert de.n_suppressed == 3 and de.suppression_rate == 1.0
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["source"], k=0)
+
+
+def test_k_anonymity_global_row(spark):
+    from ambient_sound_analysis_api_spark.operators.pii import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a")] * 6 + [("de", "b")] * 1,
+        "lang string, source string",
+    )
+    r = k_anonymity_report(df, ["lang", "source"], k=2).collect()[0]
+    assert r.n_groups == 2 and r.n_small_groups == 1
+    assert r.n_suppressed == 1
+
+
+# ---------------------------------------------------------------------------
+# cell balance
+
+
+def test_cell_balance_summary(spark):
+    from ambient_sound_analysis_api_spark.operators.diagnostics import (
+        cell_balance,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(8)] + [(100 + i, 1) for i in range(2)],
+        "vec_id long, cluster int",
+    )
+    r = cell_balance(df).collect()[0]
+    assert (r.n_cells, r.n_vecs, r.max_cell, r.min_cell) == (2, 10, 8, 2)
+    # mean non-empty cell = 5 → 8/5
+    assert r.max_over_mean == pytest.approx(1.6, abs=1e-6)
+    assert r.top_share == pytest.approx(0.8, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength
+
+
+def test_seasonal_strength_flat_vs_weekly(spark, sf_dir):
+    """On the shared testdata the scores must be finite, in [0,1], and
+    keyed one row per event_type (sanity of the derived aggregate; exact
+    values are pinned by the DuckDB oracle)."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    rows = queries()["ts_seasonal_strength"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.f_seasonal <= 1.0
+        assert 0.0 <= r.f_trend <= 1.0
+        assert r.var_residual >= 0.0
+        assert r.n_days > 0
