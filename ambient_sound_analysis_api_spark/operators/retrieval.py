@@ -440,3 +440,67 @@ def weighted_score_fuse(
             F.col("_sc").cast("double").alias("fused_score"),
         )
     )
+
+
+def rm3_expansion_terms(
+    docs: DataFrame,
+    seed_terms: list[str],
+    fb_k: int = 10,
+    n_expand: int = 3,
+    min_len: int = 4,
+) -> list[str]:
+    """Pseudo-relevance-feedback term selection (the RM3 shape): run the
+    seed query, take the top ``fb_k`` documents as feedback, and pick the
+    ``n_expand`` most frequent content terms from them.
+
+    Content filter: letter/digit-run tokens of length ≥ ``min_len`` that
+    are neither seed terms nor stopwords — the deterministic stand-in
+    for RM3's LM-weighted selection (frequency-in-feedback IS the
+    maximum-likelihood feedback model with uniform doc weights).
+    Ordering is (count desc, term asc), so the expansion is
+    deterministic across runs and engines.
+
+    Driver sync: returns a PYTHON list (``n_expand`` strings, a
+    model-sized collect — same class as k/nprobe collects) because the
+    expanded term set parameterizes the second-pass plan.
+    """
+    from ..functions.text import STOPWORDS, letter_tokens
+
+    seed = [t.lower() for t in seed_terms]
+    fb_ids = bm25_topk(docs, seed, k=fb_k).select("doc_id")
+    fb = docs.join(F.broadcast(fb_ids), "doc_id", "left_semi")
+    excluded = set(seed) | set(STOPWORDS)
+    counts = (
+        fb.select(F.explode(letter_tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .filter(~F.col("term").isin(sorted(excluded)))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(n_expand)
+    )
+    return [r.term for r in counts.collect()]
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    seed_terms: list[str],
+    k: int = 20,
+    fb_k: int = 10,
+    n_expand: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Two-pass BM25 with RM3-style pseudo-relevance feedback: seed query
+    → top-``fb_k`` feedback docs → ``n_expand`` expansion terms →
+    re-score with the expanded bag. The recall-repair move a retrieval
+    pipeline applies when seed queries are short (decontamination probes,
+    eval-set mining). Both passes are the ``bm25_topk`` plan shape (one
+    postings filter-shuffle each + 1-row stats broadcasts); the only
+    driver state is the ``n_expand``-string expansion list.
+    """
+    expansion = rm3_expansion_terms(
+        docs, seed_terms, fb_k=fb_k, n_expand=n_expand
+    )
+    terms = [t.lower() for t in seed_terms] + expansion
+    return bm25_topk(docs, terms, k=k, k1=k1, b=b)

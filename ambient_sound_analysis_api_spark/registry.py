@@ -13484,6 +13484,112 @@ def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_balance(pred, cell_col="cluster")
 
 
+def _bm25_score_select(tf: str, df: str) -> str:
+    """The per-(doc,term) BM25 scoring SELECT over a tf/df CTE pair —
+    textually identical to the text_bm25_topk oracle's ``scored`` block
+    (6dp-rounded ln, 6dp-rounded per-term product), shared by the RM3
+    oracle's two passes."""
+    return f"""
+      SELECT {tf}.doc_id,
+             round(
+               round(ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - {df}.df + CAST(0.5 AS DOUBLE))
+                          / ({df}.df + CAST(0.5 AS DOUBLE))), 6)
+               * (({tf}.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / ({tf}.tf + CAST(1.2 AS DOUBLE)
+                             * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl.dl
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE))))), 6)
+               AS per_term
+      FROM {tf}
+      JOIN {df} ON {tf}.term = {df}.term
+      JOIN dl ON {tf}.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    """
+
+
+@register(
+    "retrieval_rm3_expansion",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf1 AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      )
+      WHERE term IN ('vector', 'hash', 'merge')
+      GROUP BY doc_id, term
+    ),
+    df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+    s1 AS ({_bm25_score_select("tf1", "df1")}),
+    p1 AS (
+      SELECT doc_id FROM s1 GROUP BY doc_id
+      ORDER BY CAST(CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE)
+                    AS DECIMAL(32,12)) DESC, doc_id
+      LIMIT 10
+    ),
+    fbterms AS (
+      SELECT term, count(*) AS cnt
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS term
+        FROM documents d JOIN p1 USING (doc_id)
+      )
+      WHERE length(term) >= 4
+        AND term NOT IN ('vector', 'hash', 'merge',
+                         'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it',
+                         'that', 'for')
+      GROUP BY term ORDER BY cnt DESC, term LIMIT 3
+    ),
+    allterms AS (
+      SELECT unnest(['vector', 'hash', 'merge']) AS term
+      UNION ALL SELECT term FROM fbterms
+    ),
+    tf2 AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      )
+      WHERE term IN (SELECT term FROM allterms)
+      GROUP BY doc_id, term
+    ),
+    df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+    s2 AS ({_bm25_score_select("tf2", "df2")})
+    SELECT doc_id,
+           CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+           count(*) AS n_terms_hit
+    FROM s2 GROUP BY doc_id
+    ORDER BY CAST(CAST(sum(CAST(per_term AS DECIMAL(20,6))) AS DOUBLE)
+                  AS DECIMAL(32,12)) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass BM25 with RM3-style pseudo-relevance feedback
+    (``operators.retrieval.bm25_rm3_topk``): seed {vector, hash, merge}
+    → top-10 feedback docs → 3 most frequent content terms (length ≥ 4,
+    seed and stopwords excluded, count-desc/term-asc deterministic) →
+    re-score the expanded 6-term bag, top-20. The recall-repair move for
+    short decontamination/eval-mining probes. Both passes keep
+    bm25_topk's plan shape (postings filtered before the shuffle, 1-row
+    stats broadcasts, fixed-point rank keys); the only driver state is
+    the 3-string expansion list (model-sized collect)."""
+    from .operators.retrieval import bm25_rm3_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_rm3_topk(
+        docs, ["vector", "hash", "merge"], k=20, fb_k=10, n_expand=3
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -369,6 +369,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # same branch broadcasts + each list's 1-row min/max stat
         "retrieval_weighted_fusion",
         "eval_quality_calibration",  # 1-row total-count broadcast
+        # both RM3 passes carry bm25_topk's 1-row corpus-stats broadcast
+        "retrieval_rm3_expansion",
         # 1-row global-mean broadcast (centering) + 1-row changepoint
         # broadcast for the pre/post split
         "ts_cusum_changepoint",

