@@ -737,3 +737,70 @@ def mutual_knn(
         )
         .orderBy("src_id", "nbr_id")
     )
+
+
+def filtered_topk(
+    emb: DataFrame,
+    query_id: int,
+    predicate: Column,
+    k: int = 5,
+    post_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attribute-filtered ANN with a pre-filter/post-filter recall readout.
+
+    The serving question every filtered vector search faces: apply the
+    metadata predicate BEFORE ranking (exact recall over the filtered
+    subset, but the index can't help if it wasn't built per-segment) or
+    AFTER (rank globally, keep the top-``post_k`` that satisfy the
+    predicate — index-friendly, but a selective predicate starves the
+    result set).  This operator returns the ground-truth pre-filter
+    top-``k`` annotated with whether each hit would ALSO have survived
+    the post-filter route, so the readout quantifies post-filtering's
+    recall loss at the chosen ``post_k``.
+
+    Plan: score once against the 1-row broadcast query vector
+    (persisted — two ranking subtrees would otherwise re-scan the
+    corpus), then two TakeOrdered cuts (no windows): the filtered
+    top-``k`` and the global top-``post_k``; membership is a broadcast
+    left join on the ``post_k``-row list.
+
+    Returns (vec_id, cosine_sim, in_postfilter) ordered by score desc,
+    4dp display rounding, raw-score ranking with id tie-break (house
+    ANN contract).
+    """
+    from .caching import tracked_persist
+
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = tracked_persist(
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            predicate.alias("_keep"),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+        )
+    )
+    pre = (
+        scored.filter(F.col("_keep"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+    post = (
+        scored.orderBy(F.col("_cos").desc(), F.col(id_col))
+        .limit(post_k)
+        .filter(F.col("_keep"))
+        .select(F.col(id_col), F.lit(True).alias("_hit"))
+    )
+    return (
+        pre.join(F.broadcast(post), id_col, "left")
+        .select(
+            id_col,
+            F.round("_cos", 4).alias("cosine_sim"),
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("in_postfilter"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    )

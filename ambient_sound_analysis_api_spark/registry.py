@@ -13590,6 +13590,59 @@ def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_ann_filtered",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT e.vec_id, e.label, unnest(e.embedding) AS a,
+             generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    qx AS (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i FROM q),
+    sc AS (
+      SELECT vec_id, label,
+             sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dp,
+             sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na2,
+             sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb2
+      FROM ex JOIN qx USING (i)
+      GROUP BY vec_id, label
+    ),
+    raw AS (
+      SELECT vec_id, label, dp / (sqrt(na2) * sqrt(nb2)) AS c FROM sc
+    ),
+    pre AS (
+      SELECT vec_id, c FROM raw WHERE label % 3 = 0
+      ORDER BY c DESC, vec_id LIMIT 5
+    ),
+    post AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, label FROM raw ORDER BY c DESC, vec_id LIMIT 20
+      ) WHERE label % 3 = 0
+    )
+    SELECT pre.vec_id, round(pre.c, 4) AS cosine_sim,
+           (post.vec_id IS NOT NULL) AS in_postfilter
+    FROM pre LEFT JOIN post USING (vec_id)
+    ORDER BY round(pre.c, 4) DESC, pre.vec_id
+    """,
+)
+def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered ANN (``operators.similarity.filtered_topk``):
+    the pre-filter ground-truth top-5 for query vec_id=0 under the
+    metadata predicate ``label % 3 = 0``, each hit annotated with
+    whether the index-friendly POST-filter route (global top-20, then
+    filter) would also have returned it — the readout that quantifies
+    post-filtering's recall loss before a serving deployment picks its
+    strategy. One persisted scoring pass, two TakeOrdered cuts, a
+    20-row broadcast membership join; no windows."""
+    from .operators.similarity import filtered_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        emb, query_id=0, predicate=F.col("label") % 3 == 0, k=5, post_k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

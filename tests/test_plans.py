@@ -371,6 +371,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "eval_quality_calibration",  # 1-row total-count broadcast
         # both RM3 passes carry bm25_topk's 1-row corpus-stats broadcast
         "retrieval_rm3_expansion",
+        # 1-row query-vector broadcast + the 20-row post-filter
+        # membership broadcast join
+        "emb_ann_filtered",
         # 1-row global-mean broadcast (centering) + 1-row changepoint
         # broadcast for the pre/post split
         "ts_cusum_changepoint",

@@ -407,3 +407,37 @@ def test_rm3_second_pass_scores_dominate_seed_only_for_expanded_hits(
     assert {r.doc_id for r in rm3} != base or [r.doc_id for r in rm3] != sorted(
         base
     )
+
+
+# ---------------------------------------------------------------------------
+# filtered ANN
+
+
+def test_filtered_topk_pre_vs_post(spark):
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    # query = [1,0]; even ids point near the query, odd ids away — but
+    # the single best vector is ODD, so a post-filter top-2 cut loses it
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),   # keep (even), rank 2 globally
+        (4, [0.8, 0.3], 0),   # keep, lower
+        (1, [1.0, 0.01], 1),  # global rank 1, filtered out
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    try:
+        out = filtered_topk(
+            df, query_id=0, predicate=F.col("label") % 2 == 0, k=2, post_k=2
+        ).collect()
+        assert [r.vec_id for r in out] == [2, 4]
+        # global top-2 = {1, 2}; after filter only 2 survives → 4 missed
+        flags = {r.vec_id: r.in_postfilter for r in out}
+        assert flags[2] is True and flags[4] is False
+    finally:
+        release_caches()
