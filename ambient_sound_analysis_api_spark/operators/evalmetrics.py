@@ -53,6 +53,8 @@ def confusion_sweep(
     """
     if thresholds is None:
         thresholds = [round(0.1 * i, 1) for i in range(1, 10)]
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     d = df.select(score.alias("_s"), label.cast("int").alias("_y"))
     aggs = []
     for i, t in enumerate(thresholds):
@@ -173,6 +175,8 @@ def calibration_bins(
     Returns (bin, n, mean_score, frac_pos, gap, weight, ece_term)
     ordered by bin, ratios 6dp-rounded.
     """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     d = df.select(score.alias("_s"), label.cast("int").alias("_y"))
     binned = d.select(
         F.least(

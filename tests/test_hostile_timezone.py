@@ -25,7 +25,16 @@ TABLES = [
 
 
 @pytest.mark.parametrize(
-    "name", ["agg_daily_broadband", "agg_daily_summary_tod", "session_window_users"]
+    "name",
+    [
+        "agg_daily_broadband",
+        "agg_daily_summary_tod",
+        "session_window_users",
+        # round 11: cp_ts is a date_format readout — must self-pin UTC
+        "ts_cusum_changepoint",
+        # round 11: window credit keyed on the normalized micros timeline
+        "agg_attribution_last_touch",
+    ],
 )
 def test_date_bucketing_survives_hostile_session_tz(spark, sf_dir, name):
     import os

@@ -441,3 +441,16 @@ def test_filtered_topk_pre_vs_post(spark):
         assert flags[2] is True and flags[4] is False
     finally:
         release_caches()
+
+
+def test_evalmetrics_input_guards(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        calibration_bins,
+        confusion_sweep,
+    )
+
+    df = _labeled(spark, [(0.5, 1)])
+    with pytest.raises(ValueError):
+        confusion_sweep(df, F.col("s"), F.col("y") == 1, thresholds=[])
+    with pytest.raises(ValueError):
+        calibration_bins(df, F.col("s"), F.col("y") == 1, n_bins=0)
