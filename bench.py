@@ -168,19 +168,31 @@ def _load_baseline(args: list[str]) -> tuple[str, dict] | None:
             )
             return None
         path = args[idx]
-    else:
-        cands = []
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-            m = re.search(r"BENCH_r(\d+)\.json$", p)
-            if m:
-                cands.append((int(m.group(1)), p))
-        if not cands:
-            return None
-        path = max(cands)[1]
+        return _parse_baseline_file(path)
+    # default: newest committed round file whose payload is actually
+    # usable — driver-recorded files occasionally truncate the JSON line
+    # (BENCH_r10.json shipped with parsed=null), and silently dropping
+    # the drift methodology for a round because the newest file is
+    # damaged is worse than comparing against the round before it
+    cands = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        found = _parse_baseline_file(p)
+        if found is not None:
+            return found
+    return None
+
+
+def _parse_baseline_file(path: str) -> tuple[str, dict] | None:
     try:
         with open(path) as f:
             doc = json.load(f)
         parsed = doc.get("parsed", doc)
+        if not parsed:
+            return None
         prev = parsed.get("queries")
         if not prev:
             return None
