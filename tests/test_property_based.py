@@ -140,3 +140,182 @@ def test_sessionize_matches_gaps_and_islands(spark, secs):
             cur.append(ts)
     expected.append((cur[0], cur[-1], len(cur)))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# round-11 eval metrics: structural invariants on randomized inputs
+
+
+@st.composite
+def scored_labels(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    scores = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=n, max_size=n,
+        )
+    )
+    labels = draw(
+        st.lists(st.integers(min_value=0, max_value=1), min_size=n, max_size=n)
+    )
+    # need at least one of each class for AUC to be defined
+    if all(y == 1 for y in labels):
+        labels[0] = 0
+    if all(y == 0 for y in labels):
+        labels[0] = 1
+    return scores, labels
+
+
+@given(scored_labels())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_auc_invariant_under_monotone_score_transform(spark, inputs):
+    """AUC is a rank statistic: any strictly increasing transform of the
+    scores must leave it unchanged (catches accidental use of score
+    VALUES rather than order in the rank reduction)."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import binary_auc
+
+    scores, labels = inputs
+    rows = [(s / 10.0, y) for s, y in zip(scores, labels)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    a1 = binary_auc(df, F.col("s"), F.col("y") == 1).collect()[0]
+    # strictly increasing affine transform, still within DECIMAL(10,6)
+    a2 = binary_auc(
+        df, F.col("s") * 0.5 + 0.25, F.col("y") == 1
+    ).collect()[0]
+    assert a1.auc == a2.auc
+    assert (a1.n_pos, a1.n_neg) == (a2.n_pos, a2.n_neg)
+
+
+@given(scored_labels())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_auc_matches_pairwise_definition(spark, inputs):
+    """The histogram/midrank reduction must equal the O(P·N) textbook
+    definition: mean over (pos, neg) pairs of [s_p > s_n] + 0.5·[s_p = s_n]."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import binary_auc
+
+    scores, labels = inputs
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    expected = wins / (len(pos) * len(neg))
+    df = spark.createDataFrame(
+        [(s / 10.0, y) for s, y in zip(scores, labels)], "s double, y int"
+    )
+    got = binary_auc(df, F.col("s"), F.col("y") == 1).collect()[0].auc
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+@given(scored_labels())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_confusion_cells_partition_the_corpus(spark, inputs):
+    """tp+fp+fn+tn == n at every threshold, and recall is monotonically
+    non-increasing in the threshold."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        confusion_sweep,
+    )
+
+    scores, labels = inputs
+    df = spark.createDataFrame(
+        [(s / 10.0, y) for s, y in zip(scores, labels)], "s double, y int"
+    )
+    rows = confusion_sweep(
+        df, F.col("s"), F.col("y") == 1, thresholds=[0.2, 0.5, 0.8]
+    ).collect()
+    n = len(scores)
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n
+    recalls = [r.rec for r in sorted(rows, key=lambda r: r.threshold)]
+    vals = [x for x in recalls if x is not None]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=3, max_size=24))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_shift_invariant_under_constant_offset(spark, vals):
+    """Adding a constant to every bucket must not move the changepoint
+    or the shift estimate (CUSUM centers on the global mean)."""
+    from datetime import datetime, timedelta
+
+    from ambient_sound_analysis_api_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(minutes=5 * i), float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts timestamp, xb double")
+    r1 = cusum_changepoint(df).collect()[0]
+    df2 = spark.createDataFrame(
+        [(t, v + 1000.0) for t, v in rows], "bucket_ts timestamp, xb double"
+    )
+    r2 = cusum_changepoint(df2).collect()[0]
+    assert r1.cp_ts == r2.cp_ts
+    assert r1.max_abs_cusum == pytest.approx(r2.max_abs_cusum, abs=1e-5)
+    if r1.shift is not None and r2.shift is not None:
+        assert r1.shift == pytest.approx(r2.shift, abs=1e-5)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_budget_selection_monotone_in_budget(spark, docs, frac):
+    """A larger budget must select a superset of score classes (q_cut is
+    non-increasing in budget_frac), and the selected token mass must
+    respect the budget."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [("s", q / 10.0, nt) for q, nt in docs]
+    df = spark.createDataFrame(rows, "source string, q double, nt int")
+    total = sum(nt for _, nt in docs)
+    out = token_budget_select(df, F.col("q"), F.col("nt"), budget_frac=frac).collect()
+    sel = sum(r.n_tokens for r in out)
+    assert sel <= frac * total + 1e-9
+    if frac < 1.0:
+        bigger = token_budget_select(
+            df, F.col("q"), F.col("nt"), budget_frac=1.0
+        ).collect()
+        sel_big = sum(r.n_tokens for r in bigger)
+        assert sel_big >= sel
+        assert sel_big == total  # frac=1 admits every class
