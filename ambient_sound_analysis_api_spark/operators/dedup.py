@@ -1438,8 +1438,13 @@ def chunk_doc_reconcile(
     ``frac_dup`` divides exact integers (identical doubles on both
     engines) and the threshold compares those doubles.
     """
+    from .caching import tracked_persist
+
     ct, st = int(chunk_tokens), int(stride)
-    chunks = (
+    # chunks feeds BOTH the per-hash stats groupBy and the join back —
+    # Spark shares no common subplans across references, so without the
+    # persist the tokenize+window-explode+md5 corpus scan runs twice
+    chunks = tracked_persist(
         df.select(
             F.col(id_col),
             tokens(normalize_text(F.col(text_col))).alias("_toks"),

@@ -178,9 +178,12 @@ def calibration_bins(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     d = df.select(score.alias("_s"), label.cast("int").alias("_y"))
+    # clamp BOTH ends: scores outside [0,1] (an uncalibrated raw score)
+    # land in the edge bins instead of minting negative/overflow bin ids
     binned = d.select(
-        F.least(
-            F.floor(F.col("_s") * n_bins), F.lit(n_bins - 1)
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col("_s") * n_bins), F.lit(n_bins - 1)),
         ).cast("int").alias("bin"),
         "_s",
         "_y",

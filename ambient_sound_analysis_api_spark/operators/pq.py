@@ -761,9 +761,15 @@ def ivfpq_incremental_topk(
     window).
 
     Returns ``(src, vec_id, adc_dist)`` — ``src`` ∈ ``old``/``new`` —
-    the k nearest by 6dp-rounded ADC distance with an id tie-break
-    (new-batch ids are assumed disjoint from corpus ids, as an append
-    log guarantees).
+    the k nearest by 6dp-rounded ADC distance with an id tie-break.
+
+    Id overlap: a delta batch re-submitting an already-admitted id would
+    otherwise occupy two result slots with conflicting codes, so the
+    standing corpus is anti-joined against the batch's ids before its
+    encode — the NEW version wins, the same admission contract as
+    ``dedup.incremental_minhash_pairs`` (ADVICE round-10). The
+    anti-join broadcasts the delta's id column (batch-sized) and is a
+    no-op under the append-log discipline that guarantees disjoint ids.
     """
     from .caching import tracked_persist
     from .similarity import ivf_cell_centroids
@@ -800,9 +806,11 @@ def ivfpq_incremental_topk(
         .select("cell")
     )
 
+    new_ids = new_emb.select(id_col)
     old_codes = pq_encode(
         emb.join(F.broadcast(probes), emb[cell_col] == F.col("cell"))
         .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(new_ids), id_col, "left_anti")
         .select(id_col, vec_col),
         codebooks, id_col=id_col, vec_col=vec_col,
     ).select(F.lit("old").alias("src"), "*")
@@ -1127,9 +1135,12 @@ def ivfpq_incremental_rerank_topk(
         k=shortlist, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, cell_col=cell_col,
     ).select(id_col)
-    uni = emb.select(id_col, vec_col).unionByName(
-        new_emb.select(id_col, vec_col)
-    )
+    # same id-overlap defense as ivfpq_incremental_topk: a re-submitted
+    # id must contribute ONE row (the new version), or duplicates could
+    # occupy two of the k refined slots
+    uni = emb.select(id_col, vec_col).join(
+        F.broadcast(new_emb.select(id_col)), id_col, "left_anti"
+    ).unionByName(new_emb.select(id_col, vec_col))
     cand = uni.join(F.broadcast(sl), id_col, "left_semi")
     xd = F.transform(
         F.col(vec_col),

@@ -329,6 +329,8 @@ def rrf_fuse(
     ``(id_col, <name>_rank ..., n_lists, rrf_score)`` with null ranks
     for lists that missed the document.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     names = list(rankings)
     joined = None
     for name, df in rankings.items():
@@ -396,6 +398,8 @@ def weighted_score_fuse(
     DECIMAL(20,6) before the fixed-arity sum. Returns
     ``(id_col, n_lists, fused_score)``.
     """
+    if not scored:
+        raise ValueError("weighted_score_fuse: scored must be non-empty")
     names = list(scored)
     joined = None
     for name, (df, w) in scored.items():

@@ -710,9 +710,16 @@ def mutual_knn(
     (src_id, nbr_id); ``cosine_sim`` is the shared 4dp score (the edge
     is symmetric).
     """
-    kg = knn_graph(
-        emb, k=k, id_col=id_col, vec_col=vec_col, block_col=block_col,
-        max_block_size=max_block_size, warn_on_truncation=False,
+    from .caching import tracked_persist
+
+    # the kNN graph is referenced by BOTH join sides and Spark shares no
+    # common subplans across references — without the persist the
+    # O(block²) cosine self-join (the dominant cost) runs twice
+    kg = tracked_persist(
+        knn_graph(
+            emb, k=k, id_col=id_col, vec_col=vec_col, block_col=block_col,
+            max_block_size=max_block_size, warn_on_truncation=False,
+        )
     )
     a = kg.select(
         F.col("src_id").alias("_a"),

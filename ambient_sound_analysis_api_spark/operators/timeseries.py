@@ -190,8 +190,15 @@ def cusum_changepoint(
     """
     from pyspark.sql import Window
 
-    b = buckets.select(
-        F.col(ts_col).alias("_t"), F.col(val_col).cast("double").alias("_x")
+    from .caching import tracked_persist
+
+    # the bucket table is referenced THREE times (global mean, cusum
+    # window, pre/post split) and Spark shares no common subplans —
+    # persist so the upstream raw→bucket aggregation runs once, not 3×
+    b = tracked_persist(
+        buckets.select(
+            F.col(ts_col).alias("_t"), F.col(val_col).cast("double").alias("_x")
+        )
     )
     # decimal-summed mean: associative, so bit-identical across engines
     # and partitionings (house _DECMEAN idiom)

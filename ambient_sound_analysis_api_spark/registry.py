@@ -10626,10 +10626,15 @@ def q_emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.reverse("embedding").alias("embedding"),
     )
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    # query = the lowest-id vector, matching the oracle's
+    # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
+    # convention; a fixture whose ids don't start at 0 would otherwise
+    # diverge from the oracle)
+    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
     query = [float(x) for x in qrow[0][0]]
     return ivfpq_incremental_topk(
-        emb, new, books, query, query_id=0, k=10, nprobe=2
+        emb, new, books, query, query_id=qid, k=10, nprobe=2
     ).orderBy("adc_dist", "vec_id")
 
 
@@ -10734,10 +10739,15 @@ def q_emb_ivfpq_incremental_recall(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.reverse("embedding").alias("embedding"),
     )
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    # query = the lowest-id vector, matching the oracle's
+    # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
+    # convention; a fixture whose ids don't start at 0 would otherwise
+    # diverge from the oracle)
+    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
     query = [float(x) for x in qrow[0][0]]
     top = ivfpq_incremental_topk(
-        emb, new, books, query, query_id=0, k=10, nprobe=2
+        emb, new, books, query, query_id=qid, k=10, nprobe=2
     ).select("vec_id")
 
     uni = emb.select("vec_id", "embedding").unionByName(new)
@@ -10746,7 +10756,7 @@ def q_emb_ivfpq_incremental_recall(
         lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
     )
     base = uni.select(F.col("vec_id"), xd.alias("_xd"))
-    qd = base.filter(F.col("vec_id") == 0).select(F.col("_xd").alias("_qd"))
+    qd = base.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
     dexact = F.aggregate(
         F.zip_with(
             F.col("_xd"),
@@ -10757,7 +10767,7 @@ def q_emb_ivfpq_incremental_recall(
         lambda acc, v: (acc + v).cast("decimal(38,18)"),
     )
     exact = (
-        base.filter(F.col("vec_id") != 0)
+        base.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(qd))
         .select(F.col("vec_id"), dexact.alias("_de"))
         .orderBy(F.col("_de"), F.col("vec_id"))
@@ -12703,10 +12713,15 @@ def q_emb_ivfpq_incremental_recall_gate(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.reverse("embedding").alias("embedding"),
     )
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    # query = the lowest-id vector, matching the oracle's
+    # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
+    # convention; a fixture whose ids don't start at 0 would otherwise
+    # diverge from the oracle)
+    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
     query = [float(x) for x in qrow[0][0]]
     top = ivfpq_incremental_rerank_topk(
-        emb, new, books, query, query_id=0, k=10, nprobe=9, shortlist=200
+        emb, new, books, query, query_id=qid, k=10, nprobe=9, shortlist=200
     ).select("vec_id")
 
     uni = emb.select("vec_id", "embedding").unionByName(new)
@@ -12715,7 +12730,7 @@ def q_emb_ivfpq_incremental_recall_gate(
         lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
     )
     base = uni.select(F.col("vec_id"), xd.alias("_xd"))
-    qd = base.filter(F.col("vec_id") == 0).select(F.col("_xd").alias("_qd"))
+    qd = base.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
     dexact = F.aggregate(
         F.zip_with(
             F.col("_xd"),
@@ -12726,7 +12741,7 @@ def q_emb_ivfpq_incremental_recall_gate(
         lambda acc, v: (acc + v).cast("decimal(38,18)"),
     )
     exact = (
-        base.filter(F.col("vec_id") != 0)
+        base.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(qd))
         .select(F.col("vec_id"), dexact.alias("_de"))
         .orderBy(F.col("_de"), F.col("vec_id"))
@@ -12967,7 +12982,9 @@ def q_eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qx
     ),
     b AS (
-      SELECT least(CAST(floor(q * 10) AS INTEGER), 9) AS bin, q, y FROM d
+      SELECT greatest(0, least(CAST(floor(q * 10) AS INTEGER), 9)) AS bin,
+             q, y
+      FROM d
     ),
     pb AS (
       SELECT bin, count(*) AS n,

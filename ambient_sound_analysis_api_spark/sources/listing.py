@@ -229,15 +229,25 @@ def auto_lister(
 
     ``chunk_size``/``stage_dir`` tune DRIVER staging and only apply to
     the :class:`PaginatedKeyLister` paths; the executor-sharded lister
-    has no driver accumulation to stage. Setting either together with
-    ``pager_factory`` + ``prefixes`` raises rather than silently
-    ignoring a tuning the caller believes is in effect (ADVICE
-    round-10).
+    has no driver accumulation to stage and the manifest lister reads an
+    already-staged parquet. Setting either together with
+    ``pager_factory`` + ``prefixes`` OR with ``path=`` raises rather
+    than silently ignoring a tuning the caller believes is in effect
+    (ADVICE round-10).
     """
     given = [x is not None for x in (path, pager, pager_factory)]
     if sum(given) != 1:
         raise ValueError(
             "auto_lister: pass exactly one of path=, pager=, pager_factory="
+        )
+    if path is not None and (chunk_size is not None or stage_dir is not None):
+        # same no-silent-drop contract as the sharded branch below: the
+        # manifest lister reads an already-staged parquet and has no
+        # driver accumulation for these knobs to tune
+        raise ValueError(
+            "auto_lister: chunk_size/stage_dir tune driver staging and "
+            "have no effect on the ParquetKeyLister selected by path=; "
+            "drop them"
         )
     plist = list(prefixes) if prefixes is not None else []
     if pager_factory is not None and plist:

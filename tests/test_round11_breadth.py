@@ -387,12 +387,11 @@ def test_rm3_expansion_deterministic_and_disjoint(spark, sf_dir):
     assert all(len(t) >= 4 for t in e1)
 
 
-def test_rm3_second_pass_scores_dominate_seed_only_for_expanded_hits(
-    spark, sf_dir
-):
-    """A doc hitting only expansion terms must appear in the RM3 list
-    with n_terms_hit >= 1 — i.e. the second pass genuinely scores the
-    expanded bag, not the seed bag."""
+def test_rm3_second_pass_scores_the_expanded_bag(spark, sf_dir):
+    """The second pass must genuinely score seed ∪ expansion: (a) some
+    document hits MORE terms than the seed bag contains — impossible
+    under seed-only scoring, whose n_terms_hit is capped at len(seed) —
+    and (b) expansion admits documents the seed-only top-20 missed."""
     from ambient_sound_analysis_api_spark.operators.retrieval import (
         bm25_rm3_topk, bm25_topk,
     )
@@ -403,10 +402,8 @@ def test_rm3_second_pass_scores_dominate_seed_only_for_expanded_hits(
     base = {r.doc_id for r in bm25_topk(docs, seed, k=20).collect()}
     rm3 = bm25_rm3_topk(docs, seed, k=20, fb_k=10, n_expand=3).collect()
     assert len(rm3) == 20
-    # the expanded ranking must differ from the seed-only ranking
-    assert {r.doc_id for r in rm3} != base or [r.doc_id for r in rm3] != sorted(
-        base
-    )
+    assert max(r.n_terms_hit for r in rm3) > len(seed)
+    assert {r.doc_id for r in rm3} - base
 
 
 # ---------------------------------------------------------------------------
@@ -454,3 +451,74 @@ def test_evalmetrics_input_guards(spark):
         confusion_sweep(df, F.col("s"), F.col("y") == 1, thresholds=[])
     with pytest.raises(ValueError):
         calibration_bins(df, F.col("s"), F.col("y") == 1, n_bins=0)
+
+
+def test_auto_lister_rejects_staging_knobs_on_path(tmp_path):
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.sources.listing import auto_lister
+
+    with _pytest.raises(ValueError, match="chunk_size/stage_dir"):
+        auto_lister(path=str(tmp_path / "m.parquet"), chunk_size=1000)
+    with _pytest.raises(ValueError, match="chunk_size/stage_dir"):
+        auto_lister(path=str(tmp_path / "m.parquet"), stage_dir=str(tmp_path))
+
+
+def test_calibration_clamps_out_of_domain_scores(spark):
+    from ambient_sound_analysis_api_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    df = _labeled(spark, [(-0.2, 0), (0.5, 1), (1.3, 1)])
+    rows = calibration_bins(df, F.col("s"), F.col("y") == 1).collect()
+    bins = {r.bin for r in rows}
+    assert bins == {0, 5, 9}  # edges clamp, nothing negative/overflow
+
+
+def test_fusion_rejects_empty_inputs():
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.operators.retrieval import (
+        rrf_fuse, weighted_score_fuse,
+    )
+
+    with _pytest.raises(ValueError):
+        rrf_fuse({})
+    with _pytest.raises(ValueError):
+        weighted_score_fuse({})
+
+
+def test_incremental_topk_new_version_wins_on_id_overlap(spark):
+    """A delta batch re-submitting an existing id must contribute ONE
+    row (the new vector), not two conflicting candidates."""
+    from ambient_sound_analysis_api_spark.operators.pq import (
+        ivfpq_incremental_rerank_topk, ivfpq_incremental_topk, pq_fit,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 1.0, 1.0, 1.0], 0),
+            (3, [2.0, 2.0, 2.0, 2.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    books = pq_fit(emb, m=2, k=2, n_iter=1)
+    # id 2 re-submitted with a NEW vector
+    new = spark.createDataFrame(
+        [(2, [9.0, 9.0, 9.0, 9.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = ivfpq_incremental_topk(
+        emb, new, books, [0.0, 0.0, 0.0, 0.0], query_id=1, k=10, nprobe=1
+    ).collect()
+    ids = [r.vec_id for r in out]
+    assert ids.count(2) == 1
+    assert {r.src for r in out if r.vec_id == 2} == {"new"}
+
+    rr = ivfpq_incremental_rerank_topk(
+        emb, new, books, [0.0, 0.0, 0.0, 0.0], query_id=1,
+        k=10, nprobe=1, shortlist=10,
+    ).collect()
+    rids = [r.vec_id for r in rr]
+    assert rids.count(2) == 1
