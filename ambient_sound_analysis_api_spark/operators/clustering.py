@@ -302,3 +302,104 @@ def kcenter_greedy(
     return spark.createDataFrame(
         rows, "pick int, vec_id long, min_dist double"
     )
+
+
+def rebalance_overflow(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    cap_factor: float = 1.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-pass hot-cell relief for an IVF/k-means assignment: members of
+    an over-capacity cell beyond ``cap = ceil(cap_factor · n/k)`` spill
+    to their SECOND-nearest centroid.
+
+    The follow-through on ``diagnostics.cell_balance``: a hot cell is a
+    hot task per probe at serving time, and the standard mitigation is
+    capacity-aware assignment (multi-probe writes / balanced k-means).
+    This is the deterministic one-hop variant: each cell keeps its
+    ``cap`` CLOSEST members (rank by distance, id tie-break — the
+    members reassignment would hurt most) and spills the tail once;
+    second hops are not capped (documented single-pass relief, not an
+    equilibrium solver — rerun to tighten).
+
+    Plan shape: one assignment scan computes the full distance vector
+    per row (codegen folds), primary and second-nearest come from the
+    same array (no second scan), the overflow rank is a window
+    partitioned by the primary cell, and the readout is two grid-sized
+    aggregates joined on cell id.  The ranked table is persisted — it
+    feeds both the before and after rollups.
+
+    Returns (cell, n_primary, n_final, n_in, n_out, cap) per cell,
+    ordered by cell.
+    """
+    from pyspark.sql import Window
+
+    from .caching import tracked_persist
+
+    k = len(centroids)
+    if k < 2:
+        raise ValueError("rebalance_overflow needs >= 2 centroids")
+    dists = F.array(*[_sqdist_to(F.col(vec_col), c) for c in centroids])
+    prim = (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).cast("int")
+    # second nearest: mask the primary slot to +inf, argmin again
+    masked = F.expr(
+        "transform(_dists, (d, i) -> CASE WHEN i = _prim THEN"
+        " CAST('Infinity' AS DOUBLE) ELSE d END)"
+    )
+    assigned = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_dists", dists)
+        .withColumn("_prim", prim)
+        .withColumn("_pd", F.array_min(F.col("_dists")))
+        .withColumn("_masked", masked)
+        .withColumn(
+            "_second",
+            (F.array_position(F.col("_masked"), F.array_min(F.col("_masked"))) - 1).cast("int"),
+        )
+        .select(id_col, "_prim", "_pd", "_second")
+    )
+    total = assigned.agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("_prim").orderBy(F.col("_pd"), F.col(id_col))
+    ranked = tracked_persist(
+        assigned.crossJoin(F.broadcast(total))
+        .withColumn("_cap", F.ceil(F.lit(float(cap_factor)) * F.col("_n") / F.lit(k)).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "final",
+            F.when(F.col("_rn") <= F.col("_cap"), F.col("_prim")).otherwise(
+                F.col("_second")
+            ),
+        )
+    )
+    before = ranked.groupBy(F.col("_prim").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_primary"),
+        F.sum(F.when(F.col("final") != F.col("_prim"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out"),
+    )
+    after = ranked.groupBy(F.col("final").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("final") != F.col("_prim"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in"),
+    )
+    cap_row = total.select(
+        F.ceil(F.lit(float(cap_factor)) * F.col("_n") / F.lit(k))
+        .cast("bigint")
+        .alias("cap")
+    )
+    return (
+        before.join(after, "cell", "full_outer")
+        .crossJoin(F.broadcast(cap_row))
+        .select(
+            "cell",
+            F.coalesce("n_primary", F.lit(0)).cast("bigint").alias("n_primary"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("n_in", F.lit(0)).cast("bigint").alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+            "cap",
+        )
+        .orderBy("cell")
+    )

@@ -428,3 +428,115 @@ def zipf_fit(
         F.count("*").cast("bigint").alias("n_ranks"),
         F.max(F.when(F.col("rank") == 1, F.col("freq"))).cast("bigint").alias("top_freq"),
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    top_n: int = 20,
+    max_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, word scores
+    are degree/frequency over the candidate set, and a phrase scores the
+    sum of its member word scores — the classic unsupervised
+    topic-surface readout for a corpus card.
+
+    Distributed shape: one posexplode of the letter/digit token stream
+    with positions; stopword flags cut the stream into segments via a
+    per-document running count (window partitioned by doc — never
+    global); phrases assemble with an order-pinned ``array_sort`` over
+    (pos, token) structs; word degree/frequency reduce over the exploded
+    phrase-word table (map-side combined, vocabulary-sized); phrase
+    scores join word scores back and reduce per distinct phrase. Output
+    is the deterministic top-``top_n``.
+
+    Simplification (documented, both engines identical): token stream is
+    alphanumeric runs, so PUNCTUATION does not break phrases — only
+    stopwords do; runs longer than ``max_words`` are dropped (RAKE's
+    standard long-run filter, which also bounds word degree).
+
+    Cross-engine determinism: per-word scores are single IEEE divisions
+    of exact integers, 6dp-snapped into DECIMAL(20,6) before the
+    per-phrase sum (fixed arity ≤ ``max_words``, decimal addition
+    order-free); the top-N ranks on the DECIMAL score with phrase
+    tie-break.
+
+    Returns (phrase, n_words, n_occurrences, score) ordered by
+    (score desc, phrase).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS, letter_tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(letter_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(STOPWORDS)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.withColumn(
+        "seg", F.sum(F.when(is_stop, 1).otherwise(0)).over(w)
+    ).filter(~is_stop)
+    phrases = (
+        seg.groupBy(id_col, "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+        .select("phrase", "n_words")
+    )
+    from ..operators.caching import tracked_persist
+
+    # the candidate table feeds the word-stats reduction AND the phrase
+    # rollup — persist so the tokenize/segment scan runs once
+    phrases = tracked_persist(phrases)
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"), "n_words"
+    )
+    scores = words.groupBy("word").agg(
+        (
+            F.sum("n_words").cast("double") / F.count("*")
+        ).alias("wscore")
+    )
+    member = (
+        phrases.groupBy("phrase", "n_words")
+        .agg(F.count("*").alias("n_occurrences"))
+        .select(
+            "phrase", "n_words", "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+    )
+    return (
+        member.join(scores, "word")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(
+            F.sum(
+                F.round(F.col("wscore"), 6).cast("decimal(20,6)")
+            ).cast("double").alias("score")
+        )
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            "score",
+        )
+        .orderBy(
+            F.col("score").cast("decimal(32,12)").desc(), F.col("phrase")
+        )
+        .limit(top_n)
+    )

@@ -13660,6 +13660,150 @@ def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_ivf_rebalance",
+    f"""
+    WITH {_kmeans_ctes()},
+    sec AS (
+      SELECT vec_id, cluster AS second FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+                 AS rn
+        FROM df) t WHERE rn = 2
+    ),
+    tot AS (SELECT count(*) AS n FROM af),
+    capv AS (
+      SELECT CAST(ceil(CAST(1.25 AS DOUBLE) * n / 8) AS BIGINT) AS cap
+      FROM tot
+    ),
+    ranked AS (
+      SELECT a.vec_id, a.cluster AS prim, s.second,
+             row_number() OVER (PARTITION BY a.cluster
+                                ORDER BY a.d, a.vec_id) AS rn
+      FROM af a JOIN sec s USING (vec_id)
+    ),
+    finals AS (
+      SELECT vec_id, prim,
+             CASE WHEN rn <= capv.cap THEN prim ELSE second END AS final
+      FROM ranked, capv
+    ),
+    before AS (
+      SELECT prim AS cell, count(*) AS n_primary,
+             sum(CASE WHEN final <> prim THEN 1 ELSE 0 END) AS n_out
+      FROM finals GROUP BY prim
+    ),
+    after AS (
+      SELECT final AS cell, count(*) AS n_final,
+             sum(CASE WHEN final <> prim THEN 1 ELSE 0 END) AS n_in
+      FROM finals GROUP BY final
+    )
+    SELECT coalesce(b.cell, a.cell) AS cell,
+           CAST(coalesce(b.n_primary, 0) AS BIGINT) AS n_primary,
+           CAST(coalesce(a.n_final, 0) AS BIGINT) AS n_final,
+           CAST(coalesce(a.n_in, 0) AS BIGINT) AS n_in,
+           CAST(coalesce(b.n_out, 0) AS BIGINT) AS n_out,
+           capv.cap
+    FROM before b FULL OUTER JOIN after a ON b.cell = a.cell
+    CROSS JOIN capv
+    ORDER BY cell
+    """,
+)
+def q_emb_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass hot-cell relief (``operators.clustering.
+    rebalance_overflow``): members of an over-capacity k-means cell
+    beyond cap = ⌈1.25·n/k⌉ spill to their second-nearest centroid —
+    the capacity-aware follow-through on emb_ivf_balance (a hot cell is
+    a hot task per probe at serving scale). Each cell keeps its cap
+    CLOSEST members (distance rank, id tie-break); second hops are
+    uncapped by design (single-pass relief, not an equilibrium solver).
+    Same deterministic fit as emb_kmeans_profile; primary AND
+    second-nearest come from one distance-vector scan; the overflow
+    rank is a window partitioned by the primary cell; the readout is
+    two grid-sized rollups."""
+    from .operators.clustering import kmeans_fit, rebalance_overflow
+
+    emb = _table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=4)
+    return rebalance_overflow(emb, centroids, cap_factor=1.25)
+
+
+@register(
+    "text_rake_keyphrases",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, tok, pos,
+             sum(CASE WHEN list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'],
+                   tok) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS seg
+      FROM toks
+    ),
+    nonstop AS (
+      SELECT * FROM seg
+      WHERE NOT list_contains(
+        ['the','a','of','and','to','in','is','it','that','for'], tok)
+    ),
+    phrases AS (
+      SELECT phrase, n_words FROM (
+        SELECT doc_id, seg,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS n_words
+        FROM nonstop GROUP BY doc_id, seg
+      ) WHERE n_words <= 3
+    ),
+    words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS word, n_words FROM phrases
+    ),
+    scores AS (
+      SELECT word, CAST(sum(n_words) AS DOUBLE) / count(*) AS wscore
+      FROM words GROUP BY word
+    ),
+    member0 AS (
+      SELECT phrase, n_words, count(*) AS n_occurrences
+      FROM phrases GROUP BY phrase, n_words
+    ),
+    member AS (
+      SELECT phrase, n_words, n_occurrences,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM member0
+    )
+    SELECT m.phrase,
+           CAST(m.n_words AS BIGINT) AS n_words,
+           CAST(m.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(sum(CAST(round(s.wscore, 6) AS DECIMAL(20,6))) AS DOUBLE)
+             AS score
+    FROM member m JOIN scores s USING (word)
+    GROUP BY m.phrase, m.n_words, m.n_occurrences
+    ORDER BY CAST(CAST(sum(CAST(round(s.wscore, 6) AS DECIMAL(20,6)))
+                       AS DOUBLE) AS DECIMAL(32,12)) DESC, m.phrase
+    LIMIT 20
+    """,
+)
+def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (``operators.lm.rake_keyphrases``, Rose
+    et al. 2010): stopword-free token runs score as Σ degree/frequency
+    of their member words — the unsupervised topic-surface readout a
+    dataset card wants next to the vocabulary and PMI collocations.
+    One positional explode, per-doc segment windows, vocabulary-sized
+    word-stat reductions, deterministic top-20 (DECIMAL score key,
+    phrase tie-break). Documented simplification both engines share:
+    phrases break on STOPWORDS only (the alphanumeric token stream drops
+    punctuation), runs longer than 3 words are filtered (RAKE's long-run
+    rule, which also bounds word degree)."""
+    from .operators.lm import rake_keyphrases
+
+    docs = _table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, top_n=20, max_words=3)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -374,6 +374,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # 1-row query-vector broadcast + the 20-row post-filter
         # membership broadcast join
         "emb_ann_filtered",
+        # 1-row corpus-total broadcast (cap derivation) ×2: the ranked
+        # table and the final cap column
+        "emb_ivf_rebalance",
         # 1-row global-mean broadcast (centering) + 1-row changepoint
         # broadcast for the pre/post split
         "ts_cusum_changepoint",

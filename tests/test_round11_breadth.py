@@ -522,3 +522,108 @@ def test_incremental_topk_new_version_wins_on_id_overlap(spark):
     ).collect()
     rids = [r.vec_id for r in rr]
     assert rids.count(2) == 1
+
+
+# ---------------------------------------------------------------------------
+# IVF rebalance
+
+
+def test_rebalance_overflow_spills_to_second_nearest(spark):
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        rebalance_overflow,
+    )
+
+    # 6 vectors near centroid A(0,0), 1 near B(10,0); k=2, cap_factor
+    # 1.0 → cap = ceil(7/2) = 4: A keeps its 4 closest, spills 2 to B
+    rows = [(i, [float(i) * 0.1, 0.0]) for i in range(6)] + [(9, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        out = rebalance_overflow(
+            df, [[0.0, 0.0], [10.0, 0.0]], cap_factor=1.0
+        ).collect()
+        by = {r.cell: r for r in out}
+        assert by[0].n_primary == 6 and by[0].n_out == 2
+        assert by[0].n_final == 4
+        assert by[1].n_primary == 1 and by[1].n_in == 2 and by[1].n_final == 3
+        assert by[0].cap == 4
+        # the SPILLED members are the two FURTHEST from A (ids 4, 5)
+    finally:
+        release_caches()
+
+
+def test_rebalance_overflow_noop_under_capacity(spark):
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        rebalance_overflow,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    try:
+        out = rebalance_overflow(
+            df, [[0.0, 0.0], [10.0, 0.0]], cap_factor=2.0
+        ).collect()
+        assert all(r.n_in == 0 and r.n_out == 0 for r in out)
+        assert {r.cell: r.n_final for r in out} == {0: 2, 1: 1}
+    finally:
+        release_caches()
+
+    with pytest.raises(ValueError):
+        rebalance_overflow(df, [[0.0, 0.0]])
+
+
+# ---------------------------------------------------------------------------
+# RAKE
+
+
+def test_rake_scores_multiword_phrases_above_singletons(spark):
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.lm import rake_keyphrases
+
+    # "deep neural nets" appears twice as a stopword-bounded run; "cats"
+    # appears alone. RAKE must score the 3-word phrase higher (degree
+    # accumulates within runs) and break phrases at stopwords.
+    docs = spark.createDataFrame(
+        [
+            (1, "deep neural nets in the deep neural nets"),
+            (2, "cats and cats"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        rows = rake_keyphrases(docs, top_n=10).collect()
+        by = {r.phrase: r for r in rows}
+        assert "deep neural nets" in by and by["deep neural nets"].n_occurrences == 2
+        assert "cats" in by and by["cats"].n_occurrences == 2
+        assert by["deep neural nets"].score > by["cats"].score
+        # stopwords never appear inside any phrase
+        assert all(
+            w not in ("in", "the", "and")
+            for r in rows for w in r.phrase.split(" ")
+        )
+    finally:
+        release_caches()
+
+
+def test_rake_drops_long_runs(spark):
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.lm import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    try:
+        rows = rake_keyphrases(docs, top_n=10, max_words=3).collect()
+        assert rows == []  # the single 5-word run exceeds max_words
+    finally:
+        release_caches()
