@@ -13804,6 +13804,150 @@ def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(docs, top_n=20, max_words=3)
 
 
+@register(
+    "text_readability",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(greatest(vg, n_words) AS BIGINT) AS n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (n_words / CAST(n_sentences AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (greatest(vg, n_words) / CAST(n_words AS DOUBLE)), 4)
+             AS flesch,
+           round(CAST(0.39 AS DOUBLE)
+                 * (n_words / CAST(n_sentences AS DOUBLE))
+                 + CAST(11.8 AS DOUBLE)
+                   * (greatest(vg, n_words) / CAST(n_words AS DOUBLE))
+                 - CAST(15.59 AS DOUBLE), 4) AS fk_grade
+    FROM s WHERE n_words > 0 ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: Flesch reading-ease and Flesch-Kincaid
+    grade over deterministic proxies — words = alphanumeric runs,
+    sentences = [.!?]+ terminator runs (min 1), syllables = vowel-group
+    runs floored at one per word. The classic curation signal next to
+    the composite quality score (too-hard AND too-trivial tails both get
+    inspected). Pure single-pass codegen projection — no shuffle, no
+    join, no Python; both engines evaluate the identical regex and the
+    identical IEEE expression order (4dp display rounding)."""
+    docs = _table(spark, sf_dir, "documents")
+    from .functions.text import letter_tokens
+
+    n_words = F.size(letter_tokens(F.col("text")))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    vg = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    syll = F.greatest(vg, n_words)
+    wps = F.col("n_words") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables") / F.col("n_words").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            n_sent.cast("bigint").alias("n_sentences"),
+            syll.cast("bigint").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+            ).alias("flesch"),
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            ).alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    r"""
+    WITH f AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    cls AS (SELECT fp, count(DISTINCT source) AS n_sources FROM f GROUP BY fp),
+    per AS (
+      SELECT f.source,
+             count(*) AS n_docs,
+             count(DISTINCT f.fp) AS n_unique,
+             sum(CASE WHEN cls.n_sources > 1 THEN 1 ELSE 0 END)
+               AS n_cross_source
+      FROM f JOIN cls USING (fp)
+      GROUP BY f.source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_docs - n_unique AS BIGINT) AS n_dup_rows,
+           round((n_docs - n_unique) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           CAST(n_cross_source AS BIGINT) AS n_cross_source
+    FROM per ORDER BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication accounting for the dataset card: exact
+    (normalized-fingerprint) dup rate within each source plus the
+    cross-source contamination count — documents whose fingerprint also
+    appears under ANOTHER source, the number that decides whether dedup
+    must run globally or can shard per-source at 100 TB. One fingerprint
+    projection (persisted — it feeds the class table AND the join back),
+    one fp-keyed class aggregate, one grid-sized source rollup."""
+    from .functions.text import fingerprint
+    from .operators.caching import tracked_persist
+
+    docs = _table(spark, sf_dir, "documents")
+    f = tracked_persist(
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+    )
+    cls = f.groupBy("fp").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    return (
+        f.join(cls, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_unique"),
+            F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_source"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            (F.col("n_docs") - F.col("n_unique"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "n_cross_source",
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
