@@ -319,3 +319,48 @@ def test_token_budget_selection_monotone_in_budget(spark, docs, frac):
         sel_big = sum(r.n_tokens for r in bigger)
         assert sel_big >= sel
         assert sel_big == total  # frac=1 admits every class
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rebalance_conserves_membership(spark, points):
+    """Rebalancing moves vectors, never creates or destroys them:
+    Σ n_primary = Σ n_final = n, Σ n_in = Σ n_out, and no cell ends
+    above cap unless it RECEIVED spill (second hops are uncapped)."""
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        rebalance_overflow,
+    )
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[-10.0, 0.0], [10.0, 0.0], [0.0, 15.0]]
+    try:
+        out = rebalance_overflow(df, cents, cap_factor=1.0).collect()
+    finally:
+        release_caches()
+    n = len(points)
+    assert sum(r.n_primary for r in out) == n
+    assert sum(r.n_final for r in out) == n
+    assert sum(r.n_in for r in out) == sum(r.n_out for r in out)
+    for r in out:
+        assert r.n_final == r.n_primary - r.n_out + r.n_in
+        if r.n_final > r.cap:
+            assert r.n_in > 0
