@@ -55,7 +55,13 @@ def confusion_sweep(
         thresholds = [round(0.1 * i, 1) for i in range(1, 10)]
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    d = df.select(score.alias("_s"), label.cast("int").alias("_y"))
+    # NULL labels count as negatives (coalesce to 0) so the four cells
+    # always partition the input (tp+fp+fn+tn == n) and Spark agrees
+    # with a CASE-WHEN oracle that maps non-matching/NULL to 0
+    d = df.select(
+        score.alias("_s"),
+        F.coalesce(label.cast("int"), F.lit(0)).alias("_y"),
+    )
     aggs = []
     for i, t in enumerate(thresholds):
         pred = F.col("_s") >= F.lit(float(t))
@@ -115,10 +121,13 @@ def binary_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # decimal(16,6) covers |score| < 10^10 — a plain (10,6) silently
+    # NULLs scores >= 10^4 under non-ANSI Spark, collapsing them into
+    # one NULL group while DuckDB raises; NULL labels count as negative
     hist = (
         df.select(
-            F.round(score, 6).cast("decimal(10,6)").alias("s"),
-            label.cast("int").alias("y"),
+            F.round(score, 6).cast("decimal(16,6)").alias("s"),
+            F.coalesce(label.cast("int"), F.lit(0)).alias("y"),
         )
         .groupBy("s")
         .agg(
@@ -177,7 +186,10 @@ def calibration_bins(
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    d = df.select(score.alias("_s"), label.cast("int").alias("_y"))
+    d = df.select(
+        score.alias("_s"),
+        F.coalesce(label.cast("int"), F.lit(0)).alias("_y"),
+    )
     # clamp BOTH ends: scores outside [0,1] (an uncalibrated raw score)
     # land in the edge bins instead of minting negative/overflow bin ids
     binned = d.select(

@@ -419,8 +419,12 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).cast("double"),
     )
     cov_n = n * sxy - sx * sy
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
+    # nullif guards: a degenerate corpus (fewer than 2 distinct ranks
+    # after the top-N cut, or all-equal frequencies) zeroes a variance —
+    # NULL regression columns then signal "no fit" identically on both
+    # engines instead of tripping engine-specific 0-division behavior
+    var_x = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    var_y = F.nullif(n * syy - sy * sy, F.lit(0.0))
     return ranked.agg(
         F.round(cov_n / var_x, 6).alias("slope"),
         F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),

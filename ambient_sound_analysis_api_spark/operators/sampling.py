@@ -252,7 +252,8 @@ def token_budget_select(
     of the corpus.  At 100 TB that sort is the job.  This operator
     quantizes quality to 6 decimals and aggregates tokens per DISTINCT
     score first (map-side combined), so the only ordered pass is a
-    cumulative window over at most 10^6+1 DECIMAL(10,6) values; the
+    cumulative window over at most 10^6+1 per-unit-interval DECIMAL(16,6)
+    values; the
     cutoff score q_cut is then the smallest score whose
     descending-cumulative token mass still fits the budget, and
     selection is a broadcast semi-predicate ``q >= q_cut`` the optimizer
@@ -273,7 +274,9 @@ def token_budget_select(
 
     d = docs.select(
         "source",
-        F.round(quality, 6).cast("decimal(10,6)").alias("_q"),
+        # (16,6) covers |q| < 10^10: a plain (10,6) silently NULLs
+        # scores >= 10^4 under non-ANSI Spark (uncalibrated raw scores)
+        F.round(quality, 6).cast("decimal(16,6)").alias("_q"),
         n_tokens.cast("bigint").alias("_nt"),
     )
     hist = d.groupBy("_q").agg(F.sum("_nt").alias("_toks"))

@@ -12938,7 +12938,7 @@ def q_eval_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM qx
     ),
     hist AS (
-      SELECT CAST(round(q, 6) AS DECIMAL(10,6)) AS s,
+      SELECT CAST(round(q, 6) AS DECIMAL(16,6)) AS s,
              sum(y) AS n_pos, sum(1 - y) AS n_neg
       FROM d GROUP BY 1
     ),
@@ -13089,7 +13089,7 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_QX_DUCK},
     d AS (
-      SELECT source, CAST(round(q, 6) AS DECIMAL(10,6)) AS q6, n_tok_i AS nt
+      SELECT source, CAST(round(q, 6) AS DECIMAL(16,6)) AS q6, n_tok_i AS nt
       FROM qx
     ),
     hist AS (SELECT q6, sum(nt) AS toks FROM d GROUP BY q6),
@@ -13208,11 +13208,13 @@ def q_emb_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq
       FROM r
     )
-    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-                 6) AS intercept,
+    SELECT round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+             AS slope,
+           round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0))
+                  * sx) / n, 6) AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+                 / (nullif(n * sxx - sx * sx, 0)
+                    * nullif(n * syy - sy * sy, 0)), 6) AS r2,
            n_ranks, top_freq
     FROM s
     """,
@@ -13610,11 +13612,12 @@ def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_ann_filtered",
     """
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    WITH qm AS (SELECT min(vec_id) AS qid FROM embeddings),
+    q AS (SELECT embedding AS qe FROM embeddings, qm WHERE vec_id = qid),
     ex AS (
       SELECT e.vec_id, e.label, unnest(e.embedding) AS a,
              generate_subscripts(e.embedding, 1) AS i
-      FROM embeddings e, q WHERE e.vec_id <> 0
+      FROM embeddings e, q, qm WHERE e.vec_id <> qid
     ),
     qx AS (SELECT unnest(qe) AS b, generate_subscripts(qe, 1) AS i FROM q),
     sc AS (
@@ -13645,7 +13648,7 @@ def q_retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered ANN (``operators.similarity.filtered_topk``):
-    the pre-filter ground-truth top-5 for query vec_id=0 under the
+    the pre-filter ground-truth top-5 for the min-vec_id query under the
     metadata predicate ``label % 3 = 0``, each hit annotated with
     whether the index-friendly POST-filter route (global top-20, then
     filter) would also have returned it — the readout that quantifies
@@ -13655,8 +13658,9 @@ def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import filtered_topk
 
     emb = _table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).first()[0]
     return filtered_topk(
-        emb, query_id=0, predicate=F.col("label") % 3 == 0, k=5, post_k=20
+        emb, query_id=qid, predicate=F.col("label") % 3 == 0, k=5, post_k=20
     )
 
 
