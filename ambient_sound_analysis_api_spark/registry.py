@@ -8927,9 +8927,7 @@ def q_emb_pca_datapass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component_datapass(emb, dim=64, n_iter=3).orderBy("dim")
 
 
-@register(
-    "agg_hll_daily_rollup",
-    """
+_HLL_ROLLUP_SQL = """
     WITH ev AS (
       SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              hour(ts) AS hr, user_id
@@ -8977,8 +8975,10 @@ def q_emb_pca_datapass(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n.n_hours AS BIGINT) AS n_hours
     FROM users u JOIN nh n USING (event_type, day)
     ORDER BY u.event_type, u.day
-    """.format(const=sketches.HLL_CONST, scale=1 << 55),
-)
+    """.format(const=sketches.HLL_CONST, scale=1 << 55)
+
+
+@register("agg_hll_daily_rollup", _HLL_ROLLUP_SQL)
 def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-aggregated distinct-count ROLLUP — the reason sketches beat
     exact distinct at 100 TB: per (event_type, day), daily distinct users
@@ -9011,6 +9011,52 @@ def q_agg_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.hll_estimate_from_registers(daily, ["event_type", "day"])
     nh = ev.groupBy("event_type", "day").agg(
         F.count_distinct("hr").alias("n_hours")
+    )
+    return est.join(nh, ["event_type", "day"]).orderBy("event_type", "day")
+
+
+@register("agg_hll_rollup_singlescan", _HLL_ROLLUP_SQL)
+def q_agg_hll_rollup_singlescan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-raw-scan twin of ``agg_hll_daily_rollup`` (same oracle,
+    hash-equal): the hourly register table is persisted and BOTH the
+    daily register merge and the hours-present count derive from it —
+    every (event_type, day, hr) with a counted user contributes at least
+    one register row, so ``count(distinct hr)`` over the registers
+    equals the raw-events count. At 100 TB this is the shape to run:
+    one pass over raw events instead of two, against a persisted
+    intermediate bounded by group-cardinality × 64 (time-range-sized,
+    never data-sized). At bench SF the twin measures ~0.4 s SLOWER than
+    the two-scan entry — the persist materialization + extra distinct
+    stages cost more than the saved 0.15 s scan when "raw" is 100k rows
+    (round-12 NOTES has the measurements); the registry carries both so
+    the trade is explicit rather than implied."""
+    from .operators import sketches as sk
+    from .operators.caching import tracked_persist
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hr"),
+            "user_id",
+        )
+    )
+    hourly = tracked_persist(
+        sk.hll_registers(ev, "user_id", ["event_type", "day", "hr"])
+    )
+    daily = hourly.groupBy("event_type", "day", "reg").agg(
+        F.max("m").alias("m")
+    )
+    est = sk.hll_estimate_from_registers(daily, ["event_type", "day"])
+    nh = (
+        hourly.select("event_type", "day", "hr")
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_hours"))
     )
     return est.join(nh, ["event_type", "day"]).orderBy("event_type", "day")
 

@@ -124,13 +124,12 @@ HEADLINE = [
     "pipeline_expectations",
     # round-11: hybrid retrieval fusion (two top-20 branches + a 20-row
     # full-outer fuse), the chunk→doc dedup decision rollup (explode +
-    # two linear shuffles, no pair join), the IVFADC+R passing recall
-    # gate (nprobe=9 ADC shortlist + 200-vector exact refine; memoized
-    # m=8 codebooks so the entry times the serve, not the fit), and the
-    # per-file min/max skipping audit (pure scan + one small agg)
+    # two linear shuffles, no pair join), and the per-file min/max
+    # skipping audit (pure scan + one small agg). The IVFADC recall
+    # GATE moved to the AUDIT set (its cost is the exact ground-truth
+    # branch, definitional, not a serving shape).
     "retrieval_rrf_fusion",
     "dedup_chunk_doc_reconcile",
-    "emb_ivfpq_incremental_recall_gate",
     "layout_zorder_file_skipping",
     # round-11 second wave: the score-vocabulary AUC (histogram group-by
     # + bounded cumulative window), the vocabulary-cumsum token-budget
@@ -139,6 +138,15 @@ HEADLINE = [
     "eval_quality_auc",
     "pipeline_token_budget",
     "agg_attribution_last_touch",
+]
+
+# Audit-only entries (run with --audit): definitional acceptance gates
+# whose cost is the EXACT ground-truth branch, not a serving shape — the
+# headline total must track what a user's query costs, not what the
+# engine's self-check costs (round-11 VERDICT #8). The recall gate's
+# serve twin (emb_ivfpq_persisted_topk) stays in the headline set.
+AUDIT = [
+    "emb_ivfpq_incremental_recall_gate",
 ]
 
 
@@ -206,10 +214,40 @@ def _parse_baseline_file(path: str) -> tuple[str, dict] | None:
         return None
 
 
+#: The driver records only the LAST ~2000 characters of bench output and
+#: parses the JSON line out of that tail — BENCH_r10/r11 both shipped with
+#: ``parsed: null`` because the single line (62 queries + a 51-entry
+#: ratios_adj block) outgrew the window and lost its opening brace. The
+#: final stdout line is therefore budgeted: compact separators, 2dp
+#: timings, drift detail demoted to the full document on disk, and a
+#: hard trim loop so the line can NEVER outgrow the window again.
+_LINE_BUDGET = 1950
+
+
+def _fit_line(out: dict) -> str:
+    """Render ``out`` as one JSON line guaranteed under _LINE_BUDGET.
+
+    Sheds detail in order of dispensability: the per-query flags dict,
+    then baseline metadata, then (last resort, never expected) trims the
+    queries dict alphabetically-from-the-end with a marker — a partial
+    per-query record beats another unparseable round artifact."""
+    for drop in ((), ("flags",), ("flags", "baseline", "drift_norm")):
+        doc = {k: v for k, v in out.items() if k not in drop}
+        line = json.dumps(doc, separators=(",", ":"))
+        if len(line) <= _LINE_BUDGET:
+            return line
+    doc["queries_trimmed"] = True
+    names = sorted(doc["queries"])
+    while names and len(json.dumps(doc, separators=(",", ":"))) > _LINE_BUDGET:
+        doc["queries"].pop(names.pop())
+    return json.dumps(doc, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    baseline = _load_baseline(sys.argv[1:])
+    args = sys.argv[1:]
+    baseline = _load_baseline(args)
     spark = get_spark("bench")
     qs = queries()
 
@@ -224,9 +262,11 @@ def main() -> None:
     except Exception:
         pass
 
+    names = list(HEADLINE) + (AUDIT if "--audit" in args else [])
     timings: dict[str, float] = {}
+    audit_timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         # best-of-2: the second run measures the plan (codegen cached, parquet
         # footers read) rather than one-time session costs or transient
@@ -257,8 +297,11 @@ def main() -> None:
             best = sorted(runs)[1]
         else:
             best = min(runs)
-        timings[name] = round(best, 3)
-        total += best
+        if name in AUDIT:
+            audit_timings[name] = round(best, 3)
+        else:
+            timings[name] = round(best, 3)
+            total += best
         print(
             f"# {name}: {best:.2f}s ({n} rows, {len(runs)} runs)",
             file=sys.stderr,
@@ -268,25 +311,46 @@ def main() -> None:
         "metric": "headline_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {q: round(t, 2) for q, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    full = dict(out, queries=timings)
+    if audit_timings:
+        full["audit"] = audit_timings
     if baseline is not None:
-        name, prev = baseline
+        bname, prev = baseline
         common = sorted(q for q in timings if q in prev and prev[q] > 0)
         if common:
             ratios = {q: timings[q] / prev[q] for q in common}
             med = sorted(ratios.values())[len(ratios) // 2]
-            out["baseline"] = name
             # uniform VM-session drift (±12-20% observed rounds 7-9)
             # shows up as the median ratio; dividing it out makes
             # untouched queries read ~1.0× BY CONSTRUCTION, so adjusted
             # ratios > ~1.2 are plan-regression signal, not narrative
-            out["drift_norm"] = round(med, 3)
-            out["ratios_adj"] = {
+            out["baseline"] = full["baseline"] = bname
+            out["drift_norm"] = full["drift_norm"] = round(med, 3)
+            full["ratios_adj"] = {
                 q: round(r / med, 2) for q, r in sorted(ratios.items())
             }
-    print(json.dumps(out))
+            # only the outliers ride along on the budgeted stdout line;
+            # the full ratio table lives in the on-disk document
+            out["flags"] = {
+                q: r
+                for q, r in full["ratios_adj"].items()
+                if r >= 1.3 or r <= 0.77
+            }
+    full_path = os.path.join(REPO, "logs", "bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        print(f"# full document (audit + ratios_adj): {full_path}",
+              file=sys.stderr)
+    except OSError as e:  # pragma: no cover - disk-full etc.
+        print(f"# could not write {full_path}: {e}", file=sys.stderr)
+    # the budgeted one-liner goes LAST so the driver's tail window always
+    # contains a complete, parseable JSON object
+    print(_fit_line(out))
 
 
 if __name__ == "__main__":
