@@ -128,6 +128,189 @@ def kmeans_predict(
     ).select(id_col, "cluster", "sq_dist")
 
 
+def rebalance_fixpoint(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    cap_factor: float = 1.25,
+    max_rounds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bounded-round capacity rebalance: iterate the one-pass relief
+    until no cell exceeds ``cap = ⌈cap_factor · n/k⌉`` or ``max_rounds``
+    rounds have run.
+
+    :func:`rebalance_overflow` is single-hop relief — its spill can
+    itself overflow the receiving cell (the committed
+    ``emb_ivf_rebalance_clustered`` readout shows exactly that: 186
+    evictees all land on the shared second-nearest cell, 220 > cap 79).
+    This variant runs the greedy cascade to quiescence: every row
+    carries its full centroid PREFERENCE list (distances to all k
+    centroids, ranked once — one scan, model-sized fold per row), and
+    each round every cell keeps its ``cap`` closest current members and
+    evicts the rest one step down their preference list. An eviction
+    strictly advances a row's preference position (clamped at k−1), so
+    the cascade terminates; with total capacity ``cap·k ≥ n`` a
+    quiescent state exists, and ``max_rounds`` bounds the job graph
+    regardless (fixed unroll — the SQL oracle replays the identical
+    rounds, with post-quiescence rounds no-ops by construction).
+
+    Plan shape per round: ONE window rank partitioned by current cell
+    (+ the id tie-break) and a projection — no joins, no growth; the
+    preference table is computed once and carried. Membership is
+    conserved every round (rows only change cells). Driver state: the
+    k×dim centroid list and a per-round 1-row stability probe.
+
+    Returns (cell, n_primary, n_final, n_moved, cap, rounds, stable)
+    per cell, ordered by cell: ``n_moved`` counts final members not in
+    their primary cell; ``rounds`` is the configured bound; ``stable``
+    is whether every cell ended ≤ cap.
+    """
+    from pyspark.sql import Window
+
+    from .caching import tracked_persist
+
+    k = len(centroids)
+    if k < 2:
+        raise ValueError("rebalance_fixpoint needs >= 2 centroids")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    dists = F.array(*[_sqdist_to(F.col(vec_col), c) for c in centroids])
+    # preference list: (d, cell) structs sorted ascending — struct order
+    # gives the d-then-lowest-cell tie-break the one-pass variant uses
+    pref = F.array_sort(
+        F.expr(
+            "transform(_dists, (d, i) -> struct(d AS d, i AS cell))"
+        )
+    )
+    state = tracked_persist(
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_dists", dists)
+        .select(
+            id_col,
+            pref.alias("_pref"),
+            F.lit(0).alias("_pos"),
+        )
+    )
+    import math
+
+    total = state.count()
+    # 1.25·n/8 = 5n/32 is IEEE-exact, so this ceil is bit-identical to
+    # the oracle's CAST(ceil(1.25 * n / 8) AS BIGINT)
+    cap = int(math.ceil(cap_factor * total / k))
+    cur_cell = F.element_at(F.col("_pref"), F.col("_pos") + 1)["cell"]
+    cur_d = F.element_at(F.col("_pref"), F.col("_pos") + 1)["d"]
+    for _ in range(max_rounds):
+        w = Window.partitionBy(cur_cell).orderBy(cur_d, F.col(id_col))
+        state = state.withColumn("_rn", F.row_number().over(w)).select(
+            id_col,
+            "_pref",
+            F.when(
+                (F.col("_rn") > F.lit(cap)) & (F.col("_pos") < F.lit(k - 1)),
+                F.col("_pos") + 1,
+            )
+            .otherwise(F.col("_pos"))
+            .alias("_pos"),
+        )
+        # bounded per-round probe: quiescent ⇒ every later round is a
+        # no-op by construction, so stopping early is result-identical
+        # to the oracle's fixed unroll
+        over = (
+            state.groupBy(cur_cell.alias("_c"))
+            .count()
+            .filter(F.col("count") > cap)
+            .limit(1)
+            .count()
+        )
+        if over == 0:
+            break
+    final = state.select(
+        id_col,
+        F.col("_pref")[0]["cell"].alias("_prim"),
+        cur_cell.alias("_final"),
+    )
+    finalp = tracked_persist(final)
+    before = finalp.groupBy(F.col("_prim").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_primary")
+    )
+    after = finalp.groupBy(F.col("_final").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("_final") != F.col("_prim"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    stable = after.agg(
+        (F.max("n_final") <= F.lit(cap)).alias("_stable")
+    )
+    return (
+        before.join(after, "cell", "full_outer")
+        .crossJoin(F.broadcast(stable))
+        .select(
+            "cell",
+            F.coalesce("n_primary", F.lit(0)).cast("bigint").alias("n_primary"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("n_moved", F.lit(0)).cast("bigint").alias("n_moved"),
+            F.lit(cap).cast("bigint").alias("cap"),
+            F.lit(max_rounds).cast("int").alias("rounds"),
+            F.col("_stable").alias("stable"),
+        )
+        .orderBy("cell")
+    )
+
+
+def clustered_embeddings(
+    emb: DataFrame,
+    skew: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians re-geometry of an embedding
+    table — the fixture that lets the ANN machinery prove wins in the
+    regime an IVF index is FOR (round-11 VERDICT #1).
+
+    The driver's synthetic embeddings are near-uniform (distance
+    concentration caps IVF probe recall at ~0.6 below exhaustive
+    nprobe), so every recall number on them exercises the index where it
+    can't help. This transform plants 8 well-separated components
+    without any randomness, so both engines rebuild it bit-for-bit:
+
+    - component: ``md5_hash60(vec_id) % 8`` (balanced), or with
+      ``skew=True`` half the mass lands in component 0 and the rest
+      spreads over 1..7 — the hot-cell fixture for capacity rebalance.
+    - per-dim offset: ``(comp·13 + (i+1)·7) mod 17 − 8`` with i the
+      0-based dim — an integer grid, injective across components in
+      every dimension (13 is invertible mod 17), so inter-component
+      squared distance across 64 dims dwarfs the shrunken intra spread.
+    - value: ``x·0.25 + offset``. Both factors are IEEE-exact (float→
+      double is exact, ×2⁻² is exact, adding an integer ≤8 to a ≤0.08-
+      magnitude double is exact), so the fixture is reproducible in any
+      engine with md5 — same contract as the rest of the hash family.
+
+    Returns (vec_id, embedding array<double>, component); ``component``
+    is the ground-truth mixture id (for diagnostics/tests — the index
+    queries must discover structure with k-means, never read it).
+    """
+    from ..functions.scalars import md5_hash60
+
+    h = md5_hash60(F.col(id_col).cast("string"))
+    comp = (
+        F.when(h % 2 == 0, F.lit(0)).otherwise((h % 7 + 1).cast("int"))
+        if skew
+        else (h % 8).cast("int")
+    )
+    # _comp is projected first so the transform lambda references a plain
+    # attribute — closing over the md5 subtree would re-hash per element
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), comp.alias("component")
+    )
+    newvec = F.transform(
+        F.col("_v"),
+        lambda x, i: x.cast("double") * F.lit(0.25)
+        + ((F.col("component") * 13 + (i + 1) * 7) % 17 - 8).cast("double"),
+    )
+    return base.select(id_col, newvec.alias(vec_col), "component")
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     k: int = 8,

@@ -13710,11 +13710,9 @@ def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_ivf_rebalance",
-    f"""
-    WITH {_kmeans_ctes()},
-    sec AS (
+#: The one-pass capacity-relief readout SQL after a fitted chain — shared
+#: by the raw-geometry and clustered-skew-fixture rebalance oracles.
+_REBALANCE_TAIL_SQL = """sec AS (
       SELECT vec_id, cluster AS second FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
@@ -13756,7 +13754,14 @@ def q_emb_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM before b FULL OUTER JOIN after a ON b.cell = a.cell
     CROSS JOIN capv
     ORDER BY cell
-    """,
+    """
+
+
+@register(
+    "emb_ivf_rebalance",
+    f"""
+    WITH {_kmeans_ctes()},
+    {_REBALANCE_TAIL_SQL}""",
 )
 def q_emb_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass hot-cell relief (``operators.clustering.
@@ -13996,6 +14001,391 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustered-geometry ANN fixture (round-11 VERDICT #1): every recall/balance
+# number above runs on the driver's near-uniform synthetic embeddings — the
+# regime where an IVF index CAN'T help (distance concentration caps probe
+# recall at ~0.6 below exhaustive nprobe). The queries below rebuild the
+# same machinery on a deterministic mixture-of-Gaussians re-geometry
+# (``operators.clustering.clustered_embeddings``: md5-keyed component,
+# integer offset grid, IEEE-exact — both engines recompute it bit-for-bit)
+# and prove the wins the index is designed for: high recall at nprobe≤3,
+# and a genuinely hot cell for the capacity-rebalance family.
+
+_KMEANS_FIT_MEMO: dict[tuple, list] = {}
+
+
+def _clustered_edim_sql(skew: bool = False) -> str:
+    """DuckDB dimension-table CTE body for the clustered fixture — the
+    ``edim_sql`` plug for ``_kmeans_ctes``. Mirrors
+    ``operators.clustering.clustered_embeddings`` exactly: component =
+    md5_hash60(vec_id) % 8 (or the half-mass-in-0 skew), per-dim offset
+    (comp·13 + i·7) mod 17 − 8, value x·0.25 + offset (all IEEE-exact)."""
+    comp = (
+        "CASE WHEN h % 2 = 0 THEN 0 ELSE CAST(1 + h % 7 AS INT) END"
+        if skew
+        else "CAST(h % 8 AS INT)"
+    )
+    return f"""
+      SELECT vec_id,
+             x0 * 0.25 + CAST(({comp} * 13 + i * 7) % 17 - 8 AS DOUBLE) AS x,
+             i
+      FROM (
+        SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h,
+               CAST(unnest(embedding) AS DOUBLE) AS x0,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    """
+
+
+def _clustered_fit(spark: SparkSession, sf_dir: str, skew: bool) -> tuple:
+    """Memoized (centroids, clustered DataFrame) for the fixture fit —
+    shared by the recall gate and the rebalance family so the Lloyd's
+    passes run once per dataset per session."""
+    from .operators.clustering import clustered_embeddings, kmeans_fit
+
+    emb = _table(spark, sf_dir, "embeddings")
+    ce = clustered_embeddings(emb, skew=skew)
+    key = ("clustered", _dataset_fingerprint(sf_dir, "embeddings"), skew)
+    cent = _KMEANS_FIT_MEMO.get(key)
+    if cent is None:
+        cent = kmeans_fit(ce, k=8, n_iter=4)
+        _memo_put(_KMEANS_FIT_MEMO, key, cent)
+    return cent, ce
+
+
+def _snap9(col: Column) -> Column:
+    return F.round(col, 9).cast("decimal(15,9)")
+
+
+def _snap9_sqdist(a: Column, b: Column) -> Column:
+    """Exact decimal squared-L2 between two pre-snapped decimal arrays —
+    order-independent, so both engines agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(38,18)")
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, v: (acc + v).cast("decimal(38,18)"),
+    )
+
+
+@register(
+    "emb_ivf_clustered_recall_gate",
+    f"""
+    WITH {_kmeans_ctes(edim_sql=_clustered_edim_sql())},
+    qm AS (SELECT min(vec_id) AS qid FROM embeddings),
+    qdim AS (
+      SELECT i, CAST(round(x, 9) AS DECIMAL(15,9)) AS qx
+      FROM edim, qm WHERE vec_id = qid
+    ),
+    cdist AS (
+      SELECT c.cluster,
+             sum((CAST(round(c.m, 9) AS DECIMAL(15,9)) - qd.qx)
+                 * (CAST(round(c.m, 9) AS DECIMAL(15,9)) - qd.qx)) AS d
+      FROM c4d c JOIN qdim qd USING (i)
+      GROUP BY c.cluster
+    ),
+    probed AS (
+      SELECT cluster FROM (
+        SELECT cluster, row_number() OVER (ORDER BY d, cluster) AS rn
+        FROM cdist) t WHERE rn <= 2
+    ),
+    ed AS (
+      SELECT vec_id, i, CAST(round(x, 9) AS DECIMAL(15,9)) AS xs FROM edim
+    ),
+    cd AS (
+      SELECT e.vec_id, sum((e.xs - q.qx) * (e.xs - q.qx)) AS d
+      FROM ed e
+      JOIN qdim q USING (i)
+      JOIN af ON af.vec_id = e.vec_id
+      JOIN probed p ON p.cluster = af.cluster
+      CROSS JOIN qm
+      WHERE e.vec_id <> qm.qid
+      GROUP BY e.vec_id
+    ),
+    cand AS (SELECT vec_id FROM cd ORDER BY d, vec_id LIMIT 10),
+    xd AS (
+      SELECT e.vec_id, sum((e.xs - q.qx) * (e.xs - q.qx)) AS d
+      FROM ed e JOIN qdim q USING (i) CROSS JOIN qm
+      WHERE e.vec_id <> qm.qid
+      GROUP BY e.vec_id
+    ),
+    exact AS (SELECT vec_id FROM xd ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_10,
+           CAST(2 AS INT) AS nprobe,
+           CAST(0.8 AS DOUBLE) AS threshold,
+           (CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 10.0) >= CAST(0.8 AS DOUBLE) AS passed
+    FROM cand t LEFT JOIN exact e USING (vec_id)
+    """,
+)
+def q_emb_ivf_clustered_recall_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF recall gate on the CLUSTERED fixture — pruning winning in the
+    regime the index is for (round-11 VERDICT #1): with 8 planted
+    components and the same deterministic k-means (k=8, 4 Lloyd's
+    iterations), probing the 2 nearest cells recovers the exact
+    snapped-decimal top-10 — no PQ, no rerank, nprobe=2 of 8 cells read.
+    Contrast ``emb_ivfpq_incremental_recall_gate``, which needs a
+    200-vector exact-refine shortlist to clear the same 0.8 threshold on
+    the near-uniform driver geometry. Fit is memoized per dataset; cell
+    probe ranking is an 8-row decimal fold; candidate scan touches only
+    the probed cells' rows."""
+    from .operators.caching import tracked_persist
+    from .operators.clustering import kmeans_predict
+
+    cent, ce = _clustered_fit(spark, sf_dir, skew=False)
+    qid = int(ce.agg(F.min("vec_id")).collect()[0][0])
+    ced = tracked_persist(
+        ce.select(
+            "vec_id",
+            F.transform(F.col("embedding"), _snap9).alias("_xd"),
+        )
+    )
+    qd = ced.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
+    # cell probe: rank the 8 fitted centroids by exact decimal distance
+    # to the query (model-sized — mirrors the oracle's cdist CTE)
+    centdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cluster int, m array<double>",
+    )
+    probes = (
+        centdf.crossJoin(F.broadcast(qd))
+        .select(
+            "cluster",
+            _snap9_sqdist(
+                F.transform(F.col("m"), _snap9), F.col("_qd")
+            ).alias("_d"),
+        )
+        .orderBy("_d", "cluster")
+        .limit(2)
+    )
+    probed = [int(r["cluster"]) for r in probes.collect()]
+    assigned = kmeans_predict(ce, cent)
+    dexact = _snap9_sqdist(F.col("_xd"), F.col("_qd"))
+    cand = (
+        ced.join(
+            assigned.filter(F.col("cluster").isin(probed)).select("vec_id"),
+            "vec_id",
+        )
+        .filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qd))
+        .select("vec_id", dexact.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        ced.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qd))
+        .select("vec_id", dexact.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("_hit"))
+    )
+    hits = F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+    return cand.join(F.broadcast(exact), "vec_id", "left").agg(
+        hits.cast("bigint").alias("n_hits"),
+        (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        F.lit(2).cast("int").alias("nprobe"),
+        F.lit(0.8).cast("double").alias("threshold"),
+        ((hits.cast("double") / F.lit(10.0)) >= F.lit(0.8)).alias("passed"),
+    )
+
+
+#: Assignment of the SKEWED fixture against centroids fitted on the
+#: BALANCED fixture — the stale-index drift scenario: the index was built
+#: when traffic was uniform over components; today half the mass arrives
+#: in component 0, and the fitted cells can't re-split because a published
+#: IVF index's centroids are frozen. (Refitting on the skewed data itself
+#: shows k-means simply subdividing the hot component — measured
+#: top_share 0.152 — which is exactly why the hot-cell problem in
+#: production is a DRIFT problem, not a fit problem.)
+_STALE_ASSIGN_SQL = f"""
+    edim AS ({_clustered_edim_sql(skew=True)}),
+    df AS (
+      SELECT e.vec_id, c.cluster, sum((e.x - c.m) * (e.x - c.m)) AS d
+      FROM edim e JOIN fc4d c USING (i)
+      GROUP BY e.vec_id, c.cluster
+    ),
+    af AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+                 AS rn
+        FROM df) t WHERE rn = 1
+    )"""
+
+
+@register(
+    "emb_ivf_balance_clustered",
+    f"""
+    WITH {_kmeans_ctes(edim_sql=_clustered_edim_sql(), p="f")},
+    {_STALE_ASSIGN_SQL}
+    , sizes AS (SELECT cluster, count(*) AS _n FROM af GROUP BY cluster)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(_n) AS BIGINT) AS n_vecs,
+           CAST(max(_n) AS BIGINT) AS max_cell,
+           CAST(min(_n) AS BIGINT) AS min_cell,
+           round(max(_n) * count(*) / CAST(sum(_n) AS DOUBLE), 6)
+             AS max_over_mean,
+           round(max(_n) / CAST(sum(_n) AS DOUBLE), 6) AS top_share
+    FROM sizes
+    """,
+)
+def q_emb_ivf_balance_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cell-balance audit under index-staleness drift: centroids fitted
+    on the BALANCED clustered fixture, today's SKEWED arrivals (half the
+    mass in component 0) assigned against them — frozen IVF centroids
+    can't re-split a newly hot region, so the audit genuinely fires
+    (top_share ~0.53 at sf0.001 vs ~0.15 when refitting on the skewed
+    data directly, and ~0.13 on the near-uniform driver geometry). The
+    readout that tells an index owner "rebuild or rebalance NOW". Same
+    nlist-sized rollup as ``emb_ivf_balance``."""
+    from .operators.clustering import clustered_embeddings, kmeans_predict
+    from .operators.diagnostics import cell_balance
+
+    cent, _ = _clustered_fit(spark, sf_dir, skew=False)
+    ce_skew = clustered_embeddings(
+        _table(spark, sf_dir, "embeddings"), skew=True
+    )
+    pred = kmeans_predict(ce_skew, cent)
+    return cell_balance(pred, cell_col="cluster")
+
+
+@register(
+    "emb_ivf_rebalance_clustered",
+    f"""
+    WITH {_kmeans_ctes(edim_sql=_clustered_edim_sql(), p="f")},
+    {_STALE_ASSIGN_SQL},
+    {_REBALANCE_TAIL_SQL}""",
+)
+def q_emb_ivf_rebalance_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-pass capacity relief with the spill branch genuinely live at
+    registry scale (round-11 VERDICT #1: on the near-uniform geometry
+    every cell sits under cap and n_out = 0 everywhere, leaving the
+    branch unit-test-only). Stale-fit drift scenario: balanced-fit
+    centroids, skewed arrivals — component 0's cell lands at ~0.53 of
+    the corpus against a cap of ⌈1.25·n/8⌉ ≈ 0.16·n, so n_out > 0 in
+    the committed readout and the relief spills to the second-nearest
+    cells. Same operator, same oracle tail as ``emb_ivf_rebalance``."""
+    from .operators.clustering import clustered_embeddings, rebalance_overflow
+
+    cent, _ = _clustered_fit(spark, sf_dir, skew=False)
+    ce_skew = clustered_embeddings(
+        _table(spark, sf_dir, "embeddings"), skew=True
+    )
+    return rebalance_overflow(ce_skew, cent, cap_factor=1.25)
+
+
+def _fixpoint_rounds_sql(rounds: int = 8, k: int = 8) -> str:
+    """Unrolled greedy-cascade rounds over the ``pref`` preference table
+    (post-quiescence rounds are no-ops, so the fixed unroll equals the
+    engine's early-stopped loop by construction)."""
+    # pref is referenced by every round (plus twice in fin): without
+    # MATERIALIZED DuckDB inlines it, re-planning the whole upstream
+    # k-means chain per reference — measured 317 s vs ~2 s materialized
+    parts = [
+        """pref AS MATERIALIZED (
+      SELECT vec_id, cluster, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) - 1
+               AS pos
+      FROM df
+    ),
+    tot AS (SELECT count(DISTINCT vec_id) AS n FROM pref),
+    capv AS (
+      SELECT CAST(ceil(CAST(1.25 AS DOUBLE) * n / 8) AS BIGINT) AS cap
+      FROM tot
+    ),
+    s0 AS (SELECT DISTINCT vec_id, 0 AS pos FROM pref)"""
+    ]
+    for j in range(1, rounds + 1):
+        parts.append(f""",
+    rk{j} AS (
+      SELECT c.vec_id, c.pos, p.cluster, p.d,
+             row_number() OVER (PARTITION BY p.cluster
+                                ORDER BY p.d, c.vec_id) AS rn
+      FROM s{j - 1} c JOIN pref p
+        ON p.vec_id = c.vec_id AND p.pos = c.pos
+    ),
+    s{j} AS (
+      SELECT vec_id,
+             CASE WHEN rn > capv.cap AND pos < {k - 1}
+                  THEN pos + 1 ELSE pos END AS pos
+      FROM rk{j}, capv
+    )""")
+    parts.append(f""",
+    fin AS (
+      SELECT s.vec_id, p0.cluster AS prim, pf.cluster AS final
+      FROM s{rounds} s
+      JOIN pref p0 ON p0.vec_id = s.vec_id AND p0.pos = 0
+      JOIN pref pf ON pf.vec_id = s.vec_id AND pf.pos = s.pos
+    ),
+    fbefore AS (
+      SELECT prim AS cell, count(*) AS n_primary FROM fin GROUP BY prim
+    ),
+    fafter AS (
+      SELECT final AS cell, count(*) AS n_final,
+             sum(CASE WHEN final <> prim THEN 1 ELSE 0 END) AS n_moved
+      FROM fin GROUP BY final
+    ),
+    stb AS (SELECT max(n_final) <= (SELECT cap FROM capv) AS stable
+            FROM fafter)""")
+    return "".join(parts)
+
+
+@register(
+    "emb_ivf_rebalance_fixpoint",
+    f"""
+    WITH {_kmeans_ctes(edim_sql=_clustered_edim_sql(), p="f")},
+    {_STALE_ASSIGN_SQL},
+    {_fixpoint_rounds_sql(rounds=8, k=8)}
+    SELECT coalesce(b.cell, a.cell) AS cell,
+           CAST(coalesce(b.n_primary, 0) AS BIGINT) AS n_primary,
+           CAST(coalesce(a.n_final, 0) AS BIGINT) AS n_final,
+           CAST(coalesce(a.n_moved, 0) AS BIGINT) AS n_moved,
+           capv.cap,
+           CAST(8 AS INT) AS rounds,
+           stb.stable
+    FROM fbefore b FULL OUTER JOIN fafter a ON b.cell = a.cell
+    CROSS JOIN capv CROSS JOIN stb
+    ORDER BY cell
+    """,
+)
+def q_emb_ivf_rebalance_fixpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capacity rebalance run to QUIESCENCE (round-11 VERDICT #5) on the
+    stale-fit drift fixture: the one-pass relief's own readout shows its
+    spill re-overflowing the receiving cell (220 > cap 79 in
+    ``emb_ivf_rebalance_clustered``); this variant cascades evictions
+    down each row's full centroid-preference list, one window rank per
+    round, until every cell holds ≤ ⌈1.25·n/8⌉ or 8 rounds elapse
+    (``operators.clustering.rebalance_fixpoint``). The committed readout
+    shows ``stable = true`` with max cell ≤ cap — the published-index
+    guarantee the one-pass variant can't make. Membership conservation
+    per round is property-tested."""
+    from .operators.clustering import clustered_embeddings, rebalance_fixpoint
+
+    cent, _ = _clustered_fit(spark, sf_dir, skew=False)
+    ce_skew = clustered_embeddings(
+        _table(spark, sf_dir, "embeddings"), skew=True
+    )
+    return rebalance_fixpoint(ce_skew, cent, cap_factor=1.25, max_rounds=8)
 
 
 # ---------------------------------------------------------------------------

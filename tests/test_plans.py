@@ -382,6 +382,14 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "ts_cusum_changepoint",
         # 1-row token-total broadcast + 1-row q_cut broadcast predicate
         "pipeline_token_budget",
+        # 1-row snapped-query-vector broadcast against the candidate and
+        # exact ranking scans of the clustered fixture
+        "emb_ivf_clustered_recall_gate",
+        # 1-row corpus-total broadcast (cap derivation) ×2 — same shape
+        # as emb_ivf_rebalance, on the stale-fit skewed fixture
+        "emb_ivf_rebalance_clustered",
+        # 1-row stability-flag broadcast onto the 8-row cell readout
+        "emb_ivf_rebalance_fixpoint",
     }
     python_ok = {
         "mm_binary_meta",

@@ -364,3 +364,49 @@ def test_rebalance_conserves_membership(spark, points):
         assert r.n_final == r.n_primary - r.n_out + r.n_in
         if r.n_final > r.cap:
             assert r.n_in > 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=3,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rebalance_fixpoint_conserves_and_caps(spark, points):
+    """The fixpoint cascade conserves membership (Σ n_primary =
+    Σ n_final = n) and, when it reports stable, EVERY cell is ≤ cap —
+    the guarantee the one-pass variant can't make. With cap_factor ≥ 1
+    and k·cap ≥ n a quiescent state exists, so 3 centroids × ≤20 points
+    must stabilize within k rounds."""
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        rebalance_fixpoint,
+    )
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[-10.0, 0.0], [10.0, 0.0], [0.0, 15.0]]
+    try:
+        out = rebalance_fixpoint(df, cents, cap_factor=1.0, max_rounds=3).collect()
+    finally:
+        release_caches()
+    n = len(points)
+    assert sum(r.n_primary for r in out) == n
+    assert sum(r.n_final for r in out) == n
+    for r in out:
+        assert 0 <= r.n_moved <= r.n_final
+    stable = out[0].stable
+    if stable:
+        for r in out:
+            assert r.n_final <= r.cap

@@ -119,3 +119,85 @@ def test_filtered_topk_nonzero_based_ids(spark):
     ).collect()
     assert [r.vec_id for r in out] == [101, 103]
     assert all(r.in_postfilter for r in out)
+
+
+# ---------------------------------------------------------------------------
+# clustered-geometry fixture (round-11 VERDICT #1)
+
+
+def test_clustered_embeddings_deterministic_and_separated(spark):
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        clustered_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ce = clustered_embeddings(emb)
+    a = ce.orderBy("vec_id").limit(20).collect()
+    b = clustered_embeddings(emb).orderBy("vec_id").limit(20).collect()
+    assert [r.embedding for r in a] == [r.embedding for r in b]
+    # component ids span 0..7 and are md5-derived, not positional
+    comps = {r.component for r in ce.collect()}
+    assert comps == set(range(8))
+    # separation: within-component sq-distance << cross-component
+    rows = ce.limit(200).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.embedding)
+    import math
+
+    def sq(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v))
+
+    intra = max(
+        sq(vs[0], vs[1]) for vs in by_comp.values() if len(vs) >= 2
+    )
+    c0, c1 = (by_comp[c][0] for c in sorted(by_comp)[:2])
+    assert sq(c0, c1) > 10 * intra
+
+
+def test_clustered_skew_puts_half_mass_in_component_zero(spark):
+    from pyspark.sql import functions as F
+
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        clustered_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ce = clustered_embeddings(emb, skew=True)
+    counts = {
+        r.component: r["count"]
+        for r in ce.groupBy("component").count().collect()
+    }
+    n = sum(counts.values())
+    assert 0.4 <= counts[0] / n <= 0.6
+    assert all(c in counts for c in range(8))
+
+
+def test_rebalance_fixpoint_quiesces_where_one_pass_does_not(spark):
+    """The committed registry scenario in miniature: a hot cell whose
+    one-pass spill re-overflows the receiver, which the fixpoint then
+    drains within the round bound."""
+    from ambient_sound_analysis_api_spark.operators.caching import (
+        release_caches,
+    )
+    from ambient_sound_analysis_api_spark.operators.clustering import (
+        rebalance_fixpoint, rebalance_overflow,
+    )
+
+    # 12 points piled on centroid 0, one point near each of 1..3
+    rows = [(i, [0.0 + i * 1e-3, 0.0]) for i in range(12)]
+    rows += [(100, [10.0, 0.0]), (101, [0.0, 10.0]), (102, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    try:
+        one = rebalance_overflow(df, cents, cap_factor=1.0).collect()
+        # cap = ceil(15/4) = 4: cell 0 spills 8, all onto cell 1 -> 9 > 4
+        assert next(r for r in one if r.cell == 1).n_final > 4
+        fx = rebalance_fixpoint(df, cents, cap_factor=1.0, max_rounds=4)
+        out = fx.collect()
+    finally:
+        release_caches()
+    assert out[0].stable
+    for r in out:
+        assert r.n_final <= r.cap
+    assert sum(r.n_final for r in out) == 15
