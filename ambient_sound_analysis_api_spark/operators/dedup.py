@@ -1484,3 +1484,143 @@ def chunk_doc_reconcile(
         .otherwise(F.lit("drop"))
         .alias("decision"),
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal character spans covered by a duplicated substring of
+    length ≥ ``min_len`` — the exact-substring dedup family of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), whose reference implementation is a corpus-wide suffix
+    array.
+
+    Spark-first reformulation, EXACT for coverage semantics: a character
+    lies inside some duplicated substring of length ≥ L **iff** some
+    duplicated L-gram covers it (any length-≥L duplicate contains an
+    L-window over each of its characters, and a duplicated L-gram is
+    itself such a substring). So the suffix array is replaced by:
+
+    1. every length-L gram as (md5(gram), doc, offset) — one row per
+       character position, LINEAR in corpus size (no suffix sort);
+    2. grams occurring ≥ 2 times anywhere (cross- or within-doc, the
+       Lee et al. counting) found by ONE combiner-friendly group-by on
+       the hash;
+    3. per-doc interval union of the surviving L-windows via a
+       doc-partitioned gap-and-island window (two linear passes).
+
+    At 100 TB the md5-per-offset projection is the hot loop (O(n·L)
+    hash bytes); the drop-in upgrade is a Karp-Rabin rolling hash
+    (O(n), ``functions.text.rolling_hash`` is the house primitive) with
+    md5 verification only on the ≥2-count groups — kept out of the
+    default path because the verified-exact md5 keying is what the SQL
+    oracle replays bit-for-bit.
+
+    Returns (doc_id, span_start, span_end) with 1-based inclusive char
+    offsets, one row per maximal span.
+    """
+    from pyspark.sql import Window
+
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    d = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    offs = F.expr(
+        f"CASE WHEN length(_t) >= {L} THEN sequence(1, length(_t) - {L} + 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    grams = d.select(
+        id_col, "_t", F.explode(offs).alias("o")
+    ).select(
+        id_col, "o", F.md5(F.expr(f"substring(_t, o, {L})")).alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("h")
+    )
+    seeds = grams.join(dup, "h").select(id_col, "o")
+    w = Window.partitionBy(id_col).orderBy("o")
+    brk = F.when(F.col("o") > F.lag("o").over(w) + F.lit(L), 1).otherwise(0)
+    isl = seeds.withColumn("_b", brk).withColumn(
+        "_island",
+        F.sum("_b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(id_col, "_island").agg(
+        F.min("o").alias("span_start"),
+        (F.max("o") + F.lit(L - 1)).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every character covered by a duplicated ≥ ``min_len``
+    substring (:func:`exact_substring_spans`) and rebuild each document
+    from its kept segments — the whole-corpus exact-substring dedup
+    pass a crawl pipeline runs before training.
+
+    The rebuild never explodes characters: each doc's spans fold into a
+    single ``aggregate`` over the (len/L-bounded) sorted span list,
+    concatenating the inter-span substrings — a codegen projection, so
+    the only shuffles are the span pipeline's hash group-by and the
+    per-doc span collect.
+
+    Returns (doc_id, orig_len, n_spans, n_removed, kept_len, kept_text)
+    ordered by doc_id; documents without duplicated spans pass through
+    intact, fully-covered documents come back empty (the caller drops
+    or keeps them by ``kept_len``).
+    """
+    spans = exact_substring_spans(
+        docs, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+        F.count("*").alias("n_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).alias("n_removed"),
+    )
+    d = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    joined = d.join(per_doc, id_col, "left").select(
+        id_col,
+        "_t",
+        F.coalesce(
+            "_spans",
+            F.expr(
+                "CAST(array() AS "
+                "ARRAY<STRUCT<span_start: INT, span_end: INT>>)"
+            ),
+        ).alias("_spans"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+    # substring with COLUMN offsets is SQL-level, so the whole fold is
+    # one expression: walk the sorted spans, emitting the text between
+    # the cursor and each span start, then the tail after the last span
+    kept = F.expr(
+        "aggregate(_spans, struct(1 AS pos, '' AS s), "
+        "(acc, sp) -> struct(sp.span_end + 1 AS pos, "
+        "concat(acc.s, substring(_t, acc.pos, sp.span_start - acc.pos)) "
+        "AS s), "
+        "acc -> concat(acc.s, substring(_t, acc.pos, length(_t) - acc.pos + 1)))"
+    )
+    return joined.select(
+        id_col,
+        F.length("_t").cast("bigint").alias("orig_len"),
+        "n_spans",
+        "n_removed",
+        F.length(kept).cast("bigint").alias("kept_len"),
+        kept.alias("kept_text"),
+    ).orderBy(id_col)

@@ -14388,6 +14388,85 @@ def q_emb_ivf_rebalance_fixpoint(
     return rebalance_fixpoint(ce_skew, cent, cap_factor=1.25, max_rounds=8)
 
 
+@register(
+    "dedup_exact_substring",
+    """
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, u.o AS o, u.h AS h FROM (
+        SELECT doc_id,
+               unnest([{'o': i, 'h': md5(substr(text, i, 50))}
+                       FOR i IN range(1, length(text) - 48)]) AS u
+        FROM documents)
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    seed AS (SELECT doc_id, o FROM g JOIN dup USING (h)),
+    brk AS (
+      SELECT doc_id, o,
+             CASE WHEN o > lag(o) OVER (PARTITION BY doc_id ORDER BY o) + 50
+                  THEN 1 ELSE 0 END AS b
+      FROM seed
+    ),
+    isl AS (
+      SELECT doc_id, o,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY o
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(o) AS s, max(o) + 49 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+      FROM spans GROUP BY doc_id
+    ),
+    chars AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+    ),
+    covered AS (
+      SELECT DISTINCT c.doc_id, c.i
+      FROM chars c JOIN spans s
+        ON s.doc_id = c.doc_id AND c.i BETWEEN s.s AND s.e
+    ),
+    kept AS (
+      SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS kt
+      FROM chars c LEFT JOIN covered v
+        ON v.doc_id = c.doc_id AND v.i = c.i
+      WHERE v.i IS NULL
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS orig_len,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(k.kt, '')) AS BIGINT) AS kept_len,
+           coalesce(k.kt, '') AS kept_text
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022; round-11 VERDICT #3):
+    every character covered by a duplicated ≥50-char substring is
+    removed at its offsets and the documents rebuilt
+    (``operators.dedup.exact_substring_dedup``). The corpus-wide suffix
+    array of the reference implementation is replaced by a LINEAR
+    construction that is exact for coverage semantics: a char is inside
+    a duplicated ≥L substring iff some duplicated L-gram covers it —
+    md5 L-grams per offset, one combiner-friendly hash group-by,
+    doc-partitioned gap-and-island interval union, and a per-doc
+    span-fold rebuild (no char explode on the Spark side; the oracle's
+    per-char string_agg is the verification, not the scale shape)."""
+    from .operators.dedup import exact_substring_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, min_len=50)
+
+
 # ---------------------------------------------------------------------------
 
 
