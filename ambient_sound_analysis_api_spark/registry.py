@@ -10999,17 +10999,12 @@ def q_dedup_embedding_cosine_rep(
     ).orderBy("id_a", "id_b")
 
 
-def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
-    """Unrolled full-batch logistic-GD oracle (``operators/mlfit.py``):
-    feature extraction → one exact-decimal stats pass → z-scoring → per
-    step, the sigmoid projection + one decimal-sum gradient/metric
-    aggregation + the IEEE weight update as chained CTEs. Every double op
-    is written in the same order the Spark side evaluates it (bias-first
-    left-associated dot product, ``float(decimal)/n`` gradient means), so
-    the trajectory is bit-identical across engines; libm ``exp`` ulp
-    noise is absorbed by the per-term 6dp round before the DECIMAL sum."""
-    parts = [r"""
-    lsrc AS (
+def _logit_feature_ctes(prefix: str, thresh: str, where: str = "") -> str:
+    """The logistic gate's feature-extraction CTE pair ({prefix}src,
+    {prefix}raw) over ``documents`` — factored so the holdout oracle can
+    derive the SAME features for a second (held-out) population."""
+    return (r"""
+    """ + prefix + r"""src AS (
       SELECT doc_id,
              CAST(CASE WHEN trim(text)='' THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
@@ -11018,9 +11013,9 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
                ELSE 0.0 END AS p_ratio,
              CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_hits
-      FROM documents
+      FROM documents""" + where + r"""
     ),
-    lraw AS (
+    """ + prefix + r"""raw AS (
       SELECT doc_id,
              least(n_tok/50.0, 1.0) AS x1,
              CASE WHEN n_tok > 0 THEN stop_hits/n_tok ELSE 0.0 END AS x2,
@@ -11028,8 +11023,26 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
              CAST(CASE WHEN (least(n_tok/50.0,1.0)
                  + least((CASE WHEN n_tok>0 THEN stop_hits/n_tok ELSE 0.0 END)*5.0, 1.0)
                  + (1.0 - least(p_ratio*4.0, 1.0)))/3.0 >= """ + thresh + r""" THEN 1 ELSE 0 END AS DOUBLE) AS y
-      FROM lsrc
-    ),
+      FROM """ + prefix + r"""src
+    ),""")
+
+
+def _logit_ctes(
+    n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75",
+    where: str = "",
+) -> str:
+    """Unrolled full-batch logistic-GD oracle (``operators/mlfit.py``):
+    feature extraction → one exact-decimal stats pass → z-scoring → per
+    step, the sigmoid projection + one decimal-sum gradient/metric
+    aggregation + the IEEE weight update as chained CTEs. Every double op
+    is written in the same order the Spark side evaluates it (bias-first
+    left-associated dot product, ``float(decimal)/n`` gradient means), so
+    the trajectory is bit-identical across engines; libm ``exp`` ulp
+    noise is absorbed by the per-term 6dp round before the DECIMAL sum.
+    ``where`` restricts the FIT population (the holdout oracle passes the
+    md5 train-bucket predicate)."""
+    parts = [_logit_feature_ctes("l", thresh, where)]
+    parts.append(r"""
     lstat AS (
       SELECT count(*) AS n,
              CAST(sum(CAST(round(x1,6) AS DECIMAL(20,6))) AS DOUBLE) AS s1,
@@ -11053,7 +11066,7 @@ def _logit_ctes(n_steps: int = 4, lr: str = "2.0", thresh: str = "0.75") -> str:
       FROM lraw f, lnorm s
     ),
     lw0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
-                   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)"""]
+                   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""")
     for t in range(1, n_steps + 2):
         parts.append(f""",
     lp{t} AS (
@@ -14465,6 +14478,142 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     return exact_substring_dedup(docs, min_len=50)
+
+
+def _auc_tail_sql(prefix: str, src: str) -> str:
+    """Score-vocabulary Mann-Whitney AUC CTE chain over a (p, y) source
+    — the binary_auc recipe as SQL, shared by the two holdout splits."""
+    return f"""
+    {prefix}hist AS (
+      SELECT CAST(round(p, 6) AS DECIMAL(16,6)) AS sc,
+             sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS n_neg
+      FROM {src} GROUP BY 1
+    ),
+    {prefix}rank AS (
+      SELECT n_pos, n_neg,
+             sum(n_neg) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - n_neg
+               AS neg_below
+      FROM {prefix}hist
+    ),
+    {prefix}auc AS (
+      SELECT round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+                   / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc,
+             sum(n_pos) + sum(n_neg) AS n
+      FROM {prefix}rank
+    )"""
+
+
+_TRAIN_WHERE = (
+    " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < 'ccc'"
+)
+_HOLDOUT_WHERE = (
+    " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) >= 'ccc'"
+)
+
+
+@register(
+    "eval_quality_holdout",
+    f"""
+    WITH {_logit_ctes(n_steps=4, lr="2.0", thresh="0.75",
+                      where=_TRAIN_WHERE)},
+    {_logit_feature_ctes("h", "0.75", _HOLDOUT_WHERE)}
+    hfeat AS (
+      SELECT f.doc_id, (f.x1 - s.m1)/s.d1 AS x1, (f.x2 - s.m2)/s.d2 AS x2,
+             (f.x3 - s.m3)/s.d3 AS x3, f.y
+      FROM hraw f, lnorm s
+    ),
+    hp AS (
+      SELECT f.*,
+             round(1.0/(1.0+exp(-(w.b + w.w1*f.x1 + w.w2*f.x2
+                                  + w.w3*f.x3))),6) AS p
+      FROM hfeat f, lw4 w
+    ),
+    {_auc_tail_sql("t", "lp5")},
+    {_auc_tail_sql("h", "hp")}
+    SELECT CAST(t.n AS BIGINT) AS n_train,
+           CAST(h.n AS BIGINT) AS n_holdout,
+           t.auc AS auc_train,
+           h.auc AS auc_holdout,
+           round(t.auc - h.auc, 6) AS auc_gap
+    FROM tauc t, hauc h
+    """,
+)
+def q_eval_quality_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split discipline for the learned quality gate
+    (round-11 VERDICT #4): fit the logistic filter on the md5-keyed 80%
+    train bucket ONLY (same hex-prefix split as
+    pipeline_train_test_split: md5(doc_id)[:3] < 'ccc'), z-score both
+    splits with the TRAIN statistics, then report the exact
+    Mann-Whitney AUC on train (resubstitution) and on the held-out 20%
+    side by side — the committed auc_gap quantifies how much
+    ``eval_quality_auc``-style same-rows evaluation overstates filter
+    quality. One extra projection per split; both AUCs run over the
+    6dp score vocabulary (bounded windows), the fit is memoized per
+    dataset fingerprint."""
+    from .functions.text import (
+        punct_ratio, quality_score, stopword_ratio, token_count,
+    )
+    from .operators.evalmetrics import binary_auc
+    from .operators.mlfit import (
+        apply_standardize,
+        logit_gd_fit,
+        logit_weights_expr,
+        standardize_stats,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t).cast("double")
+    cols = ["x_len", "x_stop", "x_punct"]
+    raw = docs.select(
+        "doc_id",
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)).alias("x_len"),
+        stopword_ratio(t).alias("x_stop"),
+        punct_ratio(t).alias("x_punct"),
+        F.when(quality_score(t) >= F.lit(0.75), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3).alias("_h"),
+    )
+    train_raw = raw.filter(F.col("_h") < "ccc")
+    hold_raw = raw.filter(F.col("_h") >= "ccc")
+    key = (
+        _dataset_fingerprint(sf_dir, "documents"),
+        "logit-holdout", 4, 2.0, 0.75,
+    )
+    model = _LOGIT_FIT_MEMO.get(key)
+    if model is None:
+        stats = standardize_stats(train_raw, cols)
+        feat = apply_standardize(train_raw, cols, stats, label_cols=["y"])
+        _, wts = logit_gd_fit(feat, cols, "y", n_steps=4, lr=2.0)
+        model = (stats, wts)
+        _memo_put(_LOGIT_FIT_MEMO, key, model)
+    stats, wts = model
+    p = logit_weights_expr(wts, cols)
+
+    def _auc(split_raw, auc_name, n_name):
+        scored = apply_standardize(
+            split_raw, cols, stats, label_cols=["y"]
+        ).select(F.round(p, 6).alias("p"), "y")
+        return binary_auc(
+            scored, F.col("p"), F.col("y") == 1.0
+        ).select(
+            F.col("auc").alias(auc_name),
+            (F.col("n_pos") + F.col("n_neg")).cast("bigint").alias(n_name),
+        )
+
+    ta = _auc(train_raw, "auc_train", "n_train")
+    ha = _auc(hold_raw, "auc_holdout", "n_holdout")
+    return ta.crossJoin(F.broadcast(ha)).select(
+        "n_train",
+        "n_holdout",
+        "auc_train",
+        "auc_holdout",
+        F.round(F.col("auc_train") - F.col("auc_holdout"), 6).alias(
+            "auc_gap"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -317,6 +317,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "ts_cusum_changepoint",
         # row_number over the TakeOrdered top-200 vocabulary list
         "text_zipf_fit",
+        # two score-vocabulary cumulative windows (train + holdout AUC),
+        # both bounded by the 6dp quantization like eval_quality_auc
+        "eval_quality_holdout",
     }
 
     one_row_broadcast = {
@@ -390,6 +393,8 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivf_rebalance_clustered",
         # 1-row stability-flag broadcast onto the 8-row cell readout
         "emb_ivf_rebalance_fixpoint",
+        # two 1-row AUC summaries cross-joined into the single readout
+        "eval_quality_holdout",
     }
     python_ok = {
         "mm_binary_meta",
