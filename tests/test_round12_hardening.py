@@ -262,3 +262,83 @@ def test_exact_substring_rebuild_roundtrip_identity(spark):
     ).count()
     assert bad == 0
     assert out.filter(F.col("n_spans") > 0).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# real WAV decode (round-11 VERDICT #6)
+
+
+def test_wav_roundtrip_bit_exact(spark):
+    from ambient_sound_analysis_api_spark.operators import audio
+
+    ids = spark.range(4).selectExpr("id AS media_id")
+    w = audio.synth_waveforms(ids)
+    rt = audio.wav_decode(audio.wav_encode(w))
+    a = {
+        r.media_id: (r.sample_rate, r.n_samples, bytes(r.payload))
+        for r in w.collect()
+    }
+    b = {
+        r.media_id: (r.sample_rate, r.n_samples, bytes(r.payload))
+        for r in rt.collect()
+    }
+    assert a == b
+
+
+def test_wav_decode_path_equals_direct_pcm_path(spark):
+    from ambient_sound_analysis_api_spark.operators import audio
+
+    ids = spark.range(5).selectExpr("id AS media_id")
+    w = audio.synth_waveforms(ids)
+    via_wav = audio.peak_band(
+        audio.psd_bands(audio.wav_decode(audio.wav_encode(w)))
+    ).collect()
+    direct = audio.peak_band(audio.psd_bands(w)).collect()
+    assert sorted(map(tuple, via_wav)) == sorted(map(tuple, direct))
+
+
+def test_decode_audio_impl_wav_and_nonwav():
+    import io
+    import wave as wavelib
+
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        DecodeUnavailable, _decode_audio_impl,
+    )
+
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02\x03")
+    meta = _decode_audio_impl(buf.getvalue())
+    assert meta["sample_rate"] == 8000
+    assert meta["n_frames"] == 2
+    assert meta["pcm"] == b"\x00\x01\x02\x03"
+    with _pytest.raises(DecodeUnavailable):
+        _decode_audio_impl(b"ID3\x04not-a-wav-payload")
+
+
+def test_wav_decode_rejects_stereo(spark):
+    import io
+    import wave as wavelib
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ambient_sound_analysis_api_spark.operators import audio
+
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception) as ei:
+        audio.wav_decode(df).collect()
+    assert "mono 16-bit" in str(ei.value)
