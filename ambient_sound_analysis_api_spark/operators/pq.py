@@ -1027,14 +1027,44 @@ def ivfpq_publish_index(
 
     if retain < 1:
         raise ValueError("ivfpq_publish_index: retain must be >= 1")
-    spark = emb.sparkSession
+    return publish_version(
+        emb.sparkSession,
+        root,
+        lambda vpath: ivfpq_write_index(
+            emb, codebooks, vpath,
+            id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        ),
+        retain=retain,
+        fingerprint=fingerprint,
+    )
+
+
+def publish_version(
+    spark,
+    root: str,
+    write_fn,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Generic immutable-version publish under ``root``: ``write_fn``
+    materializes the new version into the directory it is handed, then
+    the manifest pointer flips atomically (same contract, race
+    handling, retention GC and orphan reclaim as documented on
+    :func:`ivfpq_publish_index`, which delegates here). Any index
+    family — IVF-PQ codes, the lexical BM25 postings store — publishes
+    through this one code path so the six store contract tests cover
+    them all."""
+    import json
+    import uuid
+
+    from .atomic_swap import _fs_and_path
+
+    if retain < 1:
+        raise ValueError("publish_version: retain must be >= 1")
     manifests = _list_index_manifests(spark, root)
     seq = (manifests[-1][0] if manifests else 0) + 1
     vname = f"v-{seq:09d}-{uuid.uuid4().hex[:8]}"
-    ivfpq_write_index(
-        emb, codebooks, f"{root}/{vname}",
-        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
-    )
+    write_fn(f"{root}/{vname}")
     fs, mdir = _fs_and_path(spark, _index_manifest_dir(root))
     jvm = spark._jvm
     fs.mkdirs(mdir)

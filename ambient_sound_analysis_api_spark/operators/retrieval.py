@@ -508,3 +508,127 @@ def bm25_rm3_topk(
     )
     terms = [t.lower() for t in seed_terms] + expansion
     return bm25_topk(docs, terms, k=k, k1=k1, b=b)
+
+
+def bm25_write_index(docs: DataFrame, path: str) -> None:
+    """Materialize the lexical serving index: the post-tokenize artifacts
+    ``bm25_topk`` rebuilds per call, written once (round-11 VERDICT #7 —
+    the ``ivfpq_write_index`` pattern applied to sparse retrieval).
+
+    Four tables under ``path``:
+
+    - ``postings/`` — (term, doc_id, tf), RANGE-partitioned on term and
+      sorted within partitions, so every file carries a tight term
+      min/max and a query's ``term IN (...)`` predicate skips all but
+      the matching files at the parquet footer level (the lexical
+      equivalent of cell-directory pruning; term-value directories
+      would mint a directory per vocabulary entry);
+    - ``termstats/`` — (term, df), vocabulary-sized, same layout;
+    - ``doclens/`` — (doc_id, dl);
+    - ``stats/`` — ONE row (n_docs, sum_dl).
+
+    The corpus tokenize runs HERE, once; serving never touches the text
+    column again.
+    """
+    tf = term_frequencies(docs)
+    (
+        tf.repartitionByRange(8, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("errorifexists")
+        .parquet(f"{path}/postings")
+    )
+    (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .repartitionByRange(4, "term")
+        .sortWithinPartitions("term")
+        .write.mode("errorifexists")
+        .parquet(f"{path}/termstats")
+    )
+    dl = docs.select(
+        "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
+    )
+    dl.write.mode("errorifexists").parquet(f"{path}/doclens")
+    dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("errorifexists").parquet(f"{path}/stats")
+
+
+def bm25_publish_index(
+    docs: DataFrame,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Publish a new immutable version of the BM25 index under ``root``
+    via the shared manifest-pointer store (``operators.pq.
+    publish_version`` — atomic rename, concurrent-writer total order,
+    retention GC). Returns the published version path."""
+    from .pq import publish_version
+
+    return publish_version(
+        docs.sparkSession,
+        root,
+        lambda vpath: bm25_write_index(docs, vpath),
+        retain=retain,
+        fingerprint=fingerprint,
+    )
+
+
+def bm25_persisted_topk(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served from the PERSISTED index: the plan scans the
+    postings/termstats parquet (term predicate pushed to the scan — the
+    range-sorted files skip at the footer) plus the doclens table and
+    the 1-row stats broadcast; the corpus text column is never read and
+    nothing re-tokenizes. Scoring arithmetic is textually identical to
+    :func:`bm25_topk`, so the two paths are value-equal (hash-checked
+    by the registry twin) — recompute for ad-hoc audits, this for the
+    serving tier.
+    """
+    terms = [t.lower() for t in query_terms]
+    tf = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    df_tbl = spark.read.parquet(f"{index_path}/termstats").filter(
+        F.col("term").isin(terms)
+    )
+    dl = spark.read.parquet(f"{index_path}/doclens")
+    stats = spark.read.parquet(f"{index_path}/stats")
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfnorm = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    per_term = F.round(idf * tfnorm, 6).cast("decimal(20,6)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(per_term).cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(
+            F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
+        )
+        .limit(k)
+    )

@@ -138,6 +138,10 @@ HEADLINE = [
     "eval_quality_auc",
     "pipeline_token_budget",
     "agg_attribution_last_touch",
+    # round-12: lexical serving from the persisted inverted index (term
+    # predicate pushed into the range-sorted postings scan; no corpus
+    # tokenize) — the sparse twin of emb_ivfpq_persisted_topk
+    "retrieval_bm25_persisted_topk",
 ]
 
 # Audit-only entries (run with --audit): definitional acceptance gates

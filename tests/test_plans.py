@@ -665,3 +665,27 @@ def test_ivfpq_persisted_serve_prunes_partitions_and_columns(spark, sf_dir):
         ln for ln in plan.splitlines() if "ReadSchema" in ln and "code_0" in ln
     ]
     assert read_schemas and all("embedding" not in ln for ln in read_schemas)
+
+
+def test_bm25_persisted_serve_skips_tokenize_and_pushes_terms(spark, sf_dir):
+    """Serving BM25 from the persisted lexical index must never touch
+    the corpus text column: the plan reads the published postings /
+    termstats / doclens / stats tables only (no documents.parquet scan,
+    no regexp tokenize, no explode) and the query's term predicate is
+    pushed into the postings scan so the range-sorted files skip at the
+    parquet footer."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    fn = queries()["retrieval_bm25_persisted_topk"]
+    fn(spark, sf_dir)  # build + publish the index store
+    df = fn(spark, sf_dir)  # served from the persisted version
+    plan = explain_str(df, "formatted")
+    assert "bm25_store_" in plan and "/v-" in plan
+    assert "documents.parquet" not in plan
+    assert "regexp" not in plan.lower() and "Generate" not in plan
+    # the postings scan carries the In(term, ...) predicate
+    assert any(
+        "term" in ln and ("In(" in ln or "in(" in ln) for ln in
+        (ln2 for ln2 in plan.splitlines() if "PushedFilters" in ln2)
+    )
+    assert "TakeOrderedAndProject" in plan
