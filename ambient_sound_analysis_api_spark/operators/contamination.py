@@ -128,3 +128,82 @@ def source_overlap_matrix(
             F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
         ).alias("containment"),
     )
+
+
+def substring_contamination_report(
+    docs: DataFrame,
+    bench_pred: Column,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-exact cross-set decontamination: maximal TRAIN-doc spans
+    covered by a substring of length ≥ ``min_len`` that also occurs in
+    the held-out benchmark — the exact-substring upgrade of
+    :func:`contamination_report` (token 8-grams miss contamination that
+    crosses token boundaries or reflows whitespace; Lee et al. 2022 run
+    this family cross-set for eval hygiene).
+
+    Same LINEAR construction as ``dedup.exact_substring_spans`` (a char
+    lies in a shared ≥L substring iff a shared L-gram covers it), with
+    the duplicate test replaced by membership in the benchmark's L-gram
+    set: one semi-join on the md5 gram hash — benchmark side is the
+    tiny one (a broadcast candidate; AQE decides) — then the per-doc
+    gap-and-island union and a doc-level rollup.
+
+    Returns flagged train docs only:
+    (doc_id, n_spans, n_contaminated, contam_frac), ordered by doc_id.
+    """
+    from pyspark.sql import Window
+
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    d = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), bench_pred.alias("_b")
+    )
+    offs = F.expr(
+        f"CASE WHEN length(_t) >= {L} THEN sequence(1, length(_t) - {L} + 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    grams = d.select(
+        id_col, "_b", "_t", F.explode(offs).alias("o")
+    ).select(
+        id_col, "_b", "o",
+        F.md5(F.expr(f"substring(_t, o, {L})")).alias("h"),
+    )
+    bench_h = grams.filter(F.col("_b")).select("h").distinct()
+    seeds = (
+        grams.filter(~F.col("_b"))
+        .join(bench_h, "h", "left_semi")
+        .select(id_col, "o")
+    )
+    w = Window.partitionBy(id_col).orderBy("o")
+    brk = F.when(F.col("o") > F.lag("o").over(w) + F.lit(L), 1).otherwise(0)
+    isl = seeds.withColumn("_bk", brk).withColumn(
+        "_island",
+        F.sum("_bk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy(id_col, "_island").agg(
+        F.min("o").alias("s"), (F.max("o") + F.lit(L - 1)).alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias(
+            "n_contaminated"
+        ),
+    )
+    return (
+        per_doc.join(d.select(id_col, F.length("_t").alias("_len")), id_col)
+        .select(
+            id_col,
+            "n_spans",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("_len").cast("double"), 6
+            ).alias("contam_frac"),
+        )
+        .orderBy(id_col)
+    )

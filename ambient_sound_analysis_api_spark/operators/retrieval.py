@@ -632,3 +632,60 @@ def bm25_persisted_topk(
         )
         .limit(k)
     )
+
+
+def rm3_persisted_expansion_terms(
+    spark,
+    index_path: str,
+    seed_terms: list[str],
+    fb_k: int = 10,
+    n_expand: int = 3,
+    min_len: int = 4,
+) -> list[str]:
+    """RM3 expansion selection from the PERSISTED index: the feedback
+    docs' content-term counts are Σ tf over their postings rows — the
+    identical number :func:`rm3_expansion_terms` gets by re-tokenizing
+    the feedback documents, read instead from the index (token counts
+    ARE what postings store). Zero text reads; the feedback semi-join is
+    a ``fb_k``-row broadcast against the postings scan."""
+    from ..functions.text import STOPWORDS
+
+    seed = [t.lower() for t in seed_terms]
+    fb_ids = bm25_persisted_topk(
+        spark, index_path, seed, k=fb_k
+    ).select("doc_id")
+    excluded = set(seed) | set(STOPWORDS)
+    counts = (
+        spark.read.parquet(f"{index_path}/postings")
+        .join(F.broadcast(fb_ids), "doc_id", "left_semi")
+        .filter(F.length("term") >= min_len)
+        .filter(~F.col("term").isin(sorted(excluded)))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(n_expand)
+    )
+    return [r.term for r in counts.collect()]
+
+
+def bm25_rm3_persisted_topk(
+    spark,
+    index_path: str,
+    seed_terms: list[str],
+    k: int = 20,
+    fb_k: int = 10,
+    n_expand: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Two-pass RM3 retrieval served ENTIRELY from the persisted index:
+    seed pass, feedback-term selection, and expanded pass all read
+    postings/termstats/doclens/stats — the corpus text column is never
+    touched (vs :func:`bm25_rm3_topk`, which tokenizes twice). Value-
+    equal to the recompute path by construction; the registry twin
+    hash-checks it against the same oracle."""
+    expansion = rm3_persisted_expansion_terms(
+        spark, index_path, seed_terms, fb_k=fb_k, n_expand=n_expand
+    )
+    terms = [t.lower() for t in seed_terms] + expansion
+    return bm25_persisted_topk(spark, index_path, terms, k=k, k1=k1, b=b)

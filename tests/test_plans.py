@@ -395,6 +395,11 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "emb_ivf_rebalance_fixpoint",
         # two 1-row AUC summaries cross-joined into the single readout
         "eval_quality_holdout",
+        # 1-row persisted corpus-stats broadcast (N, avgdl) — the same
+        # shape text_bm25_topk carries, read from the index store
+        "retrieval_bm25_persisted_topk",
+        # both RM3 passes carry that 1-row stats broadcast
+        "retrieval_rm3_persisted",
     }
     python_ok = {
         "mm_binary_meta",

@@ -342,3 +342,31 @@ def test_wav_decode_rejects_stereo(spark):
     with _pytest.raises(Exception) as ei:
         audio.wav_decode(df).collect()
     assert "mono 16-bit" in str(ei.value)
+
+
+def test_substring_contamination_cross_set_only(spark):
+    from ambient_sound_analysis_api_spark.operators.contamination import (
+        substring_contamination_report,
+    )
+
+    shared = "SHARED_BENCHMARK_PASSAGE_XYZ"  # 28 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "bench doc with " + shared + " inside"),     # benchmark
+            (1, "train doc quoting " + shared + " verbatim"),  # contaminated
+            (2, "clean train doc, nothing shared at all!!"),   # clean
+            (3, "train " + shared + " twice " + shared),       # two spans
+        ],
+        "doc_id int, text string",
+    )
+    out = substring_contamination_report(
+        docs, bench_pred=F.col("doc_id") == 0, min_len=28
+    ).collect()
+    got = {r.doc_id: (r.n_spans, r.n_contaminated) for r in out}
+    # doc 2 clean; benchmark doc itself never reported
+    assert set(got) == {1, 3}
+    # coverage is maximal: the flanking spaces shared with the benchmark
+    # context are part of the shared substring (hand-derived: 30 chars
+    # = space + 28-char passage + space; 29 for the end-of-string copy)
+    assert got[1] == (1, 30)
+    assert got[3] == (2, 59)
