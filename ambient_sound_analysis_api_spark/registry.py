@@ -2499,6 +2499,7 @@ def _kmeans_ctes(
     vec: str = "embedding",
     p: str = "",
     edim_sql: str | None = None,
+    src: str = "embeddings",
 ) -> str:
     """DuckDB CTE chain replicating ``operators.clustering.kmeans_fit``
     exactly: lowest-id seeding, per-iteration argmin assignment (ties to
@@ -2519,14 +2520,14 @@ def _kmeans_ctes(
     edim_body = edim_sql or f"""
       SELECT vec_id, CAST(unnest({vec}) AS DOUBLE) AS x,
              generate_subscripts({vec}, 1) AS i
-      FROM embeddings
+      FROM {src}
     """
     parts = [f"""
     {p}edim AS ({edim_body}),
     {p}c0d AS (
       SELECT c.cluster, e.i, e.x AS m
       FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
-            FROM embeddings ORDER BY vec_id LIMIT {k}) c
+            FROM {src} ORDER BY vec_id LIMIT {k}) c
       JOIN {p}edim e USING (vec_id)
     )"""]
     for j in range(1, n_iter + 1):
@@ -2568,7 +2569,8 @@ def _kmeans_ctes(
     return "".join(parts)
 
 
-def _pq_ctes(m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16) -> str:
+def _pq_ctes(m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16,
+             src: str = "embeddings") -> str:
     """PQ oracle: m prefixed k-means chains over dimension slices, the
     query row's per-subspace distance table, and the ADC sum — the whole
     fit/encode/scan pipeline as one WITH block."""
@@ -2578,14 +2580,15 @@ def _pq_ctes(m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16) -> str:
         if s > 0:
             parts.append(",")
         parts.append(
-            _kmeans_ctes(n_iter=n_iter, k=k, vec=f"embedding[{lo}:{hi}]", p=f"s{s}")
+            _kmeans_ctes(n_iter=n_iter, k=k, vec=f"embedding[{lo}:{hi}]",
+                         p=f"s{s}", src=src)
         )
         parts.append(f""",
     q{s} AS (
       SELECT generate_subscripts(embedding[{lo}:{hi}], 1) AS i,
              CAST(unnest(embedding[{lo}:{hi}]) AS DOUBLE) AS x
-      FROM embeddings
-      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+      FROM {src}
+      WHERE vec_id = (SELECT min(vec_id) FROM {src})
     ),
     qd{s} AS (
       SELECT c.cluster, sum((q.x - c.m) * (q.x - c.m)) AS qd
@@ -14767,6 +14770,122 @@ def q_pipeline_decontaminate_substring(
     docs = _table(spark, sf_dir, "documents")
     return substring_contamination_report(
         docs, bench_pred=F.col("doc_id") % 20 == 0, min_len=50
+    )
+
+
+@register(
+    "emb_ivfpq_clustered_adc_audit",
+    f"""
+    WITH cembd AS MATERIALIZED ({_clustered_edim_sql()}),
+    cemb AS MATERIALIZED (
+      SELECT vec_id, list(x ORDER BY i) AS embedding
+      FROM cembd GROUP BY vec_id
+    ),
+    {_kmeans_ctes(edim_sql="SELECT vec_id, x, i FROM cembd", src="cemb")},
+    {_pq_ctes(m=8, k=16, n_iter=3, d_sub=8, src="cemb")},
+    qm AS (SELECT min(vec_id) AS qid FROM cemb),
+    cellcent AS (
+      SELECT a.cluster, d.i,
+             CAST(sum(CAST(d.x AS DECIMAL(32,12))) AS DOUBLE) / count(d.x)
+               AS m
+      FROM af a JOIN cembd d USING (vec_id)
+      GROUP BY a.cluster, d.i
+    ),
+    qdim AS (SELECT i, x AS qx FROM cembd, qm WHERE vec_id = qid),
+    cdist AS (
+      SELECT c.cluster, sum((c.m - q.qx) * (c.m - q.qx)) AS d
+      FROM cellcent c JOIN qdim q USING (i)
+      GROUP BY c.cluster
+    ),
+    probes AS (
+      SELECT cluster FROM (
+        SELECT cluster, row_number() OVER (ORDER BY d, cluster) AS rn
+        FROM cdist) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT a.vec_id FROM af a JOIN probes USING (cluster)
+      CROSS JOIN qm WHERE a.vec_id <> qm.qid
+    ),
+    top AS (
+      SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+      ORDER BY round(adc.dist, 6), adc.vec_id LIMIT 10
+    ),
+    ed AS (
+      SELECT vec_id, i, CAST(round(x, 9) AS DECIMAL(15,9)) AS xs FROM cembd
+    ),
+    qex AS (
+      SELECT i, CAST(round(x, 9) AS DECIMAL(15,9)) AS qx
+      FROM cembd, qm WHERE vec_id = qid
+    ),
+    xd AS (
+      SELECT e.vec_id, sum((e.xs - q.qx) * (e.xs - q.qx)) AS d
+      FROM ed e JOIN qex q USING (i) CROSS JOIN qm
+      WHERE e.vec_id <> qm.qid
+      GROUP BY e.vec_id
+    ),
+    exact AS (SELECT vec_id FROM xd ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_10,
+           CAST(2 AS INT) AS nprobe
+    FROM top t LEFT JOIN exact e USING (vec_id)
+    """,
+)
+def q_emb_ivfpq_clustered_adc_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The honest other half of the clustered-fixture evidence: pure-ADC
+    IVF-PQ (m=8/k=16, nprobe=2, NO rerank) on the same geometry where
+    exact-within-cell search reads recall 1.0
+    (``emb_ivf_clustered_recall_gate``). Committed readout ~0.5: the
+    coarse quantizer's win is fully realized (the probed cells contain
+    every true neighbor), but WITHIN a cell the residual geometry is the
+    original near-uniform data scaled ×0.25 — distance concentration
+    again — so 8-bit-per-subspace codes can't order the top-10
+    (measured: raw-PQ 0.2–0.5, residual-PQ 0.5–0.6 across SFs). The
+    audit pins that the production serve keeps its shortlist+exact
+    rerank for WITHIN-cell resolution even when clustering is ideal —
+    clustering fixes probe recall, not code distortion. Same fitted
+    chains and ADC as ``emb_pq_adc_topk`` run against the fixture."""
+    from .operators.clustering import kmeans_predict
+    from .operators.pq import ivfpq_topk, pq_fit
+
+    cent, ce = _clustered_fit(spark, sf_dir, skew=False)
+    assigned = kmeans_predict(ce, cent).select("vec_id", "cluster")
+    cec = ce.join(assigned, "vec_id")
+    key = ("clustered-pq", _dataset_fingerprint(sf_dir, "embeddings"), 8, 16, 3)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        books = pq_fit(ce, m=8, k=16, n_iter=3)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    qid = int(ce.agg(F.min("vec_id")).first()[0])
+    query = [
+        float(x)
+        for x in ce.filter(F.col("vec_id") == qid)
+        .select("embedding")
+        .first()[0]
+    ]
+    top = ivfpq_topk(
+        cec, books, query, qid, k=10, nprobe=2, cell_col="cluster"
+    ).select("vec_id")
+    ced = ce.select(
+        "vec_id", F.transform(F.col("embedding"), _snap9).alias("_xd")
+    )
+    qd = ced.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
+    exact = (
+        ced.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qd))
+        .select("vec_id", _snap9_sqdist(F.col("_xd"), F.col("_qd")).alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("_hit"))
+    )
+    hits = F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+    return top.join(F.broadcast(exact), "vec_id", "left").agg(
+        hits.cast("bigint").alias("n_hits"),
+        (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        F.lit(2).cast("int").alias("nprobe"),
     )
 
 

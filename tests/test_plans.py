@@ -400,6 +400,9 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         "retrieval_bm25_persisted_topk",
         # both RM3 passes carry that 1-row stats broadcast
         "retrieval_rm3_persisted",
+        # 1-row query-vector broadcast in the probe, ADC and exact
+        # branches over the clustered fixture (emb_ivfpq_topk shapes)
+        "emb_ivfpq_clustered_adc_audit",
     }
     python_ok = {
         "mm_binary_meta",
