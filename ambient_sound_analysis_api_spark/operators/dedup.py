@@ -1537,13 +1537,17 @@ def exact_substring_spans(
     ).select(
         id_col, "o", F.md5(F.expr(f"substring(_t, o, {L})")).alias("h")
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("_n"))
+    # ONE pass over the gram stream: the occurrence count is an
+    # unordered window over the hash partition, so the corpus is
+    # exploded+hashed once and shuffled once — the earlier group-by +
+    # join-back shape generated the gram stream twice (two full
+    # tokenize/md5 scans at 100 TB for the same answer)
+    wh = Window.partitionBy("h")
+    seeds = (
+        grams.withColumn("_n", F.count("*").over(wh))
         .filter(F.col("_n") >= 2)
-        .select("h")
+        .select(id_col, "o")
     )
-    seeds = grams.join(dup, "h").select(id_col, "o")
     w = Window.partitionBy(id_col).orderBy("o")
     brk = F.when(F.col("o") > F.lag("o").over(w) + F.lit(L), 1).otherwise(0)
     isl = seeds.withColumn("_b", brk).withColumn(
