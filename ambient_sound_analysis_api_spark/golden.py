@@ -38,6 +38,7 @@ GOLDEN_QUERIES: dict[str, list[str]] = {
     "sim_lsh_multiprobe": ["embeddings"],
     "mm_audio_psd_peak": ["documents"],
     "mm_audio_wav_decode": ["documents"],
+    "mm_image_bmp_decode": ["documents"],
     "mm_audio_spectrogram": ["documents"],
     "mm_image_phash_dedup": ["documents"],
 }

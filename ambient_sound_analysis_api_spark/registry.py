@@ -4219,6 +4219,28 @@ def q_mm_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.peak_band(audio.psd_bands(audio.wav_decode(wavs)))
 
 
+@register("mm_image_bmp_decode", None)
+def q_mm_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image containers end-to-end: deterministic 24-bit BMP
+    synthesis (standards-valid BITMAPFILEHEADER/INFOHEADER, bottom-up
+    rows, 4-byte row padding — the quirks a real parser must handle) →
+    stdlib ``struct`` DECODE back to pixels → per-image channel-mean
+    stats (``operators.multimodal.synth_bmp_images``/
+    ``decode_bmp_stats``). With the WAV twin this closes the honest
+    half of the codec gap: uncompressed containers decode for real;
+    ``DecodeUnavailable`` now means exactly "this format needs a codec
+    lib" (PNG/JPEG/mp3), not "decode is fake". Channel sums are exact
+    integers, so the golden check is bit-stable."""
+    from .operators.multimodal import decode_bmp_stats, synth_bmp_images
+
+    ids = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return decode_bmp_stats(synth_bmp_images(ids)).orderBy("media_id")
+
+
 @register("mm_audio_spectrogram", None)
 def q_mm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed spectrogram → per-(media, band) mean level: reproduces the

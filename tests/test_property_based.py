@@ -410,3 +410,52 @@ def test_rebalance_fixpoint_conserves_and_caps(spark, points):
     if stable:
         for r in out:
             assert r.n_final <= r.cap
+
+
+def _brute_covered_positions(texts: dict[int, str], L: int) -> dict[int, set]:
+    """O(n²) reference: per doc, the 1-based positions covered by an
+    L-gram that occurs >= 2 times anywhere in the corpus."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            counts[t[i:i + L]] += 1
+    covered: dict[int, set] = {d: set() for d in texts}
+    for d, t in texts.items():
+        for i in range(len(t) - L + 1):
+            if counts[t[i:i + L]] >= 2:
+                covered[d].update(range(i + 1, i + L + 1))
+    return covered
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_spans_match_bruteforce(spark, texts, L):
+    """The linear L-gram construction's covered positions equal the
+    brute-force duplicated-substring coverage on adversarial tiny
+    alphabets (aa…ab self-overlap, cross- and within-doc repeats)."""
+    from ambient_sound_analysis_api_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    spans = exact_substring_spans(docs, min_len=L).collect()
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in spans:
+        got[r.doc_id].update(range(r.span_start, r.span_end + 1))
+    want = _brute_covered_positions(dict(enumerate(texts)), L)
+    assert got == want

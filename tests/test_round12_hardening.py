@@ -370,3 +370,45 @@ def test_substring_contamination_cross_set_only(spark):
     # = space + 28-char passage + space; 29 for the end-of-string copy)
     assert got[1] == (1, 30)
     assert got[3] == (2, 59)
+
+
+def test_bmp_roundtrip_matches_generator_arithmetic(spark):
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        decode_bmp_stats, synth_bmp_images,
+    )
+
+    ids = spark.range(3).selectExpr("id AS media_id")
+    out = decode_bmp_stats(synth_bmp_images(ids)).orderBy("media_id").collect()
+    assert len(out) == 3
+    W, H = 24, 16
+    for r in out:
+        m = r.media_id
+        sr = sum((m * 31 + x * 7 + y * 13) % 256 for y in range(H) for x in range(W))
+        sg = sum((m * 17 + x * 11 + y * 3) % 256 for y in range(H) for x in range(W))
+        sb = sum((m * 23 + x * 5 + y * 19) % 256 for y in range(H) for x in range(W))
+        n = W * H
+        assert (r.width, r.height, r.n_pixels) == (W, H, n)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            round(sr / n, 6), round(sg / n, 6), round(sb / n, 6)
+        )
+
+
+def test_decode_image_impl_bmp_and_nonbmp():
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        DecodeUnavailable, _decode_image_impl,
+    )
+
+    import struct
+    w, h = 2, 1
+    stride = w * 3 + ((-(w * 3)) % 4)
+    header = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                          0, 0, 0, 0)
+    payload = header + b"\x01\x02\x03\x04\x05\x06\x00\x00"
+    meta = _decode_image_impl(payload)
+    assert (meta["width"], meta["height"], meta["bpp"]) == (2, 1, 24)
+    assert meta["pixel_bytes"][:6] == b"\x01\x02\x03\x04\x05\x06"
+    with _pytest.raises(DecodeUnavailable):
+        _decode_image_impl(b"\x89PNG\r\n\x1a\nnot-decodable-here")
