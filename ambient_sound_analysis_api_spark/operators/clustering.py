@@ -177,10 +177,15 @@ def rebalance_fixpoint(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     dists = F.array(*[_sqdist_to(F.col(vec_col), c) for c in centroids])
     # preference list: (d, cell) structs sorted ascending — struct order
-    # gives the d-then-lowest-cell tie-break the one-pass variant uses
+    # gives the d-then-lowest-cell tie-break the one-pass variant uses.
+    # d is snapped to DECIMAL(15,9) (repo convention: never rank on raw
+    # doubles — a one-ulp cross-engine sum difference at the rank==cap
+    # boundary would flip the eviction set and diverge the cascade); the
+    # oracle snaps identically before its row_number.
     pref = F.array_sort(
         F.expr(
-            "transform(_dists, (d, i) -> struct(d AS d, i AS cell))"
+            "transform(_dists, (d, i) -> struct("
+            "CAST(round(d, 9) AS DECIMAL(15,9)) AS d, i AS cell))"
         )
     )
     state = tracked_persist(
@@ -202,19 +207,28 @@ def rebalance_fixpoint(
     cur_d = F.element_at(F.col("_pref"), F.col("_pos") + 1)["d"]
     for _ in range(max_rounds):
         w = Window.partitionBy(cur_cell).orderBy(cur_d, F.col(id_col))
-        state = state.withColumn("_rn", F.row_number().over(w)).select(
-            id_col,
-            "_pref",
-            F.when(
-                (F.col("_rn") > F.lit(cap)) & (F.col("_pos") < F.lit(k - 1)),
-                F.col("_pos") + 1,
+        prev = state
+        # re-persist each round: the stability probe materializes the new
+        # state's cache, so the NEXT round's window chain (and the final
+        # projection) read one cached table instead of replaying every
+        # prior round's windows — O(rounds) passes, not O(rounds²)
+        state = tracked_persist(
+            state.withColumn("_rn", F.row_number().over(w)).select(
+                id_col,
+                "_pref",
+                F.when(
+                    (F.col("_rn") > F.lit(cap))
+                    & (F.col("_pos") < F.lit(k - 1)),
+                    F.col("_pos") + 1,
+                )
+                .otherwise(F.col("_pos"))
+                .alias("_pos"),
             )
-            .otherwise(F.col("_pos"))
-            .alias("_pos"),
         )
         # bounded per-round probe: quiescent ⇒ every later round is a
         # no-op by construction, so stopping early is result-identical
-        # to the oracle's fixed unroll
+        # to the oracle's fixed unroll (and it doubles as the action that
+        # populates this round's cache)
         over = (
             state.groupBy(cur_cell.alias("_c"))
             .count()
@@ -222,6 +236,7 @@ def rebalance_fixpoint(
             .limit(1)
             .count()
         )
+        prev.unpersist()
         if over == 0:
             break
     final = state.select(

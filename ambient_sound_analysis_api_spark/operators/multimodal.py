@@ -49,7 +49,16 @@ def _decode_image_impl(payload: bytes) -> object:
         raise DecodeUnavailable(
             f"only uncompressed 24bpp BMP decodes here; got {bpp}bpp"
         )
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     stride = w * 3 + ((-(w * 3)) % 4)
+    need = off + stride * abs(h)
+    if len(payload) < need:
+        # a truncated container must FAIL, not silently return short
+        # pixel rows (decode_bmp_stats's np.frombuffer count= contract)
+        raise ValueError(
+            f"truncated BMP: header declares {need} bytes, got {len(payload)}"
+        )
     return {
         "width": w,
         "height": abs(h),

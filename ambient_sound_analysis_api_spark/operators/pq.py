@@ -597,6 +597,7 @@ def ivfpq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """Residual-encoded IVF-PQ — the actual FAISS ``IVFPQ`` design: PQ
     codebooks are fit on ``x - centroid(cell(x))`` rather than raw
@@ -611,17 +612,30 @@ def ivfpq_residual_topk(
     All driver fetches are model-sized: nprobe probe rows, their
     centroids, the 1-row query. Candidates stream through one broadcast
     cell-probe join, the codegen residual+encode projection, and a
-    ``TakeOrderedAndProject`` top-k."""
+    ``TakeOrderedAndProject`` top-k.
+
+    ``codebooks`` (optional) bypasses the in-call residual ``pq_fit`` with
+    an already-fitted model — the registry memoizes the fit per dataset
+    so repeated audit invocations time the serve path, not Lloyd's."""
     from .similarity import ivf_cell_centroids, ivf_probe_cells
 
     cents = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
-    res = residual_vectors(
-        emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
-    )
-    books = pq_fit(
-        res.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        m=m, k=k, n_iter=n_iter,
-    )
+    if codebooks is None:
+        res = residual_vectors(
+            emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+        )
+        codebooks = pq_fit(
+            res.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            m=m, k=k, n_iter=n_iter,
+        )
+    books = codebooks
+    # LUT stride derives from the model itself — a caller-supplied
+    # codebook with a different k than the fit params must not skew the
+    # element_at indexing below
+    m, k = len(books), len(books[0])
     probes = ivf_probe_cells(
         emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
         cell_col=cell_col,

@@ -80,6 +80,57 @@ def inverted_index(docs: DataFrame, min_df: int = 5, postings_cap: int = 20) -> 
     return stats.join(heads, "term")
 
 
+def _bm25_score_topk(
+    tf: DataFrame,
+    df_tbl: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail over prepared inputs — ``tf`` (doc_id,
+    term, tf) already filtered to the query terms, ``df_tbl`` (term, df),
+    ``dl`` (doc_id, dl), ``stats`` (1 row: n_docs, sum_dl). One
+    arithmetic for the recompute, persisted-index and segmented-index
+    paths, so they are value-equal by construction (the hash-checked
+    twin contract). Determinism: 6dp-rounded ``ln`` idf, 6dp-rounded
+    per-term scores summed in DECIMAL, fixed-point rank key with doc_id
+    tie-break."""
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5)), 6dp-rounded.
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfnorm = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    per_term = F.round(idf * tfnorm, 6).cast("decimal(20,6)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(per_term).cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(
+            F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
+        )
+        .limit(k)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -127,36 +178,7 @@ def bm25_topk(
     # tf (query-term postings) ⋈ dl (corpus lengths) is a plain equi-join
     # on doc_id — AQE broadcasts whichever side is small at runtime; the
     # per-term df and the 1-row corpus stats are explicit broadcasts.
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    # Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5)), 6dp-rounded.
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ),
-        6,
-    )
-    tfnorm = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
-    )
-    per_term = F.round(idf * tfnorm, 6).cast("decimal(20,6)")
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(per_term).cast("double").alias("bm25"),
-            F.count("*").alias("n_terms_hit"),
-        )
-        .orderBy(
-            F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
-        )
-        .limit(k)
-    )
+    return _bm25_score_topk(tf, df_tbl, dl, stats, k=k, k1=k1, b=b)
 
 
 def bm25_eval(
@@ -601,37 +623,7 @@ def bm25_persisted_topk(
     )
     dl = spark.read.parquet(f"{index_path}/doclens")
     stats = spark.read.parquet(f"{index_path}/stats")
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ),
-        6,
-    )
-    tfnorm = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
-    )
-    per_term = F.round(idf * tfnorm, 6).cast("decimal(20,6)")
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(per_term).cast("double").alias("bm25"),
-            F.count("*").alias("n_terms_hit"),
-        )
-        .orderBy(
-            F.col("bm25").cast("decimal(32,12)").desc(), F.col("doc_id")
-        )
-        .limit(k)
-    )
+    return _bm25_score_topk(tf, df_tbl, dl, stats, k=k, k1=k1, b=b)
 
 
 def rm3_persisted_expansion_terms(
@@ -689,3 +681,248 @@ def bm25_rm3_persisted_topk(
     )
     terms = [t.lower() for t in seed_terms] + expansion
     return bm25_persisted_topk(spark, index_path, terms, k=k, k1=k1, b=b)
+
+# ---------------------------------------------------------------------------
+# segmented lexical index: incremental admission without corpus re-tokenize
+#
+# ``bm25_publish_index`` rebuilds the whole index per version — a growing
+# corpus re-tokenizes everything on every refresh (round-12 VERDICT #3).
+# The segmented store is the Lucene-shaped fix: postings and doclens live
+# in IMMUTABLE SEGMENTS under ``root/segs/`` (one per admitted batch; the
+# tokenize cost of an admit is O(delta), never O(corpus)); each published
+# version is just a ``segments.json`` membership list plus the
+# vocabulary-sized merged termstats and the 1-row merged stats — both
+# algebraic sums of per-segment partials (the ``daily_partials`` /
+# ``merge_partials_monthly`` pattern from operators/aggregations.py).
+# Publication rides the SAME manifest-pointer store as the IVF-PQ and
+# full-rebuild BM25 indexes (``operators.pq.publish_version``), so the
+# atomicity/race/retention contract tests cover it too. Serving
+# multi-path-reads every live segment's postings in ONE scan (term
+# predicate still pushed to each range-sorted file's footer).
+#
+# Hash-equality with a full rebuild holds by algebra: with append-only
+# disjoint doc_ids, ∪ segment tf == full-corpus tf, Σ segment df == full
+# df, Σ (n_docs, sum_dl) == full stats — proven by the registry twin
+# ``retrieval_bm25_incremental`` sharing ``text_bm25_topk``'s oracle.
+
+
+def _write_small_file(spark, path: str, text: str) -> None:
+    """Write a small FS file (segments.json) through the JVM FileSystem
+    API — same route as the manifest writes in ``pq.publish_version``."""
+    from .atomic_swap import _fs_and_path
+
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def bm25_write_segment(docs: DataFrame, seg_path: str) -> None:
+    """Materialize ONE immutable postings segment from ``docs`` — at
+    admit time ``docs`` is the DELTA batch only, so this is the only
+    place the text column is read (plan-pinned: the serve path never
+    tokenizes). Four tables: ``postings`` (term, doc_id, tf) range-sorted
+    for footer-level term skipping, ``doclens`` (doc_id, dl), and the
+    segment's ALGEBRAIC PARTIALS ``termstats`` (term, df) and ``stats``
+    (n_docs, sum_dl) — mergeable by summation at publish time."""
+    tf = term_frequencies(docs)
+    (
+        tf.repartitionByRange(8, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("errorifexists")
+        .parquet(f"{seg_path}/postings")
+    )
+    dl = docs.select(
+        "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
+    )
+    dl.write.mode("errorifexists").parquet(f"{seg_path}/doclens")
+    (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .write.mode("errorifexists")
+        .parquet(f"{seg_path}/termstats")
+    )
+    dl.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).write.mode("errorifexists").parquet(f"{seg_path}/stats")
+
+
+def _publish_segmented_version(
+    spark,
+    root: str,
+    seg_names: list[str],
+    termstats: DataFrame,
+    stats: DataFrame,
+    retain: int,
+    fingerprint: "str | None",
+) -> str:
+    import json
+
+    from .pq import publish_version
+
+    def write_fn(vpath: str) -> None:
+        (
+            termstats.repartitionByRange(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("errorifexists")
+            .parquet(f"{vpath}/termstats")
+        )
+        stats.write.mode("errorifexists").parquet(f"{vpath}/stats")
+        _write_small_file(
+            spark, f"{vpath}/segments.json",
+            json.dumps({"segments": sorted(seg_names)}),
+        )
+
+    path = publish_version(
+        spark, root, write_fn, retain=retain, fingerprint=fingerprint
+    )
+    _bm25_gc_segments(spark, root)
+    return path
+
+
+def bm25_publish_segmented(
+    docs: DataFrame,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Base publish of the segmented store: one segment holding the whole
+    starting corpus; the version's merged termstats/stats ARE the
+    segment's partials. Returns the published version path."""
+    import uuid
+
+    spark = docs.sparkSession
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    bm25_write_segment(docs, f"{root}/segs/{seg}")
+    return _publish_segmented_version(
+        spark, root, [seg],
+        spark.read.parquet(f"{root}/segs/{seg}/termstats"),
+        spark.read.parquet(f"{root}/segs/{seg}/stats"),
+        retain, fingerprint,
+    )
+
+
+def bm25_admit_delta(
+    delta_docs: DataFrame,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Admit a DELTA batch of documents into the segmented store: write
+    one new segment from the delta (the only tokenize), merge the
+    standing version's termstats/stats with the segment's partials by
+    summation, and publish segments ∪ {new} via the shared manifest
+    pointer. Nothing corpus-sized is rewritten — the standing segments'
+    postings/doclens files are untouched on disk.
+
+    Append discipline: delta ``doc_id``s must be disjoint from the
+    standing corpus (the ``ivfpq_delta_index`` admission contract) — a
+    re-submitted id would double-count df/dl. Segment GC assumes
+    single-writer admits (concurrent VERSION writers stay safe via the
+    manifest total order, but a concurrent admit's not-yet-published
+    segment is invisible to the GC's liveness scan)."""
+    import json
+    import uuid
+
+    from .pq import _read_small_file, ivfpq_resolve_index
+
+    spark = delta_docs.sparkSession
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        return bm25_publish_segmented(
+            delta_docs, root, retain=retain, fingerprint=fingerprint
+        )
+    _, vpath = cur
+    seg_names = json.loads(
+        _read_small_file(spark, f"{vpath}/segments.json")
+    )["segments"]
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    bm25_write_segment(delta_docs, f"{root}/segs/{seg}")
+    merged_ts = (
+        spark.read.parquet(f"{vpath}/termstats")
+        .unionByName(spark.read.parquet(f"{root}/segs/{seg}/termstats"))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    merged_st = (
+        spark.read.parquet(f"{vpath}/stats")
+        .unionByName(spark.read.parquet(f"{root}/segs/{seg}/stats"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    return _publish_segmented_version(
+        spark, root, list(seg_names) + [seg], merged_ts, merged_st,
+        retain, fingerprint,
+    )
+
+
+def _bm25_gc_segments(spark, root: str) -> None:
+    """Delete segments referenced by NO live manifest's version (runs
+    after each publish; publish_version's own GC has already dropped
+    out-of-retention versions and manifests). Best-effort, like the rest
+    of the store GC."""
+    import json
+
+    from .atomic_swap import _fs_and_path
+    from .pq import _list_index_manifests, _read_small_file
+
+    live: set[str] = set()
+    for _seq, mpath in _list_index_manifests(spark, root):
+        try:
+            doc = json.loads(_read_small_file(spark, mpath))
+            sj = _read_small_file(
+                spark, f"{root}/{doc['version_dir']}/segments.json"
+            )
+            live |= set(json.loads(sj)["segments"])
+        except Exception:  # pragma: no cover - non-segmented version
+            pass
+    fs, segdir = _fs_and_path(spark, f"{root}/segs")
+    if not fs.exists(segdir):
+        return
+    for st in fs.listStatus(segdir):
+        if st.getPath().getName() not in live:
+            fs.delete(st.getPath(), True)
+
+
+def bm25_segmented_topk(
+    spark,
+    root: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served from the SEGMENTED store's current version: one
+    multi-path postings scan over every live segment (term predicate
+    pushed to each range-sorted file), one multi-path doclens scan, the
+    merged termstats filtered to the query terms, and the 1-row merged
+    stats — the corpus text column is never read and nothing
+    re-tokenizes, no matter how many admits built the index. Scoring is
+    the shared :func:`_bm25_score_topk` arithmetic, so the result is
+    hash-equal to a full rebuild (registry twin pins it)."""
+    import json
+
+    from .pq import _read_small_file, ivfpq_resolve_index
+
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(f"bm25_segmented_topk: nothing published under {root}")
+    _, vpath = cur
+    segs = json.loads(
+        _read_small_file(spark, f"{vpath}/segments.json")
+    )["segments"]
+    terms = [t.lower() for t in query_terms]
+    tf = spark.read.parquet(
+        *[f"{root}/segs/{s}/postings" for s in segs]
+    ).filter(F.col("term").isin(terms))
+    dl = spark.read.parquet(*[f"{root}/segs/{s}/doclens" for s in segs])
+    df_tbl = spark.read.parquet(f"{vpath}/termstats").filter(
+        F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{vpath}/stats")
+    return _bm25_score_topk(tf, df_tbl, dl, stats, k=k, k1=k1, b=b)

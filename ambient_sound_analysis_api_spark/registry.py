@@ -6460,20 +6460,28 @@ def q_sql_interface_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _ivfpq_residual_oracle(
     m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16,
-    nprobe: int = 2, topk: int = 10,
+    nprobe: int = 2, topk: int = 10, src: str = "embeddings",
 ) -> str:
-    parts = ["""
-    cent AS (
+    """Residual-IVF-PQ oracle chain over ``src`` — any relation shaped
+    ``(vec_id, label, embedding)``: coarse cell centroids (decimal mean
+    per (label, dim)), the residual dimension table, m residual k-means
+    chains, per-probed-cell query LUTs and the cell-keyed ADC sum
+    (terminal CTE ``adcr``). ``cent``/``redim`` are MATERIALIZED — each
+    is referenced by every unrolled subspace chain, and DuckDB would
+    otherwise re-plan the whole upstream join per reference (the
+    317 s → 0.5 s fixpoint-oracle lesson)."""
+    parts = [f"""
+    cent AS MATERIALIZED (
       SELECT label, i,
              CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
       FROM (SELECT label, unnest(embedding) AS x,
-                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+                   generate_subscripts(embedding, 1) AS i FROM {src}) t
       GROUP BY label, i
     ),
-    redim AS (
+    redim AS MATERIALIZED (
       SELECT t.vec_id, t.x - c.m AS x, t.i
       FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+                   generate_subscripts(embedding, 1) AS i FROM {src}) t
       JOIN cent c ON c.label = t.label AND c.i = t.i
     )"""]
     for s in range(m):
@@ -6481,7 +6489,7 @@ def _ivfpq_residual_oracle(
         parts.append(",")
         parts.append(
             _kmeans_ctes(
-                n_iter=n_iter, k=k, p=f"r{s}",
+                n_iter=n_iter, k=k, p=f"r{s}", src=src,
                 edim_sql=(
                     f"SELECT vec_id, x, i - {lo} + 1 AS i FROM redim "
                     f"WHERE i BETWEEN {lo} AND {hi}"
@@ -6489,10 +6497,10 @@ def _ivfpq_residual_oracle(
             )
         )
     parts.append(f""",
-    qv AS (SELECT min(vec_id) AS qid FROM embeddings),
+    qv AS (SELECT min(vec_id) AS qid FROM {src}),
     qdim AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                     generate_subscripts(embedding, 1) AS i
-             FROM embeddings WHERE vec_id = (SELECT qid FROM qv)),
+             FROM {src} WHERE vec_id = (SELECT qid FROM qv)),
     cd AS (SELECT c.label, sum((c.m - q.qx) * (c.m - q.qx)) AS d
            FROM cent c JOIN qdim q USING (i) GROUP BY c.label),
     iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT {nprobe}),
@@ -6521,7 +6529,7 @@ def _ivfpq_residual_oracle(
     adc_sum = " + ".join(f"qd{s}.qd" for s in range(m))
     parts.append(f""",
     codes AS (SELECT a0.vec_id, {code_cols} FROM r0af a0 {code_joins}),
-    cand AS (SELECT e.vec_id, e.label FROM embeddings e
+    cand AS (SELECT e.vec_id, e.label FROM {src} e
              JOIN iprobes USING (label)
              WHERE e.vec_id <> (SELECT qid FROM qv)),
     adcr AS (
@@ -14361,10 +14369,13 @@ def _fixpoint_rounds_sql(rounds: int = 8, k: int = 8) -> str:
     # k-means chain per reference — measured 317 s vs ~2 s materialized
     parts = [
         """pref AS MATERIALIZED (
+      -- rank key snapped to DECIMAL(15,9) (engine convention: never rank
+      -- on raw doubles); matches the engine's preference-struct snap
       SELECT vec_id, cluster, d,
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) - 1
                AS pos
-      FROM df
+      FROM (SELECT vec_id, cluster,
+                   CAST(round(d, 9) AS DECIMAL(15,9)) AS d FROM df) snap
     ),
     tot AS (SELECT count(DISTINCT vec_id) AS n FROM pref),
     capv AS (
@@ -14712,6 +14723,63 @@ def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _bm25_seg_root(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the SEGMENTED BM25 store for a dataset: base publish
+    over 90% of the corpus (doc_id % 10 != 0), then one
+    ``bm25_admit_delta`` of the remaining 10% — so the served version is
+    genuinely two segments deep and the delta admission path (not a
+    monolithic rebuild) produced it. Fingerprint-keyed and
+    atexit-reclaimed like the other index stores."""
+    import tempfile
+
+    from .operators.retrieval import bm25_admit_delta, bm25_publish_segmented
+
+    docs = _table(spark, sf_dir, "documents")
+    fkey = _dataset_fingerprint(sf_dir, "documents")
+    skey = (fkey[0], "bm25seg")
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey:
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix="bm25_seg_"
+        )
+        bm25_publish_segmented(
+            docs.filter(F.col("doc_id") % 10 != 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        bm25_admit_delta(
+            docs.filter(F.col("doc_id") % 10 == 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey, root)
+    else:
+        root = entry[0]
+    return root
+
+
+@register("retrieval_bm25_incremental", _BM25_TOPK_SQL)
+def q_retrieval_bm25_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental lexical-index admission (round-12 VERDICT #3 — the
+    ``emb_ivfpq_incremental`` contract applied to BM25): the corpus is
+    published as a base segment (90% of docs) and a DELTA batch (the
+    remaining 10%) admitted via ``operators.retrieval.bm25_admit_delta``
+    — the delta is the only thing tokenized (one new immutable postings
+    segment; standing segment files untouched), df/avgdl stats merge
+    algebraically (Σ segment partials), and the new membership publishes
+    through the shared manifest-pointer version store. Serving
+    multi-path-reads both segments' postings in one scan. Sharing
+    ``text_bm25_topk``'s full-corpus oracle makes the VERDICT's done
+    criterion the hash check itself: incremental admission is
+    value-equal to a full rebuild."""
+    from .operators.retrieval import bm25_segmented_topk
+
+    root = _bm25_seg_root(spark, sf_dir)
+    return bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    )
+
+
 @register("retrieval_rm3_persisted", _RM3_TOPK_SQL)
 def q_retrieval_rm3_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback served ENTIRELY from the persisted
@@ -14899,6 +14967,112 @@ def q_emb_ivfpq_clustered_adc_audit(
         ced.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(qd))
         .select("vec_id", _snap9_sqdist(F.col("_xd"), F.col("_qd")).alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("_hit"))
+    )
+    hits = F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+    return top.join(F.broadcast(exact), "vec_id", "left").agg(
+        hits.cast("bigint").alias("n_hits"),
+        (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        F.lit(2).cast("int").alias("nprobe"),
+    )
+
+
+@register(
+    "emb_ivfpq_residual_adc_audit",
+    f"""
+    WITH cembd AS MATERIALIZED ({_clustered_edim_sql()}),
+    cemb AS MATERIALIZED (
+      SELECT vec_id, list(x ORDER BY i) AS embedding
+      FROM cembd GROUP BY vec_id
+    ),
+    {_kmeans_ctes(edim_sql="SELECT vec_id, x, i FROM cembd", src="cemb")},
+    csrc AS MATERIALIZED (
+      SELECT c.vec_id, a.cluster AS label, c.embedding
+      FROM cemb c JOIN af a USING (vec_id)
+    ),
+    {_ivfpq_residual_oracle(m=8, k=16, n_iter=3, d_sub=8, src="csrc")},
+    rtop AS (
+      SELECT vec_id FROM adcr ORDER BY round(dist, 6), vec_id LIMIT 10
+    ),
+    red AS (
+      SELECT vec_id, i, CAST(round(x, 9) AS DECIMAL(15,9)) AS xs FROM cembd
+    ),
+    rqex AS (
+      SELECT i, CAST(round(x, 9) AS DECIMAL(15,9)) AS qx
+      FROM cembd WHERE vec_id = (SELECT qid FROM qv)
+    ),
+    rxd AS (
+      SELECT e.vec_id, sum((e.xs - q.qx) * (e.xs - q.qx)) AS d
+      FROM red e JOIN rqex q USING (i)
+      WHERE e.vec_id <> (SELECT qid FROM qv)
+      GROUP BY e.vec_id
+    ),
+    rexact AS (SELECT vec_id FROM rxd ORDER BY d, vec_id LIMIT 10)
+    SELECT CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall_at_10,
+           CAST(2 AS INT) AS nprobe
+    FROM rtop t LEFT JOIN rexact e USING (vec_id)
+    """,
+)
+def q_emb_ivfpq_residual_adc_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-encoding close of the ``emb_ivfpq_clustered_adc_audit``
+    0.4-recall gap (round-12 VERDICT #2): IDENTICAL geometry (clustered
+    fixture, fitted k=8 cells), identical code budget (m=8/k=16/3
+    Lloyd's iterations, nprobe=2, NO rerank) — but the PQ codebooks fit
+    on ``x − centroid(cell(x))`` (``operators.pq.ivfpq_residual_topk``),
+    so all 8 bits per subspace describe within-cell variation. The ADC
+    LUT becomes cell-keyed (the query residual differs per probed cell);
+    the oracle unrolls coarse centroids, the residual dim table, eight
+    residual Lloyd's chains and the cell-keyed ADC sum
+    (``_ivfpq_residual_oracle`` over the fixture+fit as ``csrc``).
+    Committed readouts (see NOTES.md round 13) beat the raw-vector
+    audit's recall at the same code size; the serve-path default remains
+    shortlist+exact-rerank (``ivfpq_incremental_rerank_topk``) — residual
+    encoding narrows code distortion, it does not eliminate it."""
+    from .operators.clustering import kmeans_predict
+    from .operators.pq import ivfpq_residual_topk, pq_fit, residual_vectors
+    from .operators.similarity import ivf_cell_centroids
+
+    cent, ce = _clustered_fit(spark, sf_dir, skew=False)
+    assigned = kmeans_predict(ce, cent).select("vec_id", "cluster")
+    cec = ce.select("vec_id", "embedding").join(assigned, "vec_id")
+    key = (
+        "clustered-respq", _dataset_fingerprint(sf_dir, "embeddings"),
+        8, 16, 3,
+    )
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        cents = ivf_cell_centroids(cec, cell_col="cluster")
+        res = residual_vectors(cec, cents, cell_col="cluster")
+        books = pq_fit(res, m=8, k=16, n_iter=3)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    qid = int(ce.agg(F.min("vec_id")).first()[0])
+    query = [
+        float(x)
+        for x in ce.filter(F.col("vec_id") == qid)
+        .select("embedding")
+        .first()[0]
+    ]
+    top = ivfpq_residual_topk(
+        cec, query, qid, topk=10, nprobe=2, cell_col="cluster",
+        codebooks=books,
+    ).select("vec_id")
+    ced = ce.select(
+        "vec_id", F.transform(F.col("embedding"), _snap9).alias("_xd")
+    )
+    qd = ced.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
+    exact = (
+        ced.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id", _snap9_sqdist(F.col("_xd"), F.col("_qd")).alias("_d")
+        )
         .orderBy("_d", "vec_id")
         .limit(10)
         .select("vec_id", F.lit(True).alias("_hit"))

@@ -412,3 +412,31 @@ def test_decode_image_impl_bmp_and_nonbmp():
     assert meta["pixel_bytes"][:6] == b"\x01\x02\x03\x04\x05\x06"
     with _pytest.raises(DecodeUnavailable):
         _decode_image_impl(b"\x89PNG\r\n\x1a\nnot-decodable-here")
+
+
+def test_decode_image_impl_rejects_truncated_and_degenerate_bmp():
+    """Round-13 ADVICE: a truncated or malformed BMP must FAIL loudly,
+    never silently return short pixel_bytes."""
+    import struct
+
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.operators.multimodal import (
+        _decode_image_impl,
+    )
+
+    w, h = 4, 2
+    stride = w * 3 + ((-(w * 3)) % 4)
+    header = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                          0, 0, 0, 0)
+    full = header + bytes(range(stride)) * h
+    assert len(_decode_image_impl(full)["pixel_bytes"]) == stride * h
+    # truncated payload: header declares stride*h pixel bytes, body short
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        _decode_image_impl(full[:-5])
+    # degenerate dimensions: zero/negative width
+    bad = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    bad += struct.pack("<IiiHHIIiiII", 40, 0, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="invalid BMP dimensions"):
+        _decode_image_impl(bad)
