@@ -1587,6 +1587,24 @@ def exact_substring_dedup(
     spans = exact_substring_spans(
         docs, min_len=min_len, id_col=id_col, text_col=text_col
     )
+    return rebuild_without_spans(
+        docs, spans, id_col=id_col, text_col=text_col
+    )
+
+
+def rebuild_without_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold a ``(id, span_start, span_end)`` removal list out of each
+    document — the shared rebuild tail of :func:`exact_substring_dedup`
+    (self-duplicated spans) and
+    ``contamination.substring_decontaminate`` (benchmark-contaminated
+    spans). Same contract: span-fold concat of inter-span segments, one
+    codegen projection, no char explode; docs without spans pass through
+    intact, fully-covered docs come back empty."""
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -294,3 +294,136 @@ def pca_top_component_datapass(
         F.col("vd").cast("double").alias("loading"),
         "eigenvalue",
     )
+
+
+def pca_topk_spectrum(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_iter: int = PCA_ITERATIONS,
+) -> DataFrame:
+    """Top-``k`` eigenvalue spectrum by Hotelling deflation (round-12
+    VERDICT #6): representation-collapse diagnostics need the DECAY of
+    the spectrum, not just the dominant direction — a healthy embedding
+    space shows λ₂/λ₁, λ₃/λ₁ well above 0, a collapsed one puts
+    everything in λ₁.
+
+    Per component: the same 3-step power iteration as
+    :func:`pca_top_component` (identical exact-decimal lock-step), then
+    the matrix deflates ``C ← C − λ·v·vᵀ`` — λ snapped to DECIMAL(15,9),
+    each outer-product term ``v_i·v_j`` an exact decimal product snapped
+    to 9dp before the exact λ-multiply, the difference re-rounded to the
+    matrix's DECIMAL(15,9) grid — so both engines carry bit-identical
+    deflated matrices into the next component (the k-means/PageRank
+    fixed-unroll contract, nested). The covariance is computed ONCE
+    (data-sized); every deflation round is d²-row model-sized work, and
+    each intermediate matrix/vector is eagerly local-checkpointed so
+    lineage depth stays linear in k (see the in-body comment).
+
+    Returns one row per component: ``(component, eigenvalue,
+    ratio_to_top)`` with ``ratio_to_top = round(λ_t / λ_1, 6)`` over the
+    6dp eigenvalues (identical operands both engines).
+    """
+    spark = emb.sparkSession
+    # localCheckpoint (the kcenter_greedy precedent), NOT persist: each
+    # deflated matrix's logical plan embeds the previous component's whole
+    # power-iteration chain, so lineage grows EXPONENTIALLY in k — persist
+    # leaves the logical plan intact and the analyzer chokes on it;
+    # checkpointing the model-sized intermediates (4096-row matrix, 64-row
+    # vector, 1-row lambda) truncates lineage at each stage
+    C = covariance_matrix(emb, id_col, vec_col).select(
+        "i", "j", F.col("c").cast("decimal(15,9)").alias("cd")
+    ).localCheckpoint()
+    spectra = []
+    for t in range(1, k + 1):
+        covb = F.broadcast(C)
+        v = spark.range(1, dim + 1).select(
+            F.col("id").alias("i"),
+            (F.lit(1.0) / F.sqrt(F.lit(float(dim))))
+            .cast("decimal(15,9)")
+            .alias("vd"),
+        )
+        for _ in range(n_iter):
+            raw = (
+                covb.join(v.withColumnRenamed("i", "j"), "j")
+                .groupBy("i")
+                .agg(
+                    F.sum(F.col("cd") * F.col("vd")).cast("double").alias("s")
+                )
+            )
+            nrm = raw.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("s") * F.col("s"), 12)
+                        .cast("decimal(26,12)")
+                    ).cast("double")
+                ).alias("nrm")
+            )
+            v = raw.crossJoin(F.broadcast(nrm)).select(
+                "i",
+                F.round(F.col("s") / F.col("nrm"), 9)
+                .cast("decimal(15,9)")
+                .alias("vd"),
+            )
+        # referenced by r4, the Rayleigh join, and the two deflation sides
+        v = v.localCheckpoint()
+        r4 = (
+            covb.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(
+                F.round(F.sum(F.col("cd") * F.col("vd")).cast("double"), 9)
+                .cast("decimal(15,9)")
+                .alias("rd")
+            )
+        )
+        lam = r4.join(F.broadcast(v), "i").agg(
+            F.round(
+                F.sum(F.col("vd") * F.col("rd")).cast("double"), 6
+            ).alias("eigenvalue"),
+            F.round(
+                F.sum(F.col("vd") * F.col("rd")).cast("double"), 9
+            )
+            .cast("decimal(15,9)")
+            .alias("lam9"),
+        ).localCheckpoint()
+        spectra.append(
+            lam.select(
+                F.lit(t).cast("int").alias("component"), "eigenvalue"
+            )
+        )
+        if t < k:
+            vi = v.select("i", F.col("vd").alias("_vi"))
+            vj = v.select(F.col("i").alias("j"), F.col("vd").alias("_vj"))
+            outer9 = F.round(F.col("_vi") * F.col("_vj"), 9).cast(
+                "decimal(15,9)"
+            )
+            C = (
+                C.join(F.broadcast(vi), "i")
+                .join(F.broadcast(vj), "j")
+                .crossJoin(F.broadcast(lam.select("lam9")))
+                .select(
+                    "i",
+                    "j",
+                    F.round(F.col("cd") - F.col("lam9") * outer9, 9)
+                    .cast("decimal(15,9)")
+                    .alias("cd"),
+                )
+                .localCheckpoint()
+            )
+    spec = spectra[0]
+    for s in spectra[1:]:
+        spec = spec.unionByName(s)
+    top = spectra[0].select(F.col("eigenvalue").alias("_e1"))
+    return (
+        spec.crossJoin(F.broadcast(top))
+        .select(
+            "component",
+            "eigenvalue",
+            F.round(F.col("eigenvalue") / F.col("_e1"), 6).alias(
+                "ratio_to_top"
+            ),
+        )
+        .orderBy("component")
+    )

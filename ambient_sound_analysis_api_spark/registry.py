@@ -4762,6 +4762,150 @@ def q_pipeline_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_canonical_decontaminated",
+    rf"""
+    WITH RECURSIVE
+    t0 AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, len(toks) - 6)]) AS sh
+      FROM t0 WHERE len(toks) >= 8
+    ),
+    e0g AS (SELECT doc_id, unnest(sh) AS shingle FROM g0),
+    bsh AS (SELECT DISTINCT shingle FROM e0g WHERE doc_id % 20 = 0),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM e0g
+      WHERE doc_id % 20 <> 0 AND shingle IN (SELECT shingle FROM bsh)
+    ),
+    surv AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 20 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    gg AS MATERIALIZED (
+      SELECT doc_id, b, u.o AS o, u.h AS h FROM (
+        SELECT doc_id, doc_id % 20 = 0 AS b,
+               unnest([{{'o': i, 'h': md5(substr(text, i, 50))}}
+                       FOR i IN range(1, length(text) - 48)]) AS u
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+              UNION ALL SELECT doc_id, text FROM surv))
+    ),
+    bh AS (SELECT DISTINCT h FROM gg WHERE b),
+    seed AS (SELECT gg.doc_id, gg.o FROM gg JOIN bh USING (h) WHERE NOT gg.b),
+    brk AS (
+      SELECT doc_id, o,
+             CASE WHEN o > lag(o) OVER (PARTITION BY doc_id ORDER BY o) + 50
+                  THEN 1 ELSE 0 END AS bk
+      FROM seed
+    ),
+    isl AS (
+      SELECT doc_id, o,
+             sum(bk) OVER (PARTITION BY doc_id ORDER BY o
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(o) AS s, max(o) + 49 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    chars AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM surv)
+    ),
+    covered AS (
+      SELECT DISTINCT c.doc_id, c.i
+      FROM chars c JOIN spans s
+        ON s.doc_id = c.doc_id AND c.i BETWEEN s.s AND s.e
+    ),
+    kept AS (
+      SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS kt
+      FROM chars c LEFT JOIN covered v
+        ON v.doc_id = c.doc_id AND v.i = c.i
+      WHERE v.i IS NULL
+      GROUP BY c.doc_id
+    ),
+    cleaned AS (
+      SELECT s.doc_id, coalesce(k.kt, '') AS text
+      FROM surv s LEFT JOIN kept k USING (doc_id)
+    ),
+    {_ngram_jaccard_ctes(source="cleaned")},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM jac_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM jac_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM cleaned
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ),
+    lab AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id AS keep_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped
+    FROM lab GROUP BY cluster_id
+    ORDER BY keep_id
+    """,
+)
+def q_pipeline_canonical_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The canonical-corpus pipeline with BOTH decontamination stages
+    composed in front (round-12 VERDICT #8): (1) GPT-3-style token
+    8-gram decontamination DROPS train docs sharing any shingle with the
+    held-out benchmark (every 20th doc); (2) the character-exact pass
+    (Lee et al. 2022 cross-set) REMOVES ≥50-char benchmark-covered spans
+    from the survivors' text (``contamination.substring_decontaminate``
+    — span removal, not just reporting); (3) the cleaned corpus then
+    canonicalizes exactly like ``pipeline_canonical_corpus`` (3-gram
+    Jaccard ≥ 0.2 pairs → connected components → keep/drop rollup). The
+    oracle replays all three stages — including the per-char rebuild
+    verification of the span fold — so the hash check pins that cluster
+    structure was computed over the DECONTAMINATED text."""
+    from .operators import dedup
+    from .operators.contamination import (
+        contamination_report, substring_decontaminate,
+    )
+    from .operators.graph import connected_components
+
+    docs = _table(spark, sf_dir, "documents")
+    bench = F.col("doc_id") % 20 == 0
+    flagged = contamination_report(docs, bench_pred=bench, n=8).select(
+        "doc_id"
+    )
+    survivors = docs.filter(~bench).join(flagged, "doc_id", "left_anti")
+    stage2_in = docs.filter(bench).unionByName(survivors)
+    cleaned = substring_decontaminate(
+        stage2_in, bench_pred=F.col("doc_id") % 20 == 0, min_len=50
+    )
+    cleaned_docs = cleaned.select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    edges = dedup.ngram_jaccard_pairs(cleaned_docs, n=3, threshold=0.2)
+    cc = connected_components(
+        edges, cleaned_docs.select("doc_id"), node_col="doc_id"
+    )
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.col("cluster_id").alias("keep_id"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("keep_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 12. adapted TPC-H over a pseudo-partsupp (round 5 breadth)
 #
@@ -6348,18 +6492,49 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mm_image_phash_dedup", None)
 def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup via perceptual hash (operators/multimodal.py::
-    perceptual_hash): binary payloads → 63-bit dHash fingerprints
-    (Arrow-batched numpy in mapInPandas — the codec boundary genuinely
-    needs Python; pixel decode honestly stubbed with a deterministic byte
-    grid) → the SAME SimHash band-blocking index the text family uses
-    (``dedup.hamming_near_pairs``) finds pairs within Hamming radius 3.
-    Image dedup rides the existing near-dup machinery, no new join
-    strategy. Deterministic end to end → golden-file checked (no SQL
-    oracle can express the numpy kernel)."""
-    media = multimodal.documents_as_media(_table(spark, sf_dir, "documents"))
-    ph = multimodal.perceptual_hash(media)
-    return dedup.hamming_near_pairs(ph, max_dist=3).orderBy("id_a", "id_b")
+    """Image near-dup over REAL decoded containers (round-12 VERDICT #5 —
+    the image path now matches the audio path's container-in/answer-out
+    honesty): deterministic BMP variants (gradient pattern keyed by
+    ``media_id % 8``, per-image brightness shift — the invariance a dHash
+    is FOR) → real struct/numpy decode + integer-luma 8×9 block-mean
+    dHash (``multimodal.bmp_perceptual_hash``) → exact-hash
+    representative collapse (brightness twins of one pattern hash
+    identically, and collapsing them BEFORE the pair join is the repo's
+    dup-heavy near-dup doctrine) → the SAME SimHash band-blocking index
+    the text family uses (``dedup.hamming_near_pairs``) pairs the
+    representatives within Hamming radius 3, multiplicities joined back.
+    Output is bounded by DISTINCT hashes, not by dup-clique size.
+    Deterministic end to end → golden-file checked (no SQL oracle can
+    express the numpy decode kernel)."""
+    ids = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = multimodal.synth_bmp_variants(ids, n_groups=8)
+    ph = multimodal.bmp_perceptual_hash(media)
+    reps = ph.groupBy("simhash").agg(
+        F.min("id").alias("id"), F.count("*").cast("long").alias("n_ids")
+    )
+    pairs = dedup.hamming_near_pairs(
+        reps.select("id", "simhash"), max_dist=3
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                reps.select(F.col("id").alias("id_a"), F.col("n_ids").alias("n_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                reps.select(F.col("id").alias("id_b"), F.col("n_ids").alias("n_b"))
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -8885,6 +9060,125 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, dim=64, n_iter=3).orderBy("dim")
+
+
+def _pca_spectrum_sql(k: int = 3, n_iter: int = 3, dim: int = 64) -> str:
+    """Top-k spectrum oracle: the ``emb_pca_top_component`` chain nested
+    k times with Hotelling deflation between components. Every deflated
+    matrix ``m{t}`` and final vector ``p{t}vf`` is MATERIALIZED — each is
+    referenced by ~5 downstream CTEs and the matrices CHAIN (m3 reads m2
+    reads m1), so inlining would re-plan the upstream chain exponentially
+    (the fixpoint-oracle lesson). Deflation arithmetic mirrors
+    ``operators.linalg.pca_topk_spectrum`` bit-for-bit: λ snapped to
+    DECIMAL(15,9), outer-product terms rounded to 9dp decimals before the
+    exact λ-multiply, difference re-rounded onto the DECIMAL(15,9) grid."""
+    parts = [f"""
+    WITH edim AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT i, CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x)
+               AS mu
+      FROM edim GROUP BY i
+    ),
+    cdim AS (
+      SELECT e.vec_id, e.i,
+             CAST(round(e.x - m.mu, 6) AS DECIMAL(18,6)) AS xc
+      FROM edim e JOIN mu m USING (i)
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    cov AS (
+      SELECT a.i, b.i AS j,
+             round(CAST(sum(a.xc * b.xc) AS DOUBLE) / nn.n, 9) AS c
+      FROM cdim a JOIN cdim b ON a.vec_id = b.vec_id CROSS JOIN nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    m1 AS MATERIALIZED (
+      SELECT i, j, CAST(c AS DECIMAL(15,9)) AS cd FROM cov
+    )"""]
+    for t in range(1, k + 1):
+        parts.append(f""",
+    p{t}v0 AS (
+      SELECT i, CAST(CAST(1.0 AS DOUBLE) / sqrt(CAST({dim} AS DOUBLE))
+                     AS DECIMAL(15,9)) AS vd
+      FROM range(1, {dim + 1}) t(i)
+    )""")
+        for it in range(1, n_iter + 1):
+            parts.append(f""",
+    p{t}r{it} AS (
+      SELECT c.i, CAST(sum(c.cd * v.vd) AS DOUBLE) AS s
+      FROM m{t} c JOIN p{t}v{it - 1} v ON c.j = v.i
+      GROUP BY c.i
+    ),
+    p{t}n{it} AS (
+      SELECT sqrt(CAST(sum(CAST(round(s * s, 12) AS DECIMAL(26,12)))
+                       AS DOUBLE)) AS nrm
+      FROM p{t}r{it}
+    ),
+    p{t}v{it} AS (
+      SELECT i, CAST(round(s / nrm, 9) AS DECIMAL(15,9)) AS vd
+      FROM p{t}r{it} CROSS JOIN p{t}n{it}
+    )""")
+        parts.append(f""",
+    p{t}vf AS MATERIALIZED (SELECT i, vd FROM p{t}v{n_iter}),
+    p{t}r4 AS (
+      SELECT c.i,
+             CAST(round(CAST(sum(c.cd * v.vd) AS DOUBLE), 9)
+                  AS DECIMAL(15,9)) AS rd
+      FROM m{t} c JOIN p{t}vf v ON c.j = v.i
+      GROUP BY c.i
+    ),
+    p{t}lam AS MATERIALIZED (
+      SELECT round(CAST(sum(v.vd * r.rd) AS DOUBLE), 6) AS eigenvalue,
+             CAST(round(CAST(sum(v.vd * r.rd) AS DOUBLE), 9)
+                  AS DECIMAL(15,9)) AS lam9
+      FROM p{t}r4 r JOIN p{t}vf v ON r.i = v.i
+    )""")
+        if t < k:
+            parts.append(f""",
+    m{t + 1} AS MATERIALIZED (
+      SELECT m.i, m.j,
+             CAST(round(m.cd - l.lam9
+                        * CAST(round(vi.vd * vj.vd, 9) AS DECIMAL(15,9)),
+                        9) AS DECIMAL(15,9)) AS cd
+      FROM m{t} m
+      JOIN p{t}vf vi ON vi.i = m.i
+      JOIN p{t}vf vj ON vj.i = m.j
+      CROSS JOIN p{t}lam l
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS component, eigenvalue FROM p{t}lam"
+        for t in range(1, k + 1)
+    )
+    parts.append(f""",
+    spec AS ({union}),
+    etop AS (SELECT eigenvalue AS e1 FROM p1lam)
+    SELECT CAST(component AS INT) AS component, eigenvalue,
+           round(eigenvalue / e1, 6) AS ratio_to_top
+    FROM spec CROSS JOIN etop
+    ORDER BY component
+    """)
+    return "".join(parts)
+
+
+@register("emb_pca_topk_spectrum", _pca_spectrum_sql(k=3, n_iter=3))
+def q_emb_pca_topk_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 eigenvalue spectrum by Hotelling deflation
+    (``operators.linalg.pca_topk_spectrum``, round-12 VERDICT #6):
+    representation-collapse diagnostics read the DECAY of the spectrum —
+    λ₂/λ₁ and λ₃/λ₁ near zero mean one direction swallowed the variance.
+    Covariance is computed once (the d²-key one-pass aggregation, wire
+    cost row-count independent); each component is 3 power iterations
+    over the broadcast model-sized matrix, then the matrix deflates
+    ``C ← C − λ·v·vᵀ`` in exact snapped-decimal arithmetic, so the whole
+    k×n_iter fit is one chained-CTE DuckDB oracle — the deepest nested
+    lock-step chain in the registry after the residual-PQ audit."""
+    from .operators.linalg import pca_topk_spectrum
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return pca_topk_spectrum(emb, dim=64, k=3, n_iter=3)
 
 
 def _pca_datapass_iter_ctes(n_iter: int = 3) -> str:

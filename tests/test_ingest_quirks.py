@@ -101,3 +101,53 @@ def test_band_set_drift_across_files_mergeschema(spark, tmp_path):
     }
     assert jan == {63.0: 1.0, 80.0: 2.0, 100.0: None}
     assert feb == {63.0: 3.0, 80.0: None, 100.0: 4.0}
+
+
+def test_corrupt_footer_skipped_with_count(spark, tmp_path):
+    """Round-12 VERDICT #7: a truncated parquet in a listing must be
+    skipped WITH A COUNT through the catalog → scan path, never fail the
+    job or vanish silently — and the strict default read must still fail,
+    pinning that the skip is a deliberate audit decision."""
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.sources.catalog import (
+        parquet_footer_audit, scan_with_corruption_audit,
+    )
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"good_{i}.parquet")
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.parquet(p)
+        paths.append(p)
+    # a torn write: a real file truncated mid-footer
+    bad = str(tmp_path / "torn.parquet")
+    src = str(tmp_path / "src.parquet")
+    spark.range(100, 110).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(src)
+    import glob
+    import shutil
+
+    os_part = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(os_part, bad + ".tmp")
+    with open(bad + ".tmp", "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[: len(blob) - 30])  # clip the footer
+    paths.append(bad)
+
+    data, audit = scan_with_corruption_audit(spark, paths)
+    assert data.count() == 30  # all good rows, no job failure
+    rows = {r["path"]: r for r in audit.collect()}
+    assert len(rows) == 4
+    assert [p for p, r in rows.items() if not r["ok"]] == [bad]
+    assert rows[bad]["error"] is not None
+    assert all(rows[p]["n_rows"] == 10 for p in paths[:3])
+    # contrast: the strict default read dies on the same listing
+    with _pytest.raises(Exception, match=".*"):
+        spark.read.parquet(*paths).count()
+    # audit alone over a fully-good listing reads clean
+    ok_audit = parquet_footer_audit(spark, paths[:3])
+    assert ok_audit.filter(~F.col("ok")).count() == 0

@@ -403,6 +403,16 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # 1-row query-vector broadcast in the probe, ADC and exact
         # branches over the clustered fixture (emb_ivfpq_topk shapes)
         "emb_ivfpq_clustered_adc_audit",
+        # same fixture/probe/exact 1-row broadcasts + the cell-keyed ADC
+        # LUT map (nprobe × m × k doubles, model-sized by construction)
+        "emb_ivfpq_residual_adc_audit",
+        # 1-row merged corpus-stats broadcast (N, avgdl) from the
+        # segmented store's version dir — the text_bm25_topk shape
+        "retrieval_bm25_incremental",
+        # 1-row norm/λ broadcasts per power iteration and the 1-row λ₁
+        # broadcast of the final ratio projection; the matrix itself is
+        # d²-row model-sized and checkpointed per deflation round
+        "emb_pca_topk_spectrum",
     }
     python_ok = {
         "mm_binary_meta",
