@@ -142,6 +142,14 @@ HEADLINE = [
     # predicate pushed into the range-sorted postings scan; no corpus
     # tokenize) — the sparse twin of emb_ivfpq_persisted_topk
     "retrieval_bm25_persisted_topk",
+    # round-13: serving from the SEGMENTED lexical store after a delta
+    # admission (multi-path postings scan, algebraically merged stats —
+    # the index-maintenance serving shape), the top-3 deflation spectrum
+    # (one covariance pass + checkpointed model-sized deflation rounds),
+    # and the fully-composed decontaminate→clean→canonicalize pipeline
+    "retrieval_bm25_incremental",
+    "emb_pca_topk_spectrum",
+    "pipeline_canonical_decontaminated",
 ]
 
 # --scale mode (round-12 VERDICT #1): the ~12 heaviest extension
@@ -237,6 +245,10 @@ def run_scale(args: list[str]) -> None:
 # serve twin (emb_ivfpq_persisted_topk) stays in the headline set.
 AUDIT = [
     "emb_ivfpq_incremental_recall_gate",
+    # pure-ADC recall audits on the clustered fixture: cost is the exact
+    # ground-truth branch + an un-memoizable residual encode of the
+    # probed cells — definitional, not a serving shape
+    "emb_ivfpq_residual_adc_audit",
 ]
 
 
