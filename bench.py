@@ -196,7 +196,40 @@ def run_scale(args: list[str]) -> None:
     ] or list(SCALE_SET)
     spark = get_spark("bench-scale")
     qs = queries()
+
+    def timed(fn, base_dir: str, runs: int = 2):
+        """Best-of-N with the operator caches EVICTED before every run —
+        scale_probe.time_query leaves tracked_persist caches live, so
+        its second run measures the cached serve, not the pipeline; a
+        wall-ratio over the cached residual would systematically
+        understate growth. Model memos (k-means/PQ fits) intentionally
+        survive: model build is one-time cost, not per-query cost.
+
+        The timed action is a NOOP-SINK WRITE, not count(): Catalyst
+        prunes columns a count never reads, and for rebuild-shaped
+        queries (doc LEFT JOIN unique-key aggregate) it eliminates the
+        whole expensive branch — a count-timed dedup_exact_substring
+        read 0.42 s at BOTH scales, i.e. it measured documents.count().
+        The noop sink materializes every output column with zero write
+        cost. Row counts for the report come from one untimed count."""
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, base_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+        return best, fn(spark, base_dir).count()
+
     big = scale_probe.build_corpus(spark, k)
+    # session warmup outside any timing: JVM, codegen, parquet footers
+    # (the first probed query otherwise absorbs it into its 1x wall)
+    qs[names[0]](spark, scale_probe.BASE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
     doc = {
         "metric": f"scale_wall_ratio_{k}x",
         "k": k,
@@ -206,10 +239,8 @@ def run_scale(args: list[str]) -> None:
     }
     try:
         for name in names:
-            spark.catalog.clearCache()
-            t1, n1 = scale_probe.time_query(qs[name], spark, scale_probe.BASE)
-            spark.catalog.clearCache()
-            tk, nk = scale_probe.time_query(qs[name], spark, big)
+            t1, n1 = timed(qs[name], scale_probe.BASE)
+            tk, nk = timed(qs[name], big)
             ratio = round(tk / t1, 2) if t1 > 0 else None
             doc["queries"][name] = {
                 "wall_1x": round(t1, 2),
