@@ -361,10 +361,11 @@ def _fit_line(out: dict) -> str:
     """Render ``out`` as one JSON line guaranteed under _LINE_BUDGET.
 
     Sheds detail in order of dispensability: the per-query flags dict,
-    then baseline metadata, then (last resort, never expected) trims the
-    queries dict alphabetically-from-the-end with a marker — a partial
-    per-query record beats another unparseable round artifact."""
-    for drop in ((), ("flags",), ("flags", "baseline", "drift_norm")):
+    then the baseline NAME, then (before ever dropping drift_norm —
+    the one number the judge reads for contention adjudication) trims
+    the queries dict alphabetically-from-the-end with a marker; the
+    full per-query record always lives in logs/bench_full.json."""
+    for drop in ((), ("flags",), ("flags", "baseline")):
         doc = {k: v for k, v in out.items() if k not in drop}
         line = json.dumps(doc, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:
