@@ -926,3 +926,63 @@ def bm25_segmented_topk(
     )
     stats = spark.read.parquet(f"{vpath}/stats")
     return _bm25_score_topk(tf, df_tbl, dl, stats, k=k, k1=k1, b=b)
+
+
+def bm25_compact_segments(
+    spark,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Lucene-style background COMPACTION for the segmented store: merge
+    every live segment into ONE new range-sorted segment and publish the
+    single-segment membership. Delta admission (:func:`bm25_admit_delta`)
+    trades write cost for segment proliferation — every query scans one
+    more file set per admit; compaction restores read amplification to
+    one file set WITHOUT touching the text column (the postings/doclens
+    ROWS are the source — the plan re-sorts index rows, it never
+    re-tokenizes). The merged termstats/stats are carried forward
+    unchanged: they describe the same corpus by the admit-time algebra.
+
+    Readers are never broken: the old version (and its segments, which
+    its membership still references) survives until retention GC ages it
+    out — the standard crash-safe publish contract. Returns the new
+    version path."""
+    import json
+    import uuid
+
+    from .pq import _read_small_file, ivfpq_resolve_index
+
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(f"bm25_compact_segments: nothing published under {root}")
+    _, vpath = cur
+    segs = json.loads(
+        _read_small_file(spark, f"{vpath}/segments.json")
+    )["segments"]
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    (
+        spark.read.parquet(*[f"{root}/segs/{s}/postings" for s in segs])
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("errorifexists")
+        .parquet(f"{root}/segs/{seg}/postings")
+    )
+    (
+        spark.read.parquet(*[f"{root}/segs/{s}/doclens" for s in segs])
+        .write.mode("errorifexists")
+        .parquet(f"{root}/segs/{seg}/doclens")
+    )
+    # the new segment's algebraic partials ARE the current merged tables
+    spark.read.parquet(f"{vpath}/termstats").write.mode(
+        "errorifexists"
+    ).parquet(f"{root}/segs/{seg}/termstats")
+    spark.read.parquet(f"{vpath}/stats").write.mode(
+        "errorifexists"
+    ).parquet(f"{root}/segs/{seg}/stats")
+    return _publish_segmented_version(
+        spark, root, [seg],
+        spark.read.parquet(f"{root}/segs/{seg}/termstats"),
+        spark.read.parquet(f"{root}/segs/{seg}/stats"),
+        retain, fingerprint,
+    )

@@ -9062,7 +9062,12 @@ def q_emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(emb, dim=64, n_iter=3).orderBy("dim")
 
 
-def _pca_spectrum_sql(k: int = 3, n_iter: int = 3, dim: int = 64) -> str:
+def _pca_spectrum_sql(
+    k: int = 3,
+    n_iter: int = 3,
+    dim: int = 64,
+    edim_sql: "str | None" = None,
+) -> str:
     """Top-k spectrum oracle: the ``emb_pca_top_component`` chain nested
     k times with Hotelling deflation between components. Every deflated
     matrix ``m{t}`` and final vector ``p{t}vf`` is MATERIALIZED — each is
@@ -9072,12 +9077,13 @@ def _pca_spectrum_sql(k: int = 3, n_iter: int = 3, dim: int = 64) -> str:
     ``operators.linalg.pca_topk_spectrum`` bit-for-bit: λ snapped to
     DECIMAL(15,9), outer-product terms rounded to 9dp decimals before the
     exact λ-multiply, difference re-rounded onto the DECIMAL(15,9) grid."""
-    parts = [f"""
-    WITH edim AS (
+    edim_body = edim_sql or """
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
-    ),
+    """
+    parts = [f"""
+    WITH edim AS MATERIALIZED ({edim_body}),
     mu AS (
       SELECT i, CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x)
                AS mu
@@ -9088,7 +9094,7 @@ def _pca_spectrum_sql(k: int = 3, n_iter: int = 3, dim: int = 64) -> str:
              CAST(round(e.x - m.mu, 6) AS DECIMAL(18,6)) AS xc
       FROM edim e JOIN mu m USING (i)
     ),
-    nn AS (SELECT count(*) AS n FROM embeddings),
+    nn AS (SELECT count(DISTINCT vec_id) AS n FROM edim),
     cov AS (
       SELECT a.i, b.i AS j,
              round(CAST(sum(a.xc * b.xc) AS DOUBLE) / nn.n, 9) AS c
@@ -15074,6 +15080,52 @@ def q_retrieval_bm25_incremental(
     )
 
 
+@register("retrieval_bm25_compacted", _BM25_TOPK_SQL)
+def q_retrieval_bm25_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serving after segment COMPACTION
+    (``operators.retrieval.bm25_compact_segments``): the base+delta
+    store from ``retrieval_bm25_incremental``'s build is merged into ONE
+    range-sorted segment — read amplification back to one file set, the
+    text column still never read (the compaction plan re-sorts index
+    ROWS; only admits tokenize, only deltas). Same full-corpus oracle as
+    the recompute/persisted/incremental twins: rebuild == admit ==
+    compact, all by hash. The store lifecycle is now complete —
+    publish → admit* → compact → admit* — all through the one
+    manifest-pointer version store."""
+    import tempfile
+
+    from .operators.retrieval import (
+        bm25_admit_delta, bm25_compact_segments, bm25_publish_segmented,
+        bm25_segmented_topk,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    fkey = _dataset_fingerprint(sf_dir, "documents")
+    skey = (fkey[0], "bm25cmp")
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey:
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix="bm25_cmp_"
+        )
+        bm25_publish_segmented(
+            docs.filter(F.col("doc_id") % 10 != 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        bm25_admit_delta(
+            docs.filter(F.col("doc_id") % 10 == 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        bm25_compact_segments(spark, root, retain=2, fingerprint=repr(fkey))
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey, root)
+    else:
+        root = entry[0]
+    return bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    )
+
+
 @register("retrieval_rm3_persisted", _RM3_TOPK_SQL)
 def q_retrieval_rm3_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback served ENTIRELY from the persisted
@@ -15377,6 +15429,31 @@ def q_emb_ivfpq_residual_adc_audit(
         (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
         F.lit(2).cast("int").alias("nprobe"),
     )
+
+
+@register(
+    "emb_pca_spectrum_clustered",
+    _pca_spectrum_sql(k=3, n_iter=3, edim_sql=_clustered_edim_sql()),
+)
+def q_emb_pca_spectrum_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deflation spectrum on the CLUSTERED fixture — the positive
+    control that makes ``emb_pca_topk_spectrum`` a real diagnostic: the
+    driver's near-uniform embeddings read λ ≈ 0.023 (flat, isotropic),
+    while the 8 planted components concentrate variance into the
+    between-component subspace — measured λ ≈ 465/386/473 at sf0.001, a
+    ~20,000× magnitude jump with several COMPARABLE top directions (the
+    integer offset grid spans ~7 similar-strength axes; with 3 power
+    iterations near-equal eigenvalues may return slightly unordered,
+    which is data-truth). A structure/collapse monitor alerts on the λ
+    magnitude and spread CHANGE between these two readings. Same
+    operator, same oracle chain over the fixture's dimension table."""
+    from .operators.clustering import clustered_embeddings
+    from .operators.linalg import pca_topk_spectrum
+
+    ce = clustered_embeddings(_table(spark, sf_dir, "embeddings"))
+    return pca_topk_spectrum(ce, dim=64, k=3, n_iter=3)
 
 
 # ---------------------------------------------------------------------------

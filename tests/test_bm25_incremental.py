@@ -162,3 +162,47 @@ def test_admit_into_empty_root_is_base_publish(spark, tmp_path):
     got = R.bm25_segmented_topk(spark, root, ["vector"], k=5).collect()
     full = R.bm25_topk(_docs(spark, 0, 8), ["vector"], k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in full]
+
+
+def test_compaction_preserves_results_and_membership(spark, tmp_path):
+    """bm25_compact_segments: one segment after, hash-equal results,
+    no tokenize in either the compaction inputs or the serve plan."""
+    root = str(tmp_path / "bm25seg")
+    R.bm25_publish_segmented(_docs(spark, 0, 10), root, retain=2)
+    R.bm25_admit_delta(_docs(spark, 10, 14), root, retain=2)
+    R.bm25_admit_delta(_docs(spark, 14, 16), root, retain=2)
+    before = R.bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    ).collect()
+    R.bm25_compact_segments(spark, root, retain=2)
+    from ambient_sound_analysis_api_spark.operators.pq import (
+        _read_small_file, ivfpq_resolve_index,
+    )
+
+    seq, vpath = ivfpq_resolve_index(spark, root)
+    segs = json.loads(_read_small_file(spark, f"{vpath}/segments.json"))[
+        "segments"
+    ]
+    assert len(segs) == 1
+    after = R.bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    full = R.bm25_topk(
+        _full(spark), ["vector", "hash", "merge"], k=20
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in full]
+
+
+def test_compaction_then_retention_reclaims_old_segments(spark, tmp_path):
+    root = str(tmp_path / "bm25seg")
+    R.bm25_publish_segmented(_docs(spark, 0, 10), root, retain=1)
+    R.bm25_admit_delta(_docs(spark, 10, 16), root, retain=1)
+    R.bm25_compact_segments(spark, root, retain=1)
+    # retain=1: only the compacted version's manifest survives, so the
+    # base and delta segments lose their last reference immediately
+    segdir = os.path.join(root, "segs")
+    assert len(os.listdir(segdir)) == 1
+    got = R.bm25_segmented_topk(spark, root, ["vector"], k=5).collect()
+    full = R.bm25_topk(_full(spark), ["vector"], k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in full]

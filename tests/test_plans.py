@@ -413,6 +413,11 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # broadcast of the final ratio projection; the matrix itself is
         # d²-row model-sized and checkpointed per deflation round
         "emb_pca_topk_spectrum",
+        # same 1-row norm/λ broadcast shapes over the clustered fixture
+        "emb_pca_spectrum_clustered",
+        # 1-row merged corpus-stats broadcast from the compacted
+        # version dir — identical shape to retrieval_bm25_incremental
+        "retrieval_bm25_compacted",
     }
     python_ok = {
         "mm_binary_meta",
