@@ -15126,6 +15126,50 @@ def q_retrieval_bm25_compacted(
     )
 
 
+@register("streaming_bm25_ingest", _BM25_TOPK_SQL)
+def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-fed lexical index maintenance (``streaming/lexical.py`` —
+    the sparse twin of ``streaming_ann_ingest``): the documents table
+    arrives as TWO files consumed by an ``availableNow`` file stream
+    (maxFilesPerTrigger=1, so admission really runs per micro-batch);
+    each micro-batch is tokenized ONCE into its own postings+doclens
+    segment and committed by one atomic rename whose target-existence is
+    the replay gate. Serving derives df/stats from the admitted INDEX
+    ROWS — so sharing ``text_bm25_topk``'s full-corpus oracle makes the
+    hash check the batch-equivalence proof: streamed admission ==
+    one-shot tokenize. Temp tree reclaimed in ``finally`` after an eager
+    localCheckpoint of the k-row readout."""
+    import shutil
+    import tempfile
+
+    from .streaming.lexical import bm25_streamed_topk, streamed_lexical_ingest
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_bm25_")
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        half = F.col("doc_id") % 2
+        docs.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+        docs.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streamed_lexical_ingest(spark, stream, store)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return bm25_streamed_topk(
+            spark, store, ["vector", "hash", "merge"], k=20
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("retrieval_rm3_persisted", _RM3_TOPK_SQL)
 def q_retrieval_rm3_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback served ENTIRELY from the persisted
