@@ -1212,3 +1212,117 @@ def ivfpq_incremental_rerank_topk(
             F.round(F.col("_de").cast("double"), 6).alias("exact_dist"),
         )
     )
+
+
+def ivfpq_write_residual_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> "list[list[list[float]]]":
+    """Materialize the RESIDUAL-encoded serving index: cell-partitioned
+    parquet of residual PQ codes plus the coarse centroid table the
+    residuals were taken against — self-contained, so a serving tier
+    needs only this directory and the (model-sized) codebooks. Same
+    storage-layer savings as :func:`ivfpq_write_index` (4-byte codes,
+    cell-directory pruning) at residual encoding's lower distortion
+    (committed audits: residual beats raw at every SF at identical code
+    size). Returns the fitted (or passed-through) codebooks."""
+    from .similarity import ivf_cell_centroids
+
+    cents = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    res = residual_vectors(
+        emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    )
+    if codebooks is None:
+        codebooks = pq_fit(
+            res.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            ),
+            m=m, k=k, n_iter=n_iter,
+        )
+    codes = res.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col),
+        *[
+            c.alias(f"code_{s}")
+            for s, c in enumerate(_code_cols(codebooks, vec_col))
+        ],
+    )
+    codes.repartition("cell").write.mode("errorifexists").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    cents.write.mode("errorifexists").parquet(f"{path}/centroids")
+    return codebooks
+
+
+def ivfpq_residual_persisted_topk(
+    spark,
+    index_path: str,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve residual-IVF-PQ top-k from the PERSISTED index: the coarse
+    probe ranks the stored centroid table against the query driver-side
+    (nlist rows — model-sized; the same sequential IEEE fold as the
+    in-process probe, ties to the lowest cell), the cell-keyed ADC LUT
+    ships as a literal map (nprobe × m × k doubles), and the scan reads
+    ONLY the probed cells' code partitions. Value-identical to
+    :func:`ivfpq_residual_topk` over the same model — the registry twin
+    shares its oracle."""
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cmap = {
+        int(r["cell"]): [float(v) for v in r["centroid"]]
+        for r in cent_rows
+    }
+    dists = []
+    for c, cv in cmap.items():
+        d = 0.0
+        for a, b in zip(query, cv):
+            d = d + (float(a) - b) * (float(a) - b)
+        dists.append((d, c))
+    probed = [c for _d, c in sorted(dists)[:nprobe]]
+    m, kk = len(codebooks), len(codebooks[0])
+    lut_entries = []
+    for c in probed:
+        qres = [float(a) - b for a, b in zip(query, cmap[c])]
+        flat = []
+        for s, cb in enumerate(codebooks):
+            d_sub = len(cb[0])
+            qs = qres[s * d_sub : (s + 1) * d_sub]
+            for code_centroid in cb:
+                d = 0.0
+                for a, b in zip(qs, code_centroid):
+                    d = d + (a - b) * (a - b)
+                flat.append(d)
+        lut_entries += [F.lit(c), F.array(*[F.lit(v) for v in flat])]
+    lutmap = F.create_map(*lut_entries)
+    scan = (
+        spark.read.parquet(f"{index_path}/codes")
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col(id_col) != query_id)
+    )
+    lut_arr = F.element_at(lutmap, F.col("cell"))
+    terms = [
+        F.element_at(lut_arr, F.lit(s * kk) + F.col(f"code_{s}") + 1)
+        for s in range(m)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return (
+        scan.withColumn("adc_dist", F.round(dist, 6))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+        .select(id_col, "adc_dist")
+    )

@@ -6746,6 +6746,66 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivfpq_residual_persisted_topk",
+    f"""
+    WITH {_ivfpq_residual_oracle()}
+    SELECT vec_id, round(dist, 6) AS adc_dist
+    FROM adcr
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_emb_ivfpq_residual_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-IVF-PQ served from the PERSISTED cell-partitioned code
+    store (``operators.pq.ivfpq_write_residual_index`` /
+    ``ivfpq_residual_persisted_topk``): residual codes + the coarse
+    centroid table written once per dataset (memoized), every query then
+    a partition-pruned scan of the probed cells' 4-byte codes with a
+    cell-keyed literal ADC LUT — the storage-layer completion of the
+    residual family (the audits proved residual beats raw at identical
+    code size at every SF; this is the shape that serves it). Identical
+    model and probe as ``emb_ivfpq_residual_topk`` → the SAME oracle, so
+    the persisted path is hash-equal to the in-process one."""
+    import tempfile
+
+    from .operators.pq import (
+        ivfpq_residual_persisted_topk, ivfpq_write_residual_index,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    fkey = _dataset_fingerprint(sf_dir, "embeddings")
+    skey = (fkey[0], "respq-idx")
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey:
+        import uuid
+
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix="respq_idx_"
+        )
+        # fresh subdir per (re)build: the writes are errorifexists and a
+        # regenerated dataset must not collide with the stale version
+        path = f"{root}/v-{uuid.uuid4().hex[:8]}"
+        books = ivfpq_write_residual_index(
+            emb, path, m=4, k=8, n_iter=2
+        )
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey, (path, books))
+    else:
+        path, books = entry[2]
+    qid = int(emb.agg(F.min("vec_id")).first()[0])
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == qid)
+        .select("embedding")
+        .first()[0]
+    ]
+    return ivfpq_residual_persisted_topk(
+        spark, path, books, query, qid, topk=10, nprobe=2
+    )
+
+
+@register(
     "pipeline_span_corruption",
     r"""
     WITH t AS (

@@ -712,3 +712,28 @@ def test_bm25_persisted_serve_skips_tokenize_and_pushes_terms(spark, sf_dir):
         (ln2 for ln2 in plan.splitlines() if "PushedFilters" in ln2)
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_residual_persisted_serve_prunes_partitions_and_columns(
+    spark, sf_dir
+):
+    """The residual-coded persisted index realizes the same two scan
+    savings as the raw-coded one: cell probe as a PartitionFilter and a
+    codes-only ReadSchema — plus its serve plan carries the cell-keyed
+    LUT as a literal map (no join for the per-cell query residual)."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    fn = queries()["emb_ivfpq_residual_persisted_topk"]
+    fn(spark, sf_dir)  # build + memoize the index store
+    df = fn(spark, sf_dir)  # served from the persisted index
+    plan = explain_str(df, "formatted")
+    assert "respq_idx_" in plan and "/v-" in plan
+    assert (
+        "cell IN" in plan
+        or "cell#" in plan.split("PartitionFilters")[1].splitlines()[0]
+    )
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "code_0" in ln
+    ]
+    assert read_schemas and all("embedding" not in ln for ln in read_schemas)
+    assert "Join" not in plan  # LUT ships as a literal map, not a join
