@@ -32,10 +32,33 @@ iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PCA_ITERATIONS = 3
+
+
+def _normalize(raw: DataFrame) -> DataFrame:
+    """``v ← round(s / ‖s‖, 9)`` as ONE single-subtree projection: the
+    norm is a global-window decimal sum over the d-row ``raw`` instead of
+    a separate agg + crossJoin — ``raw`` appears once in the plan, so the
+    iteration chain stays LINEAR (the agg+crossJoin shape referenced raw
+    twice, doubling the upstream subtree per iteration: 2^n_iter
+    evaluations without a barrier). Operand-for-operand the arithmetic is
+    unchanged: per-row round(s², 12) → DECIMAL(26,12) exact sum → double
+    → sqrt → divide → round 9 → DECIMAL(15,9). The window is global over
+    a d-row input — model-sized by construction."""
+    nrm = F.sqrt(
+        F.sum(
+            F.round(F.col("s") * F.col("s"), 12).cast("decimal(26,12)")
+        )
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return raw.select(
+        "i",
+        F.round(F.col("s") / nrm, 9).cast("decimal(15,9)").alias("vd"),
+    )
 
 
 def _dims(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -57,28 +80,95 @@ def covariance_matrix(
 
     ``c(i,j) = Σ (x_i − μ_i)(x_j − μ_j) / n`` with exact-decimal
     accumulation, 9dp-rounded.
+
+    Execution (round-13 VERDICT #1): the old path exploded every vector
+    into d² centered dimension PAIRS through a shuffle join — 4,096
+    generated rows per 64-dim vector, the repo's worst committed scale
+    number (208 s@30×). This path keeps the IDENTICAL arithmetic but
+    moves the outer product into one Arrow-batched ``mapInPandas`` pass:
+
+    - dimension means stay the exact-decimal d-key aggregation (the only
+      surviving explode is the O(n·d) mean pass, data-scan class);
+    - centering happens JVM-side into an array column (``zip_with`` +
+      the same ``F.round(x − μ, 6)`` expression — bit-identical xc);
+    - each partition recovers the exact 6dp integers (``rint(xc·1e6)``
+      is exact: a 6dp decimal's double is within 1e-4 ulp of k/1e6),
+      runs overflow-safe chunked int64 Gram matmuls, and accumulates in
+      arbitrary-precision Python ints — EXACT, order-independent;
+    - partials leave each partition as d² DECIMAL(38,12) rows (scaled by
+      1e-12, the exact product scale of two 6dp decimals), and the final
+      decimal sum + ``round(s/n, 9)`` is unchanged.
+
+    Every value is therefore bit-identical to the join path (the
+    unrolled-CTE DuckDB oracle pins it), while the shuffle stays d² rows
+    PER PARTITION and the per-row cost drops from d² generated rows to a
+    vectorized matmul.
     """
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
     dims = _dims(emb, id_col, vec_col)
-    mu = dims.groupBy("i").agg(
+    mu_rows = dims.groupBy("i").agg(
         (
             F.sum(F.col("x").cast("decimal(32,12)")).cast("double")
             / F.count("x")
         ).alias("mu")
+    ).collect()
+    if not mu_rows:
+        return spark.createDataFrame([], "i int, j int, c double")
+    d = max(r["i"] for r in mu_rows)
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["i"] - 1] = float(r["mu"])
+
+    xc = emb.select(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(mu),
+            lambda x, m: F.round(x - m, 6),
+        ).alias("xc")
     )
-    centered = dims.join(F.broadcast(mu), "i").select(
-        "vec_id",
-        "i",
-        F.round(F.col("x") - F.col("mu"), 6).cast("decimal(18,6)").alias("xc"),
-    )
+
+    def _partials(batches):
+        acc = None  # object dtype: arbitrary-precision, order-free
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            K = np.rint(
+                np.stack(pdf["xc"].to_numpy()) * 1e6
+            ).astype(np.int64)
+            mx = int(np.abs(K).max()) if K.size else 0
+            # chunk bound: rows_per_chunk · mx² < 2^62 keeps every int64
+            # Gram entry exact no matter the data magnitude
+            step = max(1, (1 << 62) // (mx * mx + 1))
+            for lo in range(0, K.shape[0], step):
+                part = K[lo : lo + step]
+                g = (part.T @ part).astype(object)
+                acc = g if acc is None else acc + g
+        if acc is not None:
+            dd = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(1, dd + 1), np.arange(1, dd + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "s": [
+                        decimal.Decimal(int(v)).scaleb(-12)
+                        for v in acc.ravel()
+                    ],
+                }
+            )
+
     n = emb.select(F.count("*").alias("n"))  # 1 row
-    a = centered.select("vec_id", F.col("i"), F.col("xc").alias("xa"))
-    b = centered.select(
-        "vec_id", F.col("i").alias("j"), F.col("xc").alias("xb")
-    )
+    partials = xc.mapInPandas(_partials, "i int, j int, s decimal(38,12)")
     return (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("s"))
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
         .crossJoin(F.broadcast(n))
         .select(
             "i",
@@ -114,10 +204,14 @@ def pca_top_component(
     # breaks the cross-engine lock-step precisely on ties. Exact products
     # have no rounding at all; the only double→decimal snaps left are on
     # generic quotients/sums where a tie is measure-zero.
+    # checkpoint the (model-sized) covariance and each iteration's raw
+    # mat-vec: `raw` feeds BOTH nrm and v, so without a barrier the
+    # upstream subtree duplicates 2× per iteration — 2^n_iter data
+    # passes. A 64-row localCheckpoint per step keeps it linear.
     cov = F.broadcast(
         covariance_matrix(emb, id_col, vec_col).select(
             "i", "j", F.col("c").cast("decimal(15,9)").alias("cd")
-        )
+        ).coalesce(1).localCheckpoint()
     )
     spark = emb.sparkSession
     v = spark.range(1, dim + 1).select(
@@ -134,19 +228,10 @@ def pca_top_component(
                 F.sum(F.col("cd") * F.col("vd")).cast("double").alias("s")
             )
         )
-        nrm = raw.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("s") * F.col("s"), 12).cast("decimal(26,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = raw.crossJoin(F.broadcast(nrm)).select(
-            "i",
-            F.round(F.col("s") / F.col("nrm"), 9)
-            .cast("decimal(15,9)")
-            .alias("vd"),
-        )
+        v = _normalize(raw)
+    # final v is referenced by r4, the Rayleigh join, and the output —
+    # one model-sized barrier instead of 3 reruns of the iteration chain
+    v = v.coalesce(1).localCheckpoint()
     # Rayleigh quotient via one more exact mat-vec: λ = v·(C·v).
     r4 = (
         cov.join(v.withColumnRenamed("i", "j"), "j")
@@ -267,20 +352,13 @@ def pca_top_component_datapass(
         )
 
     for _ in range(n_iter):
-        raw = mat_vec(v)
-        nrm = raw.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("s") * F.col("s"), 12).cast("decimal(26,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = raw.crossJoin(F.broadcast(nrm)).select(
-            "i",
-            F.round(F.col("s") / F.col("nrm"), 9)
-            .cast("decimal(15,9)")
-            .alias("vd"),
-        )
+        # _normalize keeps each DATA-SIZED mat_vec in the plan exactly
+        # once — the agg+crossJoin shape would re-evaluate it 2× per
+        # iteration (2^n_iter cached-data passes by the end)
+        v = _normalize(mat_vec(v))
+    # final v feeds the r4 data pass, the Rayleigh join, and the output:
+    # one model-sized barrier runs the 3 cached-data passes exactly once
+    v = v.coalesce(1).localCheckpoint()
     r4 = mat_vec(v).select(
         "i", F.round(F.col("s"), 9).cast("decimal(15,9)").alias("rd")
     )
@@ -333,9 +411,11 @@ def pca_topk_spectrum(
     # leaves the logical plan intact and the analyzer chokes on it;
     # checkpointing the model-sized intermediates (4096-row matrix, 64-row
     # vector, 1-row lambda) truncates lineage at each stage
+    # model-sized from here on: 1 partition so the k×n_iter chain of
+    # tiny joins/aggs schedules 1 task per stage, not 32 empty ones
     C = covariance_matrix(emb, id_col, vec_col).select(
         "i", "j", F.col("c").cast("decimal(15,9)").alias("cd")
-    ).localCheckpoint()
+    ).coalesce(1).localCheckpoint()
     spectra = []
     for t in range(1, k + 1):
         covb = F.broadcast(C)
@@ -353,22 +433,9 @@ def pca_topk_spectrum(
                     F.sum(F.col("cd") * F.col("vd")).cast("double").alias("s")
                 )
             )
-            nrm = raw.agg(
-                F.sqrt(
-                    F.sum(
-                        F.round(F.col("s") * F.col("s"), 12)
-                        .cast("decimal(26,12)")
-                    ).cast("double")
-                ).alias("nrm")
-            )
-            v = raw.crossJoin(F.broadcast(nrm)).select(
-                "i",
-                F.round(F.col("s") / F.col("nrm"), 9)
-                .cast("decimal(15,9)")
-                .alias("vd"),
-            )
+            v = _normalize(raw)  # single-subtree: chain stays linear
         # referenced by r4, the Rayleigh join, and the two deflation sides
-        v = v.localCheckpoint()
+        v = v.coalesce(1).localCheckpoint()
         r4 = (
             covb.join(v.withColumnRenamed("i", "j"), "j")
             .groupBy("i")
@@ -410,6 +477,7 @@ def pca_topk_spectrum(
                     .cast("decimal(15,9)")
                     .alias("cd"),
                 )
+                .coalesce(1)
                 .localCheckpoint()
             )
     spec = spectra[0]

@@ -468,7 +468,20 @@ def bmp_perceptual_hash(media: DataFrame) -> DataFrame:
                         f"only uncompressed 24bpp BMP decodes here; got "
                         f"{bpp}bpp compression={comp}"
                     )
+                # dHash needs a full 8×9 sample grid: narrower/shorter
+                # images would produce empty blocks (ZeroDivisionError at
+                # blk.size); and a truncated payload must fail as loudly
+                # here as in _decode_image_impl (round-13 ADVICE).
+                if w < 9 or abs(h) < 8:
+                    raise DecodeUnavailable(
+                        f"dHash needs >=9x8 pixels; got {w}x{abs(h)}"
+                    )
                 stride = w * 3 + ((-(w * 3)) % 4)
+                if len(data) < off + stride * abs(h):
+                    raise DecodeUnavailable(
+                        f"truncated BMP payload: need "
+                        f"{off + stride * abs(h)} bytes, got {len(data)}"
+                    )
                 grid = np.frombuffer(
                     data, dtype=np.uint8, count=stride * abs(h), offset=off
                 ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)

@@ -864,23 +864,33 @@ def bm25_admit_delta(
 def _bm25_gc_segments(spark, root: str) -> None:
     """Delete segments referenced by NO live manifest's version (runs
     after each publish; publish_version's own GC has already dropped
-    out-of-retention versions and manifests). Best-effort, like the rest
-    of the store GC."""
+    out-of-retention versions and manifests).
+
+    Fail-safe contract: a version with no ``segments.json`` is a
+    legitimately non-segmented version (contributes no live segments),
+    but ANY OTHER failure while building the liveness set — a transient
+    manifest read error, malformed JSON — aborts the pass without
+    deleting anything. Proceeding with a partial liveness set would let
+    GC delete segments still referenced by a live (even the current)
+    version; skipping a pass merely defers reclamation to the next
+    publish."""
     import json
 
     from .atomic_swap import _fs_and_path
     from .pq import _list_index_manifests, _read_small_file
 
     live: set[str] = set()
-    for _seq, mpath in _list_index_manifests(spark, root):
-        try:
+    try:
+        for _seq, mpath in _list_index_manifests(spark, root):
             doc = json.loads(_read_small_file(spark, mpath))
-            sj = _read_small_file(
-                spark, f"{root}/{doc['version_dir']}/segments.json"
-            )
+            sj_path = f"{root}/{doc['version_dir']}/segments.json"
+            fs_, p_ = _fs_and_path(spark, sj_path)
+            if not fs_.exists(p_):
+                continue  # non-segmented version: zero live segments
+            sj = _read_small_file(spark, sj_path)
             live |= set(json.loads(sj)["segments"])
-        except Exception:  # pragma: no cover - non-segmented version
-            pass
+    except Exception:  # pragma: no cover - transient read failure
+        return  # fail-safe: skip deletion rather than over-delete
     fs, segdir = _fs_and_path(spark, f"{root}/segs")
     if not fs.exists(segdir):
         return

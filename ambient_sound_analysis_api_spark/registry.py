@@ -6505,11 +6505,15 @@ def q_mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representatives within Hamming radius 3, multiplicities joined back.
     Output is bounded by DISTINCT hashes, not by dup-clique size.
     Deterministic end to end → golden-file checked (no SQL oracle can
-    express the numpy decode kernel)."""
+    express the numpy decode kernel). media_id is doc_id/4 (the sampled
+    ids are consecutive after the stride-4 filter) so the group key
+    ``media_id % 8`` materializes ALL 8 gradient groups — a stride-4 id
+    under a mod-8 key would only ever hit groups {0, 4} (round-13
+    ADVICE)."""
     ids = (
         _table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 0)
-        .select(F.col("doc_id").alias("media_id"))
+        .select((F.col("doc_id") / 4).cast("long").alias("media_id"))
     )
     media = multimodal.synth_bmp_variants(ids, n_groups=8)
     ph = multimodal.bmp_perceptual_hash(media)

@@ -297,18 +297,35 @@ def parquet_footer_audit(spark: SparkSession, paths) -> DataFrame:
 
 
 def scan_with_corruption_audit(
-    spark: SparkSession, paths
+    spark: SparkSession, paths, schema=None
 ) -> "tuple[DataFrame, DataFrame]":
     """Catalog → scan with corrupt files SKIPPED AND COUNTED: footer-probe
     the listing (:func:`parquet_footer_audit`), scan only the readable
     files, and return ``(data, audit)`` so the caller can alert on
     ``audit.filter(~ok)`` instead of choosing between a dead job and a
     silent gap. The ok-path collect is catalog-sized (file names, never
-    data)."""
+    data).
+
+    When EVERY listed file fails the probe there is no footer to infer a
+    schema from: with ``schema`` given, the empty frame carries the
+    caller's real schema (downstream column resolution keeps working and
+    sees emptiness, not a phantom layout); without one, raise — a
+    hardcoded placeholder schema would surface as an unrelated
+    column-resolution error far from the cause (round-13 ADVICE)."""
     audit = parquet_footer_audit(spark, paths)
     ok = [r["path"] for r in audit.filter(F.col("ok")).collect()]
     if ok:
         data = spark.read.parquet(*ok)
+    elif schema is not None:
+        data = spark.createDataFrame([], schema)
     else:
-        data = spark.createDataFrame([], "key string").limit(0)
+        bad = [
+            (r["path"], r["error"])
+            for r in audit.filter(~F.col("ok")).limit(3).collect()
+        ]
+        raise ValueError(
+            "scan_with_corruption_audit: every listed file failed the "
+            f"footer probe and no fallback schema was given; first "
+            f"failures: {bad}"
+        )
     return data, audit

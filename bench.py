@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -508,6 +509,16 @@ def main() -> None:
         if contended:
             out["contended"] = full["contended"] = True
         best_path = os.path.join(REPO, "logs", "bench_best.json")
+        # Code identity guards the quiet-representative substitution: a
+        # best-run recorded under a DIFFERENT commit must never mask a
+        # code-caused slowdown in the current tree (round-13 ADVICE).
+        try:
+            head = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:  # pragma: no cover - git unavailable
+            head = "unknown"
         best = None
         try:
             with open(best_path) as f:
@@ -515,18 +526,21 @@ def main() -> None:
             if (
                 cand.get("baseline") == out.get("baseline")
                 and cand.get("sf") == out.get("sf")
+                and cand.get("git_head") == head
                 and set(cand.get("queries", {})) == set(out["queries"])
             ):
                 best = cand
         except (OSError, ValueError):
             pass
         if best is None or dn <= best.get("drift_norm", float("inf")):
-            best = out
+            best = dict(out)
+            best["git_head"] = head
             try:
                 with open(best_path, "w") as f:
-                    json.dump(out, f, separators=(",", ":"))
+                    json.dump(best, f, separators=(",", ":"))
             except OSError:  # pragma: no cover
                 pass
+            best = out
         if contended and best is not out and not best.get("contended"):
             rep = dict(best)
             rep["representative_of_session"] = True

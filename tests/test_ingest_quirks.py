@@ -151,3 +151,30 @@ def test_corrupt_footer_skipped_with_count(spark, tmp_path):
     # audit alone over a fully-good listing reads clean
     ok_audit = parquet_footer_audit(spark, paths[:3])
     assert ok_audit.filter(~F.col("ok")).count() == 0
+
+
+def test_all_corrupt_listing_schema_fallback_or_raise(spark, tmp_path):
+    """Round-13 ADVICE: when EVERY listed file fails the footer probe,
+    the scan must not invent a phantom `key string` schema — with a
+    caller schema the empty frame carries the REAL columns; without one
+    it raises a descriptive error at the audit site, not a downstream
+    column-resolution failure."""
+    import pytest as _pytest
+
+    from ambient_sound_analysis_api_spark.sources.catalog import (
+        scan_with_corruption_audit,
+    )
+
+    bad = str(tmp_path / "junk.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 64)  # no PAR1 magic anywhere
+
+    data, audit = scan_with_corruption_audit(
+        spark, [bad], schema="id long, v double"
+    )
+    assert data.columns == ["id", "v"]
+    assert data.count() == 0
+    assert audit.filter("ok").count() == 0
+
+    with _pytest.raises(ValueError, match="footer probe"):
+        scan_with_corruption_audit(spark, [bad])
