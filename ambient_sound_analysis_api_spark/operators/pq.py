@@ -1326,3 +1326,285 @@ def ivfpq_residual_persisted_topk(
         .limit(topk)
         .select(id_col, "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# segmented code store: membership versions + tombstone deletion
+#
+# The BM25 segmented store's layout applied to ANN codes (round-13
+# VERDICT #2): immutable code segments under ``root/segs/<seg>/`` (each a
+# cell-partitioned table in the ivfpq_write_index shape), versions that
+# are just a membership list plus an optional tombstone table — so the
+# store finally supports the full lifecycle publish → admit* → DELETE →
+# compact without ever re-encoding a surviving vector.
+
+
+def gc_unreferenced_segments(spark, root: str) -> None:
+    """Delete ``root/segs`` entries referenced by NO live version.
+
+    Same fail-safe contract as the lexical store's GC: a version without
+    ``segments.json`` legitimately contributes zero live segments, but
+    any OTHER failure while building the liveness set aborts the pass
+    without deleting (an incomplete liveness set must never let GC
+    reclaim a segment a live version still references)."""
+    import json
+
+    from .atomic_swap import _fs_and_path
+
+    live: set[str] = set()
+    try:
+        for _seq, mpath in _list_index_manifests(spark, root):
+            doc = json.loads(_read_small_file(spark, mpath))
+            sj_path = f"{root}/{doc['version_dir']}/segments.json"
+            fs_, p_ = _fs_and_path(spark, sj_path)
+            if not fs_.exists(p_):
+                continue
+            sj = _read_small_file(spark, sj_path)
+            live |= set(json.loads(sj)["segments"])
+    except Exception:  # pragma: no cover - transient read failure
+        return
+    fs, segdir = _fs_and_path(spark, f"{root}/segs")
+    if not fs.exists(segdir):
+        return
+    for st in fs.listStatus(segdir):
+        if st.getPath().getName() not in live:
+            fs.delete(st.getPath(), True)
+
+
+def publish_segment_membership(
+    spark,
+    root: str,
+    seg_names: "list[str]",
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+    tombstones: "DataFrame | None" = None,
+) -> str:
+    """Publish a membership-only version of a segmented code store: the
+    version directory holds ``segments.json`` plus (optionally) a
+    ``tombstones`` table — segment data is shared across versions under
+    ``root/segs`` and reclaimed by :func:`gc_unreferenced_segments` once
+    no retained version references it."""
+    import json
+
+    def write_fn(vpath: str) -> None:
+        from .retrieval import _write_small_file
+
+        if tombstones is not None:
+            tombstones.write.mode("errorifexists").parquet(
+                f"{vpath}/tombstones"
+            )
+        _write_small_file(
+            spark, f"{vpath}/segments.json",
+            json.dumps({"segments": sorted(seg_names)}),
+        )
+
+    path = publish_version(
+        spark, root, write_fn, retain=retain, fingerprint=fingerprint
+    )
+    gc_unreferenced_segments(spark, root)
+    return path
+
+
+def _segment_membership(spark, vpath: str) -> "list[str]":
+    import json
+
+    return json.loads(
+        _read_small_file(spark, f"{vpath}/segments.json")
+    )["segments"]
+
+
+def _read_code_segments(spark, root: str, segs: "list[str]") -> DataFrame:
+    """One DataFrame over every live code segment: per-segment reads
+    unioned by name (a single multi-path read would root partition
+    discovery at the common ``segs/`` parent and reject the layout);
+    cell/id predicates still push into every branch, so partition
+    pruning works per segment."""
+    from functools import reduce
+
+    parts = [spark.read.parquet(f"{root}/segs/{s}") for s in segs]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def ivfpq_publish_segmented(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    root: str,
+    retain: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    fingerprint: "str | None" = None,
+) -> str:
+    """Base publish of the SEGMENTED code store: encode the whole corpus
+    once into a single cell-partitioned code segment (the
+    :func:`ivfpq_write_index` layout under ``root/segs/<seg>``) and
+    publish the one-segment membership."""
+    import uuid
+
+    spark = emb.sparkSession
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    ivfpq_write_index(
+        emb, codebooks, f"{root}/segs/{seg}",
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+    )
+    return publish_segment_membership(
+        spark, root, [seg], retain=retain, fingerprint=fingerprint
+    )
+
+
+def ivfpq_admit_codes(
+    delta_codes: DataFrame,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """Admit pre-assigned code rows (the :func:`ivfpq_delta_index` output
+    shape: ``id, cell, code_0..code_{m-1}``) as a NEW segment — the only
+    encode cost is the delta's; standing segments are untouched on disk
+    and the standing tombstone table carries forward (delta ids must be
+    disjoint from the standing corpus, deleted ids included)."""
+    import uuid
+
+    from .retrieval import _read_tombstones
+
+    spark = delta_codes.sparkSession
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    (
+        delta_codes.repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(f"{root}/segs/{seg}")
+    )
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        return publish_segment_membership(
+            spark, root, [seg], retain=retain, fingerprint=fingerprint
+        )
+    _, vpath = cur
+    return publish_segment_membership(
+        spark, root, _segment_membership(spark, vpath) + [seg],
+        retain=retain, fingerprint=fingerprint,
+        tombstones=_read_tombstones(spark, vpath),
+    )
+
+
+def ivfpq_delete_ids(
+    delete_ids: DataFrame,
+    root: str,
+    retain: int = 2,
+    id_col: str = "vec_id",
+    fingerprint: "str | None" = None,
+) -> str:
+    """TOMBSTONE deletion from the segmented code store: publish a new
+    version with the SAME membership — no code row is rewritten, nothing
+    re-encodes — whose tombstone table is the standing set ∪ the new
+    ids. The serve path anti-joins the (takedown-sized, broadcast)
+    table; :func:`ivfpq_compact_segments` folds it out physically.
+    Idempotent: re-deleting an id is a distinct-union no-op."""
+    from .retrieval import _read_tombstones
+
+    spark = delete_ids.sparkSession
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(f"ivfpq_delete_ids: nothing published under {root}")
+    _, vpath = cur
+    ids = delete_ids.select(F.col(id_col).cast("long")).distinct()
+    old = _read_tombstones(spark, vpath)
+    all_tomb = ids if old is None else old.unionByName(ids).distinct()
+    return publish_segment_membership(
+        spark, root, _segment_membership(spark, vpath),
+        retain=retain, fingerprint=fingerprint, tombstones=all_tomb,
+    )
+
+
+def ivfpq_segmented_topk(
+    spark,
+    root: str,
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Serve top-k from the segmented code store: the same coarse probe +
+    partition-pruned ADC scan as :func:`ivfpq_persisted_topk`, except the
+    scan multi-paths every live segment (each segment's ``cell=`` layout
+    prunes independently) and deleted ids drop via one broadcast
+    anti-join against the version's tombstone table."""
+    from .retrieval import _read_tombstones
+    from .similarity import ivf_probe_cells
+
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"ivfpq_segmented_topk: nothing published under {root}"
+        )
+    _, vpath = cur
+    segs = _segment_membership(spark, vpath)
+    probes = [
+        r["cell"]
+        for r in ivf_probe_cells(
+            emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
+            cell_col=cell_col,
+        )
+        .select("cell")
+        .collect()
+    ]
+    scan = (
+        _read_code_segments(spark, root, segs)
+        .filter(F.col("cell").isin(probes))
+        .filter(F.col(id_col) != query_id)
+    )
+    tomb = _read_tombstones(spark, vpath)
+    if tomb is not None:
+        scan = scan.join(F.broadcast(tomb), id_col, "left_anti")
+    dist = _adc_dist(codebooks, query)
+    return (
+        scan.withColumn("adc_dist", F.round(dist, 6))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+        .select(id_col, "adc_dist")
+    )
+
+
+def ivfpq_compact_segments(
+    spark,
+    root: str,
+    retain: int = 2,
+    id_col: str = "vec_id",
+    fingerprint: "str | None" = None,
+) -> str:
+    """Compact the segmented code store: merge every live segment's code
+    ROWS (no re-encode — the plan scans only the 4-byte-code tables)
+    into one cell-partitioned segment, folding tombstoned ids out
+    physically, and publish the clean single-segment membership with no
+    tombstone table."""
+    import uuid
+
+    from .retrieval import _read_tombstones
+
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"ivfpq_compact_segments: nothing published under {root}"
+        )
+    _, vpath = cur
+    segs = _segment_membership(spark, vpath)
+    src = _read_code_segments(spark, root, segs)
+    tomb = _read_tombstones(spark, vpath)
+    if tomb is not None:
+        src = src.join(F.broadcast(tomb), id_col, "left_anti")
+    seg = f"seg-{uuid.uuid4().hex[:12]}"
+    (
+        src.repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(f"{root}/segs/{seg}")
+    )
+    return publish_segment_membership(
+        spark, root, [seg], retain=retain, fingerprint=fingerprint
+    )

@@ -758,6 +758,7 @@ def _publish_segmented_version(
     stats: DataFrame,
     retain: int,
     fingerprint: "str | None",
+    tombstones: "DataFrame | None" = None,
 ) -> str:
     import json
 
@@ -771,6 +772,10 @@ def _publish_segmented_version(
             .parquet(f"{vpath}/termstats")
         )
         stats.write.mode("errorifexists").parquet(f"{vpath}/stats")
+        if tombstones is not None:
+            tombstones.write.mode("errorifexists").parquet(
+                f"{vpath}/tombstones"
+            )
         _write_small_file(
             spark, f"{vpath}/segments.json",
             json.dumps({"segments": sorted(seg_names)}),
@@ -781,6 +786,19 @@ def _publish_segmented_version(
     )
     _bm25_gc_segments(spark, root)
     return path
+
+
+def _read_tombstones(spark, vpath: str) -> "DataFrame | None":
+    """The version's tombstone table (``doc_id``/``vec_id`` rows), or
+    None for the tombstone-free layout (absence IS the common case: a
+    version only carries the file when a delete published it and no
+    compaction has folded it out yet)."""
+    from .atomic_swap import _fs_and_path
+
+    fs, p = _fs_and_path(spark, f"{vpath}/tombstones")
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{vpath}/tombstones")
 
 
 def bm25_publish_segmented(
@@ -858,6 +876,97 @@ def bm25_admit_delta(
     return _publish_segmented_version(
         spark, root, list(seg_names) + [seg], merged_ts, merged_st,
         retain, fingerprint,
+        # standing deletions carry forward (delta ids are disjoint from
+        # the whole standing corpus, deleted docs included — readmitting
+        # a deleted id needs a compaction first, which clears the list)
+        tombstones=_read_tombstones(spark, vpath),
+    )
+
+
+def bm25_delete_docs(
+    delete_ids: DataFrame,
+    root: str,
+    retain: int = 2,
+    fingerprint: "str | None" = None,
+) -> str:
+    """TOMBSTONE deletion from the segmented store (round-13 VERDICT #2
+    — real corpora shrink: takedowns, opt-outs, re-dedup): publish a new
+    version that (a) carries the standing membership UNCHANGED — no
+    postings/doclens file is rewritten, nothing re-tokenizes — (b) adds
+    the deleted ids to the version's ``tombstones`` table, and (c)
+    re-derives df/avgdl/N by SUBTRACTING the deleted docs' contributions,
+    computed entirely from the standing INDEX rows (their postings rows
+    give per-term df decrements; their doclens rows give the N/Σdl
+    decrement). The arithmetic is the admit algebra run backwards, so
+    serving after a delete is hash-equal to a from-scratch rebuild of
+    the surviving corpus — the registry twin pins it ×3 SFs.
+
+    The serve path anti-joins the (takedown-sized, broadcast) tombstone
+    table against postings and doclens; df/stats need no read-time
+    correction because this publish already adjusted them.
+    :func:`bm25_compact_segments` folds tombstones out physically and
+    publishes a clean (tombstone-free) membership.
+
+    Idempotent under re-deletion: already-tombstoned ids contribute no
+    further stat adjustment. Deleting an id that never existed is a
+    no-op row in the tombstone table."""
+    import json
+
+    from .pq import _read_small_file, ivfpq_resolve_index
+
+    spark = delete_ids.sparkSession
+    cur = ivfpq_resolve_index(spark, root)
+    if cur is None:
+        raise ValueError(f"bm25_delete_docs: nothing published under {root}")
+    _, vpath = cur
+    segs = json.loads(
+        _read_small_file(spark, f"{vpath}/segments.json")
+    )["segments"]
+    ids = delete_ids.select(F.col("doc_id").cast("long")).distinct()
+    old_tomb = _read_tombstones(spark, vpath)
+    if old_tomb is not None:
+        fresh = ids.join(old_tomb, "doc_id", "left_anti")
+        all_tomb = old_tomb.unionByName(fresh).distinct()
+    else:
+        fresh, all_tomb = ids, ids
+    dl = spark.read.parquet(*[f"{root}/segs/{s}/doclens" for s in segs])
+    gone_st = (
+        dl.join(F.broadcast(fresh), "doc_id", "semi")
+        .agg(
+            F.count("*").cast("long").alias("gone_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("gone_dl"),
+        )
+    )
+    merged_st = (
+        spark.read.parquet(f"{vpath}/stats")
+        .crossJoin(F.broadcast(gone_st))
+        .select(
+            (F.col("n_docs") - F.col("gone_docs")).cast("long")
+            .alias("n_docs"),
+            (F.col("sum_dl") - F.col("gone_dl")).cast("long")
+            .alias("sum_dl"),
+        )
+    )
+    gone_df = (
+        spark.read.parquet(*[f"{root}/segs/{s}/postings" for s in segs])
+        .join(F.broadcast(fresh), "doc_id", "semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("gone"))
+    )
+    merged_ts = (
+        spark.read.parquet(f"{vpath}/termstats")
+        .join(gone_df, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("gone"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    return _publish_segmented_version(
+        spark, root, list(segs), merged_ts, merged_st, retain, fingerprint,
+        tombstones=all_tomb,
     )
 
 
@@ -873,30 +982,11 @@ def _bm25_gc_segments(spark, root: str) -> None:
     deleting anything. Proceeding with a partial liveness set would let
     GC delete segments still referenced by a live (even the current)
     version; skipping a pass merely defers reclamation to the next
-    publish."""
-    import json
+    publish. (Shared machinery: ``pq.gc_unreferenced_segments`` — the
+    ANN code store publishes through the same membership layout.)"""
+    from .pq import gc_unreferenced_segments
 
-    from .atomic_swap import _fs_and_path
-    from .pq import _list_index_manifests, _read_small_file
-
-    live: set[str] = set()
-    try:
-        for _seq, mpath in _list_index_manifests(spark, root):
-            doc = json.loads(_read_small_file(spark, mpath))
-            sj_path = f"{root}/{doc['version_dir']}/segments.json"
-            fs_, p_ = _fs_and_path(spark, sj_path)
-            if not fs_.exists(p_):
-                continue  # non-segmented version: zero live segments
-            sj = _read_small_file(spark, sj_path)
-            live |= set(json.loads(sj)["segments"])
-    except Exception:  # pragma: no cover - transient read failure
-        return  # fail-safe: skip deletion rather than over-delete
-    fs, segdir = _fs_and_path(spark, f"{root}/segs")
-    if not fs.exists(segdir):
-        return
-    for st in fs.listStatus(segdir):
-        if st.getPath().getName() not in live:
-            fs.delete(st.getPath(), True)
+    gc_unreferenced_segments(spark, root)
 
 
 def bm25_segmented_topk(
@@ -931,6 +1021,12 @@ def bm25_segmented_topk(
         *[f"{root}/segs/{s}/postings" for s in segs]
     ).filter(F.col("term").isin(terms))
     dl = spark.read.parquet(*[f"{root}/segs/{s}/doclens" for s in segs])
+    tomb = _read_tombstones(spark, vpath)
+    if tomb is not None:
+        # takedown-sized broadcast anti-join; df/avgdl/N need no
+        # correction — the delete publish already adjusted them
+        tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dl = dl.join(F.broadcast(tomb), "doc_id", "left_anti")
     df_tbl = spark.read.parquet(f"{vpath}/termstats").filter(
         F.col("term").isin(terms)
     )
@@ -971,15 +1067,33 @@ def bm25_compact_segments(
         _read_small_file(spark, f"{vpath}/segments.json")
     )["segments"]
     seg = f"seg-{uuid.uuid4().hex[:12]}"
+    tomb = _read_tombstones(spark, vpath)
+    postings_src = spark.read.parquet(
+        *[f"{root}/segs/{s}/postings" for s in segs]
+    )
+    doclens_src = spark.read.parquet(
+        *[f"{root}/segs/{s}/doclens" for s in segs]
+    )
+    if tomb is not None:
+        # fold tombstones out physically: the compacted segment holds
+        # only survivors and the published version carries NO tombstone
+        # table (termstats/stats were already delete-adjusted, so they
+        # carry forward unchanged)
+        postings_src = postings_src.join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        doclens_src = doclens_src.join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
     (
-        spark.read.parquet(*[f"{root}/segs/{s}/postings" for s in segs])
+        postings_src
         .repartitionByRange(8, "term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("errorifexists")
         .parquet(f"{root}/segs/{seg}/postings")
     )
     (
-        spark.read.parquet(*[f"{root}/segs/{s}/doclens" for s in segs])
+        doclens_src
         .write.mode("errorifexists")
         .parquet(f"{root}/segs/{seg}/doclens")
     )

@@ -6092,6 +6092,138 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("adc_dist", "vec_id")
 
 
+def _ivfpq_seg_del_root(
+    spark: SparkSession, sf_dir: str, key: str, compact: bool
+) -> "tuple[str, list]":
+    """Get-or-build the SEGMENTED code store with a tombstone delete:
+    publish the whole corpus as one code segment, then
+    ``ivfpq_delete_ids`` of every ``vec_id % 9 == 4`` — optionally
+    followed by a compaction that folds the tombstones out. Returns
+    ``(root, codebooks)``; fit is frozen at publish time (deletes never
+    refit)."""
+    import tempfile
+
+    from .operators.pq import (
+        ivfpq_compact_segments, ivfpq_delete_ids, ivfpq_publish_segmented,
+        pq_fit,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    fkey = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(fkey)
+    if books is None:
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, fkey, books)
+    skey = (fkey[0][0], 4, 8, 2, key)
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey[0]:
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix=f"{key}_"
+        )
+        ivfpq_publish_segmented(
+            emb, books, root, retain=2, fingerprint=repr(fkey[0])
+        )
+        ivfpq_delete_ids(
+            emb.filter(F.col("vec_id") % 9 == 4).select("vec_id"),
+            root, retain=2, fingerprint=repr(fkey[0]),
+        )
+        if compact:
+            ivfpq_compact_segments(
+                spark, root, retain=2, fingerprint=repr(fkey[0])
+            )
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey[0], root)
+    else:
+        root = entry[0]
+    return root, books
+
+
+_IVFPQ_DELETE_SQL = f"""
+    WITH {{ctes}},
+    qiv AS (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    qdim AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+                    generate_subscripts(qe, 1) AS i FROM qiv),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    ),
+    cd AS (
+      SELECT c.label, sum((c.m - qd.qx) * (c.m - qd.qx)) AS d
+      FROM cent c JOIN qdim qd USING (i)
+      GROUP BY c.label
+    ),
+    iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT 3),
+    cand AS (
+      SELECT e.vec_id FROM embeddings e JOIN iprobes USING (label)
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+        AND e.vec_id % 9 <> 4
+    )
+    SELECT a.vec_id, round(a.dist, 6) AS adc_dist
+    FROM adc a JOIN cand USING (vec_id)
+    ORDER BY adc_dist, vec_id
+    LIMIT 12
+    """
+
+
+@register(
+    "emb_ivfpq_delete", _IVFPQ_DELETE_SQL.format(ctes=_pq_ctes())
+)
+def q_emb_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE deletion from the persisted ANN index (round-13 VERDICT
+    #2 — until now the code store only grew or rewrote): the corpus
+    publishes as one cell-partitioned code SEGMENT (the BM25 membership
+    layout applied to codes: versions are a segment list + optional
+    tombstone table under ``operators/pq.py::publish_segment_membership``),
+    then every ``vec_id % 9 == 4`` is deleted via ``ivfpq_delete_ids`` —
+    a membership-identical version whose tombstone table the serve path
+    anti-joins (broadcast, takedown-sized). No code row is rewritten and
+    nothing re-encodes (mtime-pinned in tests/test_ivfpq_delete.py); the
+    fitted model is FROZEN (deletes never shift surviving codes — the
+    incremental-admission contract's mirror image). The oracle replays
+    the fitted chains + probe + ADC over the SURVIVING candidate set, so
+    the hash check is the done criterion: delete-in-place == serve over
+    the corpus without the deleted ids."""
+    from .operators.pq import ivfpq_segmented_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    root, books = _ivfpq_seg_del_root(spark, sf_dir, "ivfdel", compact=False)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_segmented_topk(
+        spark, root, emb, books, query, query_id=qid, k=12, nprobe=3
+    ).orderBy("adc_dist", "vec_id")
+
+
+@register(
+    "emb_ivfpq_delete_compacted", _IVFPQ_DELETE_SQL.format(ctes=_pq_ctes())
+)
+def q_emb_ivfpq_delete_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction folds ANN tombstones out PHYSICALLY: same build as
+    ``emb_ivfpq_delete`` plus ``ivfpq_compact_segments`` — the live
+    segments' code ROWS (4-byte codes, never the vectors) merge into one
+    clean cell-partitioned segment excluding the tombstoned ids, and the
+    published version carries no tombstone table (pinned in
+    tests/test_ivfpq_delete.py). Same surviving-corpus oracle as the
+    delete twin: delete → compact → serve stays hash-equal, now with
+    zero serve-time anti-join."""
+    from .operators.pq import ivfpq_segmented_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    root, books = _ivfpq_seg_del_root(spark, sf_dir, "ivfdelc", compact=True)
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return ivfpq_segmented_topk(
+        spark, root, emb, books, query, query_id=qid, k=12, nprobe=3
+    ).orderBy("adc_dist", "vec_id")
+
+
 @register(
     "agg_band_percentile_envelope",
     f"""
@@ -6640,80 +6772,85 @@ def q_sql_interface_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 def _ivfpq_residual_oracle(
     m: int = 4, k: int = 8, n_iter: int = 2, d_sub: int = 16,
     nprobe: int = 2, topk: int = 10, src: str = "embeddings",
+    pfx: str = "",
 ) -> str:
     """Residual-IVF-PQ oracle chain over ``src`` — any relation shaped
     ``(vec_id, label, embedding)``: coarse cell centroids (decimal mean
     per (label, dim)), the residual dimension table, m residual k-means
     chains, per-probed-cell query LUTs and the cell-keyed ADC sum
-    (terminal CTE ``adcr``). ``cent``/``redim`` are MATERIALIZED — each
-    is referenced by every unrolled subspace chain, and DuckDB would
+    (terminal CTE ``{pfx}adcr``). ``cent``/``redim`` are MATERIALIZED —
+    each is referenced by every unrolled subspace chain, and DuckDB would
     otherwise re-plan the whole upstream join per reference (the
-    317 s → 0.5 s fixpoint-oracle lesson)."""
+    317 s → 0.5 s fixpoint-oracle lesson). ``pfx`` namespaces every CTE
+    so two code budgets (e.g. m=8 and m=16) can coexist in one oracle
+    (the code-budget-curve query)."""
     parts = [f"""
-    cent AS MATERIALIZED (
+    {pfx}cent AS MATERIALIZED (
       SELECT label, i,
              CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
       FROM (SELECT label, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS i FROM {src}) t
       GROUP BY label, i
     ),
-    redim AS MATERIALIZED (
+    {pfx}redim AS MATERIALIZED (
       SELECT t.vec_id, t.x - c.m AS x, t.i
       FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS i FROM {src}) t
-      JOIN cent c ON c.label = t.label AND c.i = t.i
+      JOIN {pfx}cent c ON c.label = t.label AND c.i = t.i
     )"""]
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         parts.append(",")
         parts.append(
             _kmeans_ctes(
-                n_iter=n_iter, k=k, p=f"r{s}", src=src,
+                n_iter=n_iter, k=k, p=f"{pfx}r{s}", src=src,
                 edim_sql=(
-                    f"SELECT vec_id, x, i - {lo} + 1 AS i FROM redim "
+                    f"SELECT vec_id, x, i - {lo} + 1 AS i FROM {pfx}redim "
                     f"WHERE i BETWEEN {lo} AND {hi}"
                 ),
             )
         )
     parts.append(f""",
-    qv AS (SELECT min(vec_id) AS qid FROM {src}),
-    qdim AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+    {pfx}qv AS (SELECT min(vec_id) AS qid FROM {src}),
+    {pfx}qdim AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
                     generate_subscripts(embedding, 1) AS i
-             FROM {src} WHERE vec_id = (SELECT qid FROM qv)),
-    cd AS (SELECT c.label, sum((c.m - q.qx) * (c.m - q.qx)) AS d
-           FROM cent c JOIN qdim q USING (i) GROUP BY c.label),
-    iprobes AS (SELECT label FROM cd ORDER BY d, label LIMIT {nprobe}),
-    qres AS (SELECT c.label, c.i, q.qx - c.m AS x
-             FROM cent c JOIN iprobes p ON p.label = c.label
-             JOIN qdim q ON q.i = c.i)""")
+             FROM {src} WHERE vec_id = (SELECT qid FROM {pfx}qv)),
+    {pfx}cd AS (SELECT c.label, sum((c.m - q.qx) * (c.m - q.qx)) AS d
+           FROM {pfx}cent c JOIN {pfx}qdim q USING (i) GROUP BY c.label),
+    {pfx}iprobes AS (
+      SELECT label FROM {pfx}cd ORDER BY d, label LIMIT {nprobe}),
+    {pfx}qres AS (SELECT c.label, c.i, q.qx - c.m AS x
+             FROM {pfx}cent c JOIN {pfx}iprobes p ON p.label = c.label
+             JOIN {pfx}qdim q ON q.i = c.i)""")
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         parts.append(f""",
-    qd{s} AS (
+    {pfx}qd{s} AS (
       SELECT r.label, c.cluster, sum((r.x - c.m) * (r.x - c.m)) AS qd
-      FROM (SELECT label, i - {lo} + 1 AS i, x FROM qres
+      FROM (SELECT label, i - {lo} + 1 AS i, x FROM {pfx}qres
             WHERE i BETWEEN {lo} AND {hi}) r
-      JOIN r{s}c{n_iter}d c USING (i)
+      JOIN {pfx}r{s}c{n_iter}d c USING (i)
       GROUP BY r.label, c.cluster
     )""")
     code_cols = ", ".join(f"a{s}.cluster AS code_{s}" for s in range(m))
     code_joins = " ".join(
-        f"JOIN r{s}af a{s} USING (vec_id)" for s in range(1, m)
+        f"JOIN {pfx}r{s}af a{s} USING (vec_id)" for s in range(1, m)
     )
     qd_joins = " ".join(
-        f"JOIN qd{s} ON qd{s}.label = cand.label"
-        f" AND qd{s}.cluster = codes.code_{s}"
+        f"JOIN {pfx}qd{s} ON {pfx}qd{s}.label = cand.label"
+        f" AND {pfx}qd{s}.cluster = codes.code_{s}"
         for s in range(m)
     )
-    adc_sum = " + ".join(f"qd{s}.qd" for s in range(m))
+    adc_sum = " + ".join(f"{pfx}qd{s}.qd" for s in range(m))
     parts.append(f""",
-    codes AS (SELECT a0.vec_id, {code_cols} FROM r0af a0 {code_joins}),
-    cand AS (SELECT e.vec_id, e.label FROM {src} e
-             JOIN iprobes USING (label)
-             WHERE e.vec_id <> (SELECT qid FROM qv)),
-    adcr AS (
+    {pfx}codes AS (
+      SELECT a0.vec_id, {code_cols} FROM {pfx}r0af a0 {code_joins}),
+    {pfx}cand AS (SELECT e.vec_id, e.label FROM {src} e
+             JOIN {pfx}iprobes USING (label)
+             WHERE e.vec_id <> (SELECT qid FROM {pfx}qv)),
+    {pfx}adcr AS (
       SELECT cand.vec_id, {adc_sum} AS dist
-      FROM cand JOIN codes USING (vec_id) {qd_joins}
+      FROM {pfx}cand cand JOIN {pfx}codes codes USING (vec_id) {qd_joins}
     )""")
     return "".join(parts)
 
@@ -8306,10 +8443,18 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=5, postings_cap=20).orderBy("term")
 
 
-_BM25_TOPK_SQL = """
+def _bm25_topk_sql(where: str = "") -> str:
+    """The canonical BM25 top-20 oracle, optionally over a RESTRICTED
+    corpus (``where`` filters the documents relation in both the doclen
+    and term passes) — the restricted form is the rebuild-without-
+    deleted-docs oracle the tombstone-deletion twins share."""
+    return _BM25_TOPK_SQL_TEMPLATE.replace("{W}", where)
+
+
+_BM25_TOPK_SQL_TEMPLATE = """
     WITH dl AS (
       SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
-      FROM documents
+      FROM documents {W}
     ),
     stats AS (
       SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
@@ -8319,7 +8464,7 @@ _BM25_TOPK_SQL = """
       FROM (
         SELECT doc_id,
                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        FROM documents
+        FROM documents {W}
       )
       WHERE term IN ('vector', 'hash', 'merge')
       GROUP BY doc_id, term
@@ -8352,6 +8497,8 @@ _BM25_TOPK_SQL = """
                   AS DECIMAL(32,12)) DESC, doc_id
     LIMIT 20
     """
+
+_BM25_TOPK_SQL = _bm25_topk_sql()
 
 
 @register("text_bm25_topk", _BM25_TOPK_SQL)
@@ -15190,6 +15337,97 @@ def q_retrieval_bm25_compacted(
     )
 
 
+def _bm25_del_root(
+    spark: SparkSession, sf_dir: str, key: str, compact: bool
+) -> str:
+    """Get-or-build the segmented BM25 store WITH a tombstone delete:
+    base publish (90%), delta admit (10%), then ``bm25_delete_docs`` of
+    every ``doc_id % 7 == 3`` — and optionally a compaction that folds
+    the tombstones out physically. Fingerprint-keyed like the other
+    index stores."""
+    import tempfile
+
+    from .operators.retrieval import (
+        bm25_admit_delta, bm25_compact_segments, bm25_delete_docs,
+        bm25_publish_segmented,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    fkey = _dataset_fingerprint(sf_dir, "documents")
+    skey = (fkey[0], key)
+    entry = _IVFPQ_INDEX_MEMO.get(skey)
+    if entry is None or entry[1] != fkey:
+        root = entry[0] if entry is not None else tempfile.mkdtemp(
+            prefix=f"{key}_"
+        )
+        bm25_publish_segmented(
+            docs.filter(F.col("doc_id") % 10 != 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        bm25_admit_delta(
+            docs.filter(F.col("doc_id") % 10 == 0), root, retain=2,
+            fingerprint=repr(fkey),
+        )
+        bm25_delete_docs(
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            root, retain=2, fingerprint=repr(fkey),
+        )
+        if compact:
+            bm25_compact_segments(
+                spark, root, retain=2, fingerprint=repr(fkey)
+            )
+        _IVFPQ_INDEX_MEMO[skey] = (root, fkey, root)
+    else:
+        root = entry[0]
+    return root
+
+
+@register("retrieval_bm25_delete", _bm25_topk_sql("WHERE doc_id % 7 <> 3"))
+def q_retrieval_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE deletion from the persisted lexical index (round-13
+    VERDICT #2 — the store lifecycle's missing verb: corpora shrink via
+    takedowns/opt-outs/re-dedup, and until now removal meant full
+    rebuild): after base publish + delta admit, every ``doc_id % 7 == 3``
+    is deleted via ``operators.retrieval.bm25_delete_docs`` — a new
+    version with the SAME segment membership (nothing re-tokenizes; no
+    postings file is rewritten — mtime-pinned in
+    tests/test_bm25_incremental.py), a tombstone table, and df/avgdl/N
+    re-derived by running the admit algebra BACKWARDS over the deleted
+    docs' own index rows. Serving anti-joins the takedown-sized
+    (broadcast) tombstone table. The oracle is a from-scratch BM25 over
+    ONLY the surviving corpus, so the hash check IS the done criterion:
+    delete-in-place == rebuild-without-deleted."""
+    from .operators.retrieval import bm25_segmented_topk
+
+    root = _bm25_del_root(spark, sf_dir, "bm25del", compact=False)
+    return bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    )
+
+
+@register(
+    "retrieval_bm25_delete_compacted",
+    _bm25_topk_sql("WHERE doc_id % 7 <> 3"),
+)
+def q_retrieval_bm25_delete_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction FOLDS TOMBSTONES OUT: same build as
+    ``retrieval_bm25_delete`` plus a ``bm25_compact_segments`` pass —
+    the compacted segment physically excludes the deleted docs' postings
+    and doclens rows (index-row anti-join; the text column is never
+    read), and the published version carries no tombstone table at all.
+    Same surviving-corpus oracle as the delete twin: delete → compact →
+    serve is still hash-equal to rebuild-without-deleted, now with read
+    amplification back to one file set and zero serve-time anti-join."""
+    from .operators.retrieval import bm25_segmented_topk
+
+    root = _bm25_del_root(spark, sf_dir, "bm25delc", compact=True)
+    return bm25_segmented_topk(
+        spark, root, ["vector", "hash", "merge"], k=20
+    )
+
+
 @register("streaming_bm25_ingest", _BM25_TOPK_SQL)
 def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-fed lexical index maintenance (``streaming/lexical.py`` —
@@ -15537,6 +15775,140 @@ def q_emb_ivfpq_residual_adc_audit(
         (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
         F.lit(2).cast("int").alias("nprobe"),
     )
+
+
+@register(
+    "emb_ivfpq_code_budget_curve",
+    f"""
+    WITH cembd AS MATERIALIZED ({_clustered_edim_sql()}),
+    cemb AS MATERIALIZED (
+      SELECT vec_id, list(x ORDER BY i) AS embedding
+      FROM cembd GROUP BY vec_id
+    ),
+    {_kmeans_ctes(edim_sql="SELECT vec_id, x, i FROM cembd", src="cemb")},
+    csrc AS MATERIALIZED (
+      SELECT c.vec_id, a.cluster AS label, c.embedding
+      FROM cemb c JOIN af a USING (vec_id)
+    ),
+    {_ivfpq_residual_oracle(
+        m=8, k=16, n_iter=3, d_sub=8, src="csrc", pfx="b8"
+    )},
+    {_ivfpq_residual_oracle(
+        m=16, k=16, n_iter=3, d_sub=4, src="csrc", pfx="b16"
+    )},
+    red AS (
+      SELECT vec_id, i, CAST(round(x, 9) AS DECIMAL(15,9)) AS xs FROM cembd
+    ),
+    rqex AS (
+      SELECT i, CAST(round(x, 9) AS DECIMAL(15,9)) AS qx
+      FROM cembd WHERE vec_id = (SELECT qid FROM b8qv)
+    ),
+    rxd AS (
+      SELECT e.vec_id, sum((e.xs - q.qx) * (e.xs - q.qx)) AS d
+      FROM red e JOIN rqex q USING (i)
+      WHERE e.vec_id <> (SELECT qid FROM b8qv)
+      GROUP BY e.vec_id
+    ),
+    rexact AS (SELECT vec_id FROM rxd ORDER BY d, vec_id LIMIT 10),
+    t8 AS (
+      SELECT vec_id FROM b8adcr ORDER BY round(dist, 6), vec_id LIMIT 10
+    ),
+    t16 AS (
+      SELECT vec_id FROM b16adcr ORDER BY round(dist, 6), vec_id LIMIT 10
+    )
+    SELECT * FROM (
+      SELECT CAST(8 AS INT) AS m, CAST(4 AS INT) AS code_bytes,
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 10.0 AS recall_at_10
+      FROM t8 t LEFT JOIN rexact e USING (vec_id)
+      UNION ALL
+      SELECT CAST(16 AS INT), CAST(8 AS INT),
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 10.0
+      FROM t16 t LEFT JOIN rexact e USING (vec_id)
+    )
+    ORDER BY m
+    """,
+)
+def q_emb_ivfpq_code_budget_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall-vs-CODE-BUDGET frontier for pure-ADC residual IVF-PQ
+    (round-13 VERDICT #3 — 'rerank required' was asserted at ONE
+    operating point, m=8): the same clustered fixture, fitted cells,
+    nprobe=2 and NO rerank, swept over m in (8, 16) subquantizers at
+    k=16 codes each — 4 vs 8 bytes per vector. Doubling the code budget
+    halves each subspace (d_sub 8 → 4), so every extra byte buys
+    finer within-cell resolution; the committed curve (NOTES.md round
+    14) turns the single-point readout into a measured frontier a
+    deployment can price: recall gained per byte, and whether ANY
+    affordable pure-ADC budget clears the 0.8 gate that keeps the
+    shortlist+exact-rerank serve default. The oracle instantiates the
+    full residual chain TWICE under namespaced CTEs (``pfx`` on
+    ``_ivfpq_residual_oracle``) and shares one exact-decimal baseline.
+    Returns one row per budget: (m, code_bytes, n_hits, recall_at_10).
+    """
+    from .operators.clustering import kmeans_predict
+    from .operators.pq import ivfpq_residual_topk, pq_fit, residual_vectors
+    from .operators.similarity import ivf_cell_centroids
+
+    cent, ce = _clustered_fit(spark, sf_dir, skew=False)
+    assigned = kmeans_predict(ce, cent).select("vec_id", "cluster")
+    cec = ce.select("vec_id", "embedding").join(assigned, "vec_id")
+    qid = int(ce.agg(F.min("vec_id")).first()[0])
+    query = [
+        float(x)
+        for x in ce.filter(F.col("vec_id") == qid)
+        .select("embedding")
+        .first()[0]
+    ]
+    ced = ce.select(
+        "vec_id", F.transform(F.col("embedding"), _snap9).alias("_xd")
+    )
+    qd = ced.filter(F.col("vec_id") == qid).select(F.col("_xd").alias("_qd"))
+    # 10-row barrier: the exact baseline is joined once per swept budget
+    exact = (
+        ced.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id", _snap9_sqdist(F.col("_xd"), F.col("_qd")).alias("_d")
+        )
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("_hit"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    hits = F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+    outs = []
+    for m in (8, 16):
+        key = (
+            "clustered-respq", _dataset_fingerprint(sf_dir, "embeddings"),
+            m, 16, 3,
+        )
+        books = _PQ_FIT_MEMO.get(key)
+        if books is None:
+            cents = ivf_cell_centroids(cec, cell_col="cluster")
+            res = residual_vectors(cec, cents, cell_col="cluster")
+            books = pq_fit(res, m=m, k=16, n_iter=3)
+            _memo_put(_PQ_FIT_MEMO, key, books)
+        top = ivfpq_residual_topk(
+            cec, query, qid, topk=10, nprobe=2, cell_col="cluster",
+            codebooks=books,
+        ).select("vec_id")
+        outs.append(
+            top.join(F.broadcast(exact), "vec_id", "left").agg(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(m * 4 // 8).cast("int").alias("code_bytes"),
+                hits.cast("bigint").alias("n_hits"),
+                (hits.cast("double") / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("m")
 
 
 @register(

@@ -145,12 +145,12 @@ HEADLINE = [
     "retrieval_bm25_persisted_topk",
     # round-13: serving from the SEGMENTED lexical store after a delta
     # admission (multi-path postings scan, algebraically merged stats —
-    # the index-maintenance serving shape), the top-3 deflation spectrum
-    # (one covariance pass + checkpointed model-sized deflation rounds),
-    # and the fully-composed decontaminate→clean→canonicalize pipeline
+    # the index-maintenance serving shape)
     "retrieval_bm25_incremental",
-    "emb_pca_topk_spectrum",
-    "pipeline_canonical_decontaminated",
+    # round-14: the store lifecycle's delete verb — serving after a
+    # tombstone delete (same scan shapes + one broadcast anti-join)
+    "retrieval_bm25_delete",
+    "emb_ivfpq_delete",
 ]
 
 # --scale mode (round-12 VERDICT #1): the ~12 heaviest extension
@@ -176,6 +176,13 @@ SCALE_SET = {
     "retrieval_bm25_persisted_topk": "index build linear; serve reads postings",
     "pipeline_quality_logit": "~linear (5 full-batch agg passes)",
     "agg_hll_rollup_singlescan": "~linear one-scan sketch rollup",
+    # round-13 heavies + round-14 lifecycle verbs (VERDICT #5)
+    "emb_pca_topk_spectrum": "~linear cov pass; k x d^2 model iterations",
+    "pipeline_canonical_decontaminated": "~linear (3 composed linear stages)",
+    "retrieval_bm25_incremental": "delta-only tokenize; serve reads postings",
+    "retrieval_bm25_compacted": "compaction rewrites index rows once",
+    "retrieval_bm25_delete": "delete adjusts stats from index rows only",
+    "emb_ivfpq_delete": "membership republish + broadcast anti-join serve",
 }
 
 
@@ -281,6 +288,16 @@ AUDIT = [
     # ground-truth branch + an un-memoizable residual encode of the
     # probed cells — definitional, not a serving shape
     "emb_ivfpq_residual_adc_audit",
+    # recall-vs-code-budget frontier: TWO residual fits + two pure-ADC
+    # passes against the exact baseline (round-14; same audit class)
+    "emb_ivfpq_code_budget_curve",
+    # round-14 (r13 VERDICT #6): composition PROOFS, not serving-path
+    # queries — each is a chain of individually-benched linear stages,
+    # and their ~10 s walls were 20% of a headline meant to read as
+    # steady-state serve cost. Still run + recorded in bench_full by
+    # --audit.
+    "emb_pca_topk_spectrum",
+    "pipeline_canonical_decontaminated",
 ]
 
 

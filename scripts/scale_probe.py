@@ -102,11 +102,19 @@ def build_corpus(spark, k: int) -> str:
 
 
 def time_query(fn, spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    # Timing sink is a NOOP WRITE, not count(): count() lets Catalyst
+    # prune whole subtrees (e.g. the left-join elimination rule dropped
+    # dedup_exact_substring's entire span pipeline in a round-14 probe —
+    # 0.6 s phantom vs 17 s real), so the measured wall would not be the
+    # cost any real consumer pays. The noop sink evaluates every output
+    # column. Row count is taken separately, untimed.
     best, n = float("inf"), 0
     for _ in range(runs):
+        df = fn(spark, sf_dir)
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+    n = fn(spark, sf_dir).count()
     return best, n
 
 

@@ -737,3 +737,48 @@ def test_residual_persisted_serve_prunes_partitions_and_columns(
     ]
     assert read_schemas and all("embedding" not in ln for ln in read_schemas)
     assert "Join" not in plan  # LUT ships as a literal map, not a join
+
+
+def test_tombstone_serve_plans_stay_pruned_and_index_only(spark, sf_dir):
+    """The delete-lifecycle serve paths keep every scan discipline of
+    their tombstone-free twins: the ANN serve still prunes on cell with
+    a codes-only ReadSchema (the tombstone filter is ONE broadcast
+    anti-join of a takedown-sized table), and the lexical serve still
+    never reads text / tokenizes — df/avgdl corrections happened at
+    delete-publish time, not read time."""
+    from ambient_sound_analysis_api_spark.registry import queries
+
+    q = queries()
+
+    fn = q["emb_ivfpq_delete"]
+    fn(spark, sf_dir)  # build + memoize
+    plan = explain_str(fn(spark, sf_dir), "formatted")
+    assert "ivfdel_" in plan and "/segs/" in plan
+    assert (
+        "cell IN" in plan
+        or "cell#" in plan.split("PartitionFilters")[1].splitlines()[0]
+    )
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "code_0" in ln
+    ]
+    assert read_schemas and all("embedding" not in ln for ln in read_schemas)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    fn = q["retrieval_bm25_delete"]
+    fn(spark, sf_dir)
+    plan = explain_str(fn(spark, sf_dir), "formatted")
+    assert "bm25del_" in plan and "/segs/" in plan
+    assert "documents.parquet" not in plan
+    assert "regexp" not in plan.lower() and "Generate" not in plan
+    assert "LeftAnti" in plan
+
+    # compacted twins: tombstones folded out — no anti-join survives
+    for name, marker in (
+        ("emb_ivfpq_delete_compacted", "ivfdelc_"),
+        ("retrieval_bm25_delete_compacted", "bm25delc_"),
+    ):
+        fn = q[name]
+        fn(spark, sf_dir)
+        plan = explain_str(fn(spark, sf_dir), "formatted")
+        assert marker in plan
+        assert "LeftAnti" not in plan
