@@ -130,6 +130,50 @@ def source_overlap_matrix(
     )
 
 
+def _bench_matched_seeds(d: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Shared seed construction for the exact-substring contamination
+    family: TRAIN positions whose L-gram also occurs in the benchmark.
+
+    The train side (the 100 TB side) streams through the Karp-Rabin
+    position generator (``dedup.kr_gram_positions`` — O(n) integer
+    hashing, 8-byte keys, no substring materialization); only train
+    positions whose KR hash appears in the bench KR set get the
+    md5-of-substring verification against the bench md5 set, so the
+    exact (md5-keyed, oracle-replayed) match semantics are unchanged
+    while per-position md5 cost is paid only by the contaminated
+    fraction. The bench side is the fixed-size held-out suite — hashed
+    both ways over all its positions, the cheap side by construction.
+    ``d`` must be shaped (id, _t, _b)."""
+    from .dedup import kr_gram_positions
+
+    kr = kr_gram_positions(d, L, id_col=id_col, text_col="_t", carry=("_b",))
+    bench_kh = kr.filter(F.col("_b")).select("kh").distinct()
+    cand = (
+        kr.filter(~F.col("_b"))
+        .join(bench_kh, "kh", "left_semi")
+        .select(id_col, "o")
+    )
+    bench_offs = F.expr(
+        f"CASE WHEN length(_t) >= {L} THEN sequence(1, length(_t) - {L} + 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    bench_h = (
+        d.filter(F.col("_b"))
+        .select("_t", F.explode(bench_offs).alias("o"))
+        .select(F.md5(F.expr(f"substring(_t, o, {L})")).alias("h"))
+        .distinct()
+    )
+    return (
+        cand.join(d.select(F.col(id_col), "_t"), id_col)
+        .select(
+            id_col, "o",
+            F.md5(F.expr(f"substring(_t, o, {L})")).alias("h"),
+        )
+        .join(bench_h, "h", "left_semi")
+        .select(id_col, "o")
+    )
+
+
 def substring_contamination_report(
     docs: DataFrame,
     bench_pred: Column,
@@ -147,9 +191,9 @@ def substring_contamination_report(
     Same LINEAR construction as ``dedup.exact_substring_spans`` (a char
     lies in a shared ≥L substring iff a shared L-gram covers it), with
     the duplicate test replaced by membership in the benchmark's L-gram
-    set: one semi-join on the md5 gram hash — benchmark side is the
-    tiny one (a broadcast candidate; AQE decides) — then the per-doc
-    gap-and-island union and a doc-level rollup.
+    set — the Karp-Rabin candidate → md5-verified semi-join of
+    :func:`_bench_matched_seeds` — then the per-doc gap-and-island
+    union and a doc-level rollup.
 
     Returns flagged train docs only:
     (doc_id, n_spans, n_contaminated, contam_frac), ordered by doc_id.
@@ -162,22 +206,7 @@ def substring_contamination_report(
     d = docs.select(
         F.col(id_col), F.col(text_col).alias("_t"), bench_pred.alias("_b")
     )
-    offs = F.expr(
-        f"CASE WHEN length(_t) >= {L} THEN sequence(1, length(_t) - {L} + 1) "
-        "ELSE CAST(array() AS ARRAY<INT>) END"
-    )
-    grams = d.select(
-        id_col, "_b", "_t", F.explode(offs).alias("o")
-    ).select(
-        id_col, "_b", "o",
-        F.md5(F.expr(f"substring(_t, o, {L})")).alias("h"),
-    )
-    bench_h = grams.filter(F.col("_b")).select("h").distinct()
-    seeds = (
-        grams.filter(~F.col("_b"))
-        .join(bench_h, "h", "left_semi")
-        .select(id_col, "o")
-    )
+    seeds = _bench_matched_seeds(d, L, id_col)
     w = Window.partitionBy(id_col).orderBy("o")
     brk = F.when(F.col("o") > F.lag("o").over(w) + F.lit(L), 1).otherwise(0)
     isl = seeds.withColumn("_bk", brk).withColumn(
@@ -224,7 +253,10 @@ def substring_decontaminate(
     report's linear L-gram semi-join + gap-and-island union; the rebuild
     is the shared span fold (``dedup.rebuild_without_spans`` — no char
     explode). Returns TRAIN docs only:
-    (doc_id, orig_len, n_spans, n_removed, kept_len, kept_text)."""
+    (doc_id, orig_len, n_spans, n_removed, kept_len, kept_text).
+
+    Seed construction is the Karp-Rabin candidate → md5-verified
+    semi-join shared with the report (:func:`_bench_matched_seeds`)."""
     from pyspark.sql import Window
 
     from .dedup import rebuild_without_spans
@@ -235,22 +267,7 @@ def substring_decontaminate(
     d = docs.select(
         F.col(id_col), F.col(text_col).alias("_t"), bench_pred.alias("_b")
     )
-    offs = F.expr(
-        f"CASE WHEN length(_t) >= {L} THEN sequence(1, length(_t) - {L} + 1) "
-        "ELSE CAST(array() AS ARRAY<INT>) END"
-    )
-    grams = d.select(
-        id_col, "_b", "_t", F.explode(offs).alias("o")
-    ).select(
-        id_col, "_b", "o",
-        F.md5(F.expr(f"substring(_t, o, {L})")).alias("h"),
-    )
-    bench_h = grams.filter(F.col("_b")).select("h").distinct()
-    seeds = (
-        grams.filter(~F.col("_b"))
-        .join(bench_h, "h", "left_semi")
-        .select(id_col, "o")
-    )
+    seeds = _bench_matched_seeds(d, L, id_col)
     w = Window.partitionBy(id_col).orderBy("o")
     brk = F.when(F.col("o") > F.lag("o").over(w) + F.lit(L), 1).otherwise(0)
     isl = seeds.withColumn("_bk", brk).withColumn(

@@ -1486,6 +1486,93 @@ def chunk_doc_reconcile(
     )
 
 
+def kr_gram_positions(
+    d: DataFrame,
+    L: int,
+    id_col: str = "doc_id",
+    text_col: str = "_t",
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Karp-Rabin L-gram position stream: one row per gram start offset,
+    ``(id, carry..., o, kh)`` with ``kh`` the polynomial hash of the
+    L-gram starting at 1-based char offset ``o`` — computed in ONE
+    Arrow-batched pass of O(n) vectorized integer math per document
+    (code points via utf-32, power tables by binary exponentiation,
+    prefix-sum window diffs; every intermediate provably fits int64).
+    No L-char substring is ever materialized and the emitted key is an
+    8-byte long. Equal strings always collide; unequal ones with ~n²/2³¹
+    probability — consumers that need exactness md5-verify ONLY the
+    ≥2-count / cross-matched candidates (see
+    :func:`exact_substring_spans`,
+    ``contamination.substring_decontaminate``)."""
+    id_type = d.schema[id_col].dataType.simpleString()
+    carry_types = {c: d.schema[c].dataType.simpleString() for c in carry}
+
+    def _kr(batches):
+        import numpy as np
+        import pandas as pd
+
+        M = (1 << 31) - 1
+        B = 31
+        invB = pow(B, M - 2, M)
+
+        def pow_table(base, n):
+            """[base^0 .. base^{n-1}] mod M by binary exponentiation —
+            O(n log n) vectorized modmuls (every product < M² < 2^62)."""
+            out = np.ones(n, dtype=np.int64)
+            j = np.arange(n)
+            bit, k = base % M, 1
+            while k < n:
+                mask = (j & k) != 0
+                out[mask] = (out[mask] * bit) % M
+                bit = (bit * bit) % M
+                k <<= 1
+            return out
+
+        P = Q = np.ones(0, dtype=np.int64)
+        for pdf in batches:
+            ids, offs, khs = [], [], []
+            extras = {c: [] for c in carry}
+            rows = zip(
+                pdf[id_col], pdf[text_col], *[pdf[c] for c in carry]
+            )
+            for did, t, *cv in rows:
+                n = len(t)
+                if n < L:
+                    continue
+                if n > len(P):
+                    P, Q = pow_table(B, n), pow_table(invB, n)
+                # code points, vectorized (matches Spark's substring /
+                # length code-point semantics)
+                c = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                s = np.cumsum((c * Q[:n]) % M)  # terms < M, exact in i64
+                win = s[L - 1 :].copy()
+                win[1:] -= s[: n - L]
+                g = ((win % M) * P[L - 1 : n]) % M
+                npos = n - L + 1
+                ids.append(np.full(npos, did))
+                offs.append(np.arange(1, npos + 1, dtype=np.int32))
+                khs.append(g)
+                for cname, val in zip(carry, cv):
+                    extras[cname].append(np.full(npos, val))
+            if ids:
+                out = {id_col: np.concatenate(ids)}
+                for cname in carry:
+                    out[cname] = np.concatenate(extras[cname])
+                out["o"] = np.concatenate(offs)
+                out["kh"] = np.concatenate(khs)
+                yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {carry_types[c]}" for c in carry]
+        + ["o int", "kh long"]
+    )
+    return d.mapInPandas(_kr, schema=schema)
+
+
 def exact_substring_spans(
     docs: DataFrame,
     min_len: int = 50,
@@ -1536,60 +1623,7 @@ def exact_substring_spans(
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
     d = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
-    id_type = docs.schema[id_col].dataType.simpleString()
-
-    def _kr(batches):
-        import numpy as np
-        import pandas as pd
-
-        M = (1 << 31) - 1
-        B = 31
-        invB = pow(B, M - 2, M)
-
-        def pow_table(base, n):
-            """[base^0 .. base^{n-1}] mod M by binary exponentiation —
-            O(n log n) vectorized modmuls (every product < M² < 2^62)."""
-            out = np.ones(n, dtype=np.int64)
-            j = np.arange(n)
-            bit, k = base % M, 1
-            while k < n:
-                mask = (j & k) != 0
-                out[mask] = (out[mask] * bit) % M
-                bit = (bit * bit) % M
-                k <<= 1
-            return out
-
-        P = Q = np.ones(0, dtype=np.int64)
-        for pdf in batches:
-            ids, offs, khs = [], [], []
-            for did, t in zip(pdf[id_col], pdf["_t"]):
-                n = len(t)
-                if n < L:
-                    continue
-                if n > len(P):
-                    P, Q = pow_table(B, n), pow_table(invB, n)
-                # code points, vectorized (matches Spark's substring /
-                # length code-point semantics)
-                c = np.frombuffer(
-                    t.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                s = np.cumsum((c * Q[:n]) % M)  # terms < M, exact in i64
-                win = s[L - 1 :].copy()
-                win[1:] -= s[: n - L]
-                g = ((win % M) * P[L - 1 : n]) % M
-                ids.append(np.full(n - L + 1, did))
-                offs.append(np.arange(1, n - L + 2, dtype=np.int32))
-                khs.append(g)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        id_col: np.concatenate(ids),
-                        "o": np.concatenate(offs),
-                        "kh": np.concatenate(khs),
-                    }
-                )
-
-    grams = d.mapInPandas(_kr, schema=f"{id_col} {id_type}, o int, kh long")
+    grams = kr_gram_positions(d, L, id_col=id_col, text_col="_t")
     # ONE pass over the position stream: the occurrence count is an
     # unordered window over the hash partition, so the corpus is
     # hashed once and shuffled once (8-byte keys)
