@@ -15937,6 +15937,190 @@ def q_emb_pca_spectrum_clustered(
 
 
 # ---------------------------------------------------------------------------
+# 16. round 14 — streamed takedown admission (the streamed half of the
+# deletion lifecycle; batch twins are retrieval_bm25_delete /
+# emb_ivfpq_delete, physical reclamation is the compact verbs)
+
+
+@register("streaming_bm25_takedown", _bm25_topk_sql("WHERE doc_id % 7 <> 3"))
+def q_streaming_bm25_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED deletion from the stream-fed lexical store
+    (``streaming/takedown.py``): after ``streaming_bm25_ingest``'s
+    two-micro-batch document admission, the takedown feed (every
+    ``doc_id % 7 == 3`` — the batch-delete twins' id set) arrives as its
+    own two-file ``availableNow`` stream and is admitted exactly-once as
+    id-only tombstone batches under a sibling takedown root — nothing in
+    the postings/doclens store is re-read or rewritten; a takedown batch
+    costs O(ids). Serving anti-joins the (broadcast) admitted id union
+    out of BOTH index tables BEFORE df/N/avgdl derive, so the oracle is
+    the same rebuild-without-deleted SQL the batch delete verbs share:
+    streamed takedown == batch delete == from-scratch build over the
+    surviving corpus. The reference has no deletion surface (append-only
+    S3 archive, SURVEY.md §4) — extension charter."""
+    import shutil
+    import tempfile
+
+    from .streaming.lexical import bm25_streamed_topk, streamed_lexical_ingest
+    from .streaming.takedown import streamed_takedown_ingest
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_bm25_td_")
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        tsrc, troot, tckpt = f"{root}/tsrc", f"{root}/takedowns", f"{root}/tckpt"
+        half = F.col("doc_id") % 2
+        docs.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+        docs.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streamed_lexical_ingest(spark, stream, store)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the takedown feed: two files -> two micro-batches (split on a
+        # digit that varies within the id set - every id is = 3 mod 7)
+        td = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+        thalf = F.floor(F.col("doc_id") / 7) % 2
+        td.filter(thalf == 0).coalesce(1).write.mode("append").parquet(tsrc)
+        td.filter(thalf == 1).coalesce(1).write.mode("append").parquet(tsrc)
+        tstream = (
+            spark.readStream.schema(td.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tsrc)
+        )
+        tq = (
+            streamed_takedown_ingest(spark, tstream, troot, "doc_id")
+            .option("checkpointLocation", tckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        tq.awaitTermination()
+        return bm25_streamed_topk(
+            spark, store, ["vector", "hash", "merge"], k=20,
+            takedown_root=troot,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "streaming_ann_takedown",
+    f"""
+    WITH {_pq_ctes()},
+    cent AS (
+      SELECT label, i,
+             CAST(sum(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / count(x) AS m
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      GROUP BY label, i
+    )
+    {_pq_incremental_ctes()}
+    SELECT na.vec_id,
+           CAST(na.label AS INTEGER) AS cell,
+           CAST(ncode0.code_0 AS INTEGER) AS code_0,
+           CAST(ncode1.code_1 AS INTEGER) AS code_1,
+           CAST(ncode2.code_2 AS INTEGER) AS code_2,
+           CAST(ncode3.code_3 AS INTEGER) AS code_3
+    FROM nassign na
+    JOIN ncode0 USING (vec_id)
+    JOIN ncode1 USING (vec_id)
+    JOIN ncode2 USING (vec_id)
+    JOIN ncode3 USING (vec_id)
+    WHERE (na.vec_id - 1000000) % 30 <> 3
+    ORDER BY vec_id
+    """,
+)
+def q_streaming_ann_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED deletion from the stream-fed ANN code store: the
+    ``streaming_ann_ingest`` delta corpus is admitted per micro-batch as
+    before, then a takedown stream of every third delta id
+    (``(vec_id − 1M) % 30 == 3``) is admitted exactly-once under a
+    sibling takedown root (``streaming/takedown.py`` — same
+    stage-then-rename contract, id-only batches, no code row rewritten).
+    The readout anti-joins the (broadcast) takedown union out of the
+    grown delta index, and the oracle is the SAME fitted-chain rebuild
+    restricted to surviving ids — so streamed-takedown serve ==
+    never-admitted-the-deleted index, bit-identical. Physical
+    reclamation stays with ``ivfpq_compact_segments`` (stream admits
+    verdicts; batch compaction reclaims bytes)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_cell_centroids
+    from .streaming.ann import read_streamed_codes, streamed_ann_ingest
+    from .streaming.takedown import streamed_takedown_ingest
+
+    emb = _table(spark, sf_dir, "embeddings")
+    key = (_dataset_fingerprint(sf_dir, "embeddings"), 4, 8, 2)
+    books = _PQ_FIT_MEMO.get(key)
+    if books is None:
+        from .operators.pq import pq_fit
+
+        books = pq_fit(emb, m=4, k=8, n_iter=2)
+        _memo_put(_PQ_FIT_MEMO, key, books)
+    cents = ivf_cell_centroids(emb)
+    new = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_ann_td_")
+    try:
+        src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+        tsrc, troot, tckpt = f"{root}/tsrc", f"{root}/takedowns", f"{root}/tckpt"
+        half = F.floor(F.col("vec_id") / 10) % 2
+        new.filter(half == 0).coalesce(1).write.mode("append").parquet(src)
+        new.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streamed_ann_ingest(spark, stream, store, cents, books)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        orig = F.col("vec_id") - 1_000_000
+        td = new.filter(orig % 30 == 3).select("vec_id")
+        thalf = F.floor((F.col("vec_id") - 1_000_000) / 30) % 2
+        td.filter(thalf == 0).coalesce(1).write.mode("append").parquet(tsrc)
+        td.filter(thalf == 1).coalesce(1).write.mode("append").parquet(tsrc)
+        tstream = (
+            spark.readStream.schema(td.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tsrc)
+        )
+        tq = (
+            streamed_takedown_ingest(spark, tstream, troot, "vec_id")
+            .option("checkpointLocation", tckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        tq.awaitTermination()
+        return (
+            read_streamed_codes(spark, store, takedown_root=troot)
+            .select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                *[F.col(f"code_{s}").cast("int").alias(f"code_{s}")
+                  for s in range(4)],
+            )
+            .orderBy("vec_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 
 
 def flagship(spark: SparkSession) -> DataFrame:

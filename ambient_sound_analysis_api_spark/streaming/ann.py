@@ -100,8 +100,28 @@ def streamed_ann_ingest(
     return stream.writeStream.foreachBatch(admit)
 
 
-def read_streamed_codes(spark: SparkSession, store_root: str) -> DataFrame:
+def read_streamed_codes(
+    spark: SparkSession,
+    store_root: str,
+    takedown_root: "str | None" = None,
+) -> DataFrame:
     """The grown delta index: every admitted batch's codes, with
     ``batch`` and ``cell`` as partition columns — a probed-cell filter
-    prunes directories across all batches."""
-    return spark.read.parquet(store_root)
+    prunes directories across all batches.
+
+    ``takedown_root`` points at a streamed takedown store
+    (``streaming/takedown.py``); its admitted vec_ids are anti-joined
+    (takedown-sized, broadcast) out of the code rows, so the served
+    index is exactly the never-admitted-the-deleted index — nothing in
+    the code store itself is rewritten (a takedown is O(ids), and
+    ``ivfpq_compact_segments`` is the physical reclamation path)."""
+    codes = spark.read.parquet(store_root)
+    if takedown_root is not None:
+        from .takedown import read_streamed_takedowns
+
+        tomb = read_streamed_takedowns(spark, takedown_root, "vec_id")
+        if tomb is not None:
+            from pyspark.sql import functions as F
+
+            codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return codes

@@ -90,6 +90,7 @@ def bm25_streamed_topk(
     k: int = 20,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    takedown_root: str | None = None,
 ) -> DataFrame:
     """BM25 top-k over the streamed store: one glob scan of every
     admitted batch's postings (term predicate pushed to the range-sorted
@@ -97,12 +98,27 @@ def bm25_streamed_topk(
     filtered postings stream and the 1-row corpus stats from doclens —
     all index rows, zero text reads. Arithmetic is the shared
     :func:`~..operators.retrieval._bm25_score_topk`, so the result is
-    hash-equal to a one-shot ``bm25_topk`` over the same corpus."""
+    hash-equal to a one-shot ``bm25_topk`` over the same corpus.
+
+    ``takedown_root`` points at a streamed takedown store
+    (``streaming/takedown.py``); its admitted ids are anti-joined
+    (takedown-sized, broadcast) out of BOTH index tables BEFORE df and
+    corpus stats derive — so df, N and avgdl all reflect the surviving
+    corpus and the serve is hash-equal to a from-scratch build without
+    the deleted docs."""
     terms = [t.lower() for t in query_terms]
     tf = spark.read.parquet(f"{store_root}/batch=*/postings").filter(
         F.col("term").isin(terms)
     )
     dl = spark.read.parquet(f"{store_root}/batch=*/doclens")
+    if takedown_root is not None:
+        from .takedown import read_streamed_takedowns
+
+        tomb = read_streamed_takedowns(spark, takedown_root, "doc_id")
+        if tomb is not None:
+            tomb = F.broadcast(tomb)
+            tf = tf.join(tomb, "doc_id", "left_anti")
+            dl = dl.join(tomb, "doc_id", "left_anti")
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
