@@ -418,6 +418,15 @@ def test_all_registry_queries_avoid_pathological_plans(spark, sf_dir):
         # 1-row merged corpus-stats broadcast from the compacted
         # version dir — identical shape to retrieval_bm25_incremental
         "retrieval_bm25_compacted",
+        # same 1-row merged-stats broadcast; the tombstone anti-join is
+        # a takedown-sized BroadcastHashJoin, not the BNLJ (verified in
+        # the committed plan) — round-14 delete-verb serves
+        "retrieval_bm25_delete",
+        "retrieval_bm25_delete_compacted",
+        # 1-row query-vector broadcast against the nlist-row centroid
+        # ranking, once per swept code budget — the recall-curve shape
+        # over the clustered fixture (round-14 audit entry)
+        "emb_ivfpq_code_budget_curve",
     }
     python_ok = {
         "mm_binary_meta",
