@@ -91,7 +91,14 @@ def _shingle_universe(
     arrs = tracked_persist(arrs)
     shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
     if max_shingle_df is not None:
-        hot = (
+        # persisted: the hot-shingle table is consumed by BOTH sides of
+        # the downstream self-join AND the sizes aggregate — without the
+        # persist each consumer re-runs this full df-count shuffle over
+        # the exploded table (3 identical Exchanges in the committed
+        # r14 before-plans; guide §2.4 "two operations keyed the same
+        # way can share one exchange"). The table itself is tiny (only
+        # shingles with df > cap survive).
+        hot = tracked_persist(
             shingles.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
@@ -250,8 +257,14 @@ def representative_near_pairs(
         F.min(id_col).over(w).alias("_rep"),
         F.count("*").over(w).alias("_nc"),
     )
-    reps = tagged.filter(F.col(id_col) == F.col("_rep")).select(
-        id_col, text_col, F.col("_nc").alias("n_copies")
+    # persisted: reps feeds the shingle universe AND the multiplicity
+    # table (ma/mb/diag below) — without it each consumer re-runs the
+    # corpus-wide md5 window (4 window executions in the r14
+    # before-plan; one distinct-text-sized cache removes 3 of them)
+    reps = tracked_persist(
+        tagged.filter(F.col(id_col) == F.col("_rep")).select(
+            id_col, text_col, F.col("_nc").alias("n_copies")
+        )
     )
     shingles, sizes = _shingle_universe(
         reps, n, text_col, id_col, max_shingle_df

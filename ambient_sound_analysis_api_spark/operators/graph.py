@@ -267,11 +267,25 @@ def triangle_stats(
     known-legitimate hubs); the default 4096 bounds wedge fan-out per
     node at ~16.7M rows.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    from .caching import tracked_persist
+
+    # persisted: the edge list is consumed by the degree count AND the
+    # orientation join — without the cache the full upstream
+    # edge-generation pipeline (e.g. the Jaccard shingle join) executes
+    # once per consumer. Narrow (two longs per row).
+    e = tracked_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     sym = e.select(
         F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
     )
-    deg = sym.groupBy("node").agg(F.count("*").alias("degree"))
+    # persisted: deg is node-sized and consumed three times (both
+    # orientation sides + the final readout join); the r14 before-plan
+    # re-ran the degree shuffle — and the whole edge pipeline under it —
+    # per reference (226 Exchange nodes for one query).
+    deg = tracked_persist(
+        sym.groupBy("node").agg(F.count("*").alias("degree"))
+    )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
     ed = e.join(du, "u").join(dv, "v")
@@ -280,8 +294,6 @@ def triangle_stats(
     )
     # oriented edge (s → t) with t's (degree, id) order key carried along
     # so the wedge join can order its two endpoints without re-joining deg.
-    from .caching import tracked_persist
-
     # persisted: consumed by the wedge join's two sides, the closing-edge
     # semi-join, and the out-degree guard — without it each consumer
     # recomputes the two degree joins from the scan

@@ -33,7 +33,26 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import decimal_mean
 from .caching import tracked_persist
-from .clustering import _sqdist_to
+
+
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: ``repr`` round-trips the IEEE double and
+    the ``D`` suffix makes the parser produce the identical value (a bare
+    ``0.1`` would parse as DECIMAL)."""
+    return repr(float(v)) + "D"
+
+
+def _sqdist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text of the squared-L2 fold ``clustering._sqdist_to`` builds
+    through the DSL — same zip_with/aggregate tree, same cast-to-double
+    per element, same 0.0 seed and left fold, so the parsed expression
+    is evaluation-identical to the Column version."""
+    arr = "array(" + ",".join(_dlit(v) for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
 
 
 def _code_cols(
@@ -41,14 +60,25 @@ def _code_cols(
 ) -> list:
     """Per-subspace argmin code expressions over literal centroids — the
     shared encode kernel for fitting and encoding (ties to the lowest
-    code via ``array_position``'s first-minimum semantics)."""
+    code via ``array_position``'s first-minimum semantics).
+
+    Each subspace's expression is assembled as ONE SQL string and parsed
+    with ``F.expr``: the Column-DSL construction issued ~25 py4j calls
+    per centroid (~800 per m=4×k=8 encode, measured ~2 s of driver time
+    PER INVOCATION before any job ran — guide §1.2: fix where the time
+    is). The parsed tree is the same slice/zip_with/aggregate/
+    array_position shape the DSL built; doubles are embedded via
+    ``repr`` + ``D`` suffix so every literal is bit-identical."""
     cols = []
     for s, cb in enumerate(codebooks):
         d_sub = len(cb[0])
-        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        dists = F.array(*[_sqdist_to(sub, c) for c in cb])
+        sub = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        dists = "array(" + ",".join(_sqdist_sql(sub, c) for c in cb) + ")"
         cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            F.expr(
+                f"cast(array_position({dists}, array_min({dists})) - 1 "
+                "as int)"
+            )
         )
     return cols
 
@@ -80,6 +110,8 @@ def pq_fit(
     train on ~1M sampled vectors while the cheap encode pass still covers
     the full corpus, which is how PQ indexes are built in practice.
     """
+    from .caching import tracked_persist
+
     if sample_frac is not None:
         from .sampling import N_BUCKETS, hash_bucket
 
@@ -87,6 +119,11 @@ def pq_fit(
             hash_bucket(F.col(id_col), offset=7)
             < F.lit(int(sample_frac * N_BUCKETS))
         )
+    # persisted: Lloyd's scans the fit input n_iter+1 times (seeding
+    # collect + one encode/update pass per iteration). For a residual
+    # fit the input is itself a centroid-aggregation + broadcast-join
+    # pipeline, which re-executed per pass before this cache.
+    emb = tracked_persist(emb)
     first = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(first) < k:
         raise ValueError(f"need at least k={k} rows, got {len(first)}")
@@ -181,7 +218,7 @@ def _adc_dist(
             lut.append(d)
         terms.append(
             F.element_at(
-                F.array(*[F.lit(v) for v in lut]), F.col(f"code_{s}") + 1
+                F.lit([float(v) for v in lut]), F.col(f"code_{s}") + 1
             )
         )
     dist = terms[0]
@@ -523,7 +560,7 @@ def ivfpq_batch_topk(
                 for a, b in zip(qs, c):
                     d = d + (float(a) - float(b)) * (float(a) - float(b))
                 flat.append(d)
-        lut_entries += [F.lit(qid), F.array(*[F.lit(v) for v in flat])]
+        lut_entries += [F.lit(qid), F.lit([float(v) for v in flat])]
     lutmap = F.create_map(*lut_entries)
 
     cand = emb.join(F.broadcast(cells), emb[cell_col] == F.col("cell"))
@@ -617,9 +654,16 @@ def ivfpq_residual_topk(
     ``codebooks`` (optional) bypasses the in-call residual ``pq_fit`` with
     an already-fitted model — the registry memoizes the fit per dataset
     so repeated audit invocations time the serve path, not Lloyd's."""
+    from .caching import tracked_persist
     from .similarity import ivf_cell_centroids, ivf_probe_cells
 
-    cents = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    # persisted: the nlist-row centroid table feeds the probe ranking,
+    # the driver-side cmap fetch, and the candidate residual join —
+    # without the cache the corpus-wide centroid aggregation ran up to
+    # four times per serve (probe stage recomputed its own copy too)
+    cents = tracked_persist(
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    )
     if codebooks is None:
         res = residual_vectors(
             emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
@@ -638,7 +682,7 @@ def ivfpq_residual_topk(
     m, k = len(books), len(books[0])
     probes = ivf_probe_cells(
         emb, query_id, nprobe, id_col=id_col, vec_col=vec_col,
-        cell_col=cell_col,
+        cell_col=cell_col, cents=cents,
     ).select("cell")
     probed = [r.cell for r in probes.collect()]
     cmap = {
@@ -657,7 +701,7 @@ def ivfpq_residual_topk(
                 for a, b in zip(qs, code_centroid):
                     d = d + (a - b) * (a - b)
                 flat.append(d)
-        lut_entries += [F.lit(c), F.array(*[F.lit(v) for v in flat])]
+        lut_entries += [F.lit(c), F.lit([float(v) for v in flat])]
     lutmap = F.create_map(*lut_entries)
 
     cand = emb.join(
@@ -795,7 +839,7 @@ def ivfpq_incremental_topk(
         ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     )
 
-    qarr = F.array(*[F.lit(float(x)) for x in query])
+    qarr = F.lit([float(x) for x in query])
     csnap = F.transform(
         F.col("centroid"), lambda c: F.round(c, 9).cast("decimal(15,9)")
     )
@@ -1193,7 +1237,7 @@ def ivfpq_incremental_rerank_topk(
     # snap the query via Spark's round (HALF_UP) — Python's round() is
     # half-even and would diverge from the SQL oracle on exact ties
     qsnap = F.transform(
-        F.array(*[F.lit(float(x)) for x in query]),
+        F.lit([float(x) for x in query]),
         lambda x: F.round(x.cast("double"), 9).cast("decimal(15,9)"),
     )
     dexact = F.aggregate(
@@ -1233,11 +1277,20 @@ def ivfpq_write_residual_index(
     cell-directory pruning) at residual encoding's lower distortion
     (committed audits: residual beats raw at every SF at identical code
     size). Returns the fitted (or passed-through) codebooks."""
+    from .caching import tracked_persist
     from .similarity import ivf_cell_centroids
 
-    cents = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
-    res = residual_vectors(
-        emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+    # persisted: cents is read by the residual join AND written out
+    # below; res feeds the (iterative) fit and the codes projection —
+    # without the caches the centroid aggregation + broadcast join
+    # chain re-executed once per consumer
+    cents = tracked_persist(
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    )
+    res = tracked_persist(
+        residual_vectors(
+            emb, cents, id_col=id_col, vec_col=vec_col, cell_col=cell_col
+        )
     )
     if codebooks is None:
         codebooks = pq_fit(
@@ -1305,7 +1358,7 @@ def ivfpq_residual_persisted_topk(
                 for a, b in zip(qs, code_centroid):
                     d = d + (a - b) * (a - b)
                 flat.append(d)
-        lut_entries += [F.lit(c), F.array(*[F.lit(v) for v in flat])]
+        lut_entries += [F.lit(c), F.lit([float(v) for v in flat])]
     lutmap = F.create_map(*lut_entries)
     scan = (
         spark.read.parquet(f"{index_path}/codes")

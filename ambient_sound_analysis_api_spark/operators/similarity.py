@@ -170,13 +170,23 @@ def ivf_probe_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    cents: "DataFrame | None" = None,
 ) -> DataFrame:
     """The shared IVF coarse-probe stage: rank cells by squared-L2 centroid
     distance to the query (nlist-row centroid table × 1-row query, both
     broadcast; ties to the lowest cell id) and return the winning
     ``nprobe`` rows as ``(cell, _qvec)``. Used by both the cosine IVF scan
-    and the IVF-PQ composite so their cell selection can never diverge."""
-    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    and the IVF-PQ composite so their cell selection can never diverge.
+
+    ``cents`` (optional) supplies an already-computed — typically
+    persisted — ``ivf_cell_centroids`` table, so a caller that also needs
+    the centroids (residual serving) doesn't pay the corpus-wide centroid
+    aggregation twice."""
+    cent = (
+        cents
+        if cents is not None
+        else ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
+    )
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )

@@ -239,6 +239,21 @@ def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
         return (path, 0, 0)
 
 
+def _min_id_vector(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "tuple[int, list[float]]":
+    """Fetch (min id, its vector) in ONE TakeOrdered job.
+
+    The previous idiom — ``agg(min(id))`` then ``filter(id == qid)`` —
+    was two full scans per serving query (guide §1.2: don't pay two
+    passes for one value). ``orderBy(id).limit(1)`` returns the same row
+    (ids are unique keys in every fixture) as a single
+    TakeOrderedAndProject scan. The value matches the oracles'
+    ``(SELECT min(vec_id))`` convention exactly."""
+    row = df.orderBy(id_col).select(id_col, vec_col).first()
+    return int(row[0]), [float(x) for x in row[1]]
+
+
 def _memo_put(memo: dict, key: tuple, value) -> None:
     """Insert a fit artifact under ``key = (fingerprint, *params)``,
     evicting entries for the same table path whose fingerprint is now
@@ -6008,9 +6023,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     books = pq_fit(emb, m=4, k=8, n_iter=2)
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_topk(emb, books, query, query_id=qid, k=10, nprobe=2)
 
 
@@ -6084,9 +6097,7 @@ def q_emb_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFPQ_INDEX_MEMO[skey] = (root, fkey[0], path)
     else:
         path = entry[2]
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_persisted_topk(
         spark, path, emb, books, query, query_id=qid, k=12, nprobe=3
     ).orderBy("adc_dist", "vec_id")
@@ -6190,9 +6201,7 @@ def q_emb_ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     root, books = _ivfpq_seg_del_root(spark, sf_dir, "ivfdel", compact=False)
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_segmented_topk(
         spark, root, emb, books, query, query_id=qid, k=12, nprobe=3
     ).orderBy("adc_dist", "vec_id")
@@ -6216,9 +6225,7 @@ def q_emb_ivfpq_delete_compacted(
 
     emb = _table(spark, sf_dir, "embeddings")
     root, books = _ivfpq_seg_del_root(spark, sf_dir, "ivfdelc", compact=True)
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_segmented_topk(
         spark, root, emb, books, query, query_id=qid, k=12, nprobe=3
     ).orderBy("adc_dist", "vec_id")
@@ -6878,9 +6885,7 @@ def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pq import ivfpq_residual_topk
 
     emb = _table(spark, sf_dir, "embeddings")
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_residual_topk(
         emb, query, query_id=qid, m=4, k=8, n_iter=2, topk=10, nprobe=2
     )
@@ -6934,13 +6939,7 @@ def q_emb_ivfpq_residual_persisted_topk(
         _IVFPQ_INDEX_MEMO[skey] = (root, fkey, (path, books))
     else:
         path, books = entry[2]
-    qid = int(emb.agg(F.min("vec_id")).first()[0])
-    query = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == qid)
-        .select("embedding")
-        .first()[0]
-    ]
+    qid, query = _min_id_vector(emb)
     return ivfpq_residual_persisted_topk(
         spark, path, books, query, qid, topk=10, nprobe=2
     )
@@ -9692,12 +9691,19 @@ def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.graph import connected_components
     from .operators.sampling import hash_split
 
+    from .operators.caching import tracked_persist
+
     docs = _table(spark, sf_dir, "documents")
-    doc_rep = docs.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5("text")))
-        .alias("rep_id"),
+    # persisted: doc_rep feeds the representative semi-join AND the
+    # exact-dup edge set — without the cache the corpus-wide md5 window
+    # executes twice (narrow: two longs per doc)
+    doc_rep = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("rep_id"),
+        )
     )
     uniq = docs.join(
         doc_rep.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
@@ -9992,9 +9998,7 @@ def q_emb_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if books is None:
         books = pq_fit(emb, m=4, k=8, n_iter=2)
         _memo_put(_PQ_FIT_MEMO, key, books)
-    qid = emb.agg(F.min("vec_id")).first()[0]
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").first()
-    query = [float(x) for x in qrow[0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_recall_curve(
         emb, books, query, query_id=qid, k=10, nprobes=(1, 2, 4)
     )
@@ -11242,9 +11246,7 @@ def q_emb_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
     # convention; a fixture whose ids don't start at 0 would otherwise
     # diverge from the oracle)
-    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
-    query = [float(x) for x in qrow[0][0]]
+    qid, query = _min_id_vector(emb)
     return ivfpq_incremental_topk(
         emb, new, books, query, query_id=qid, k=10, nprobe=2
     ).orderBy("adc_dist", "vec_id")
@@ -11355,9 +11357,7 @@ def q_emb_ivfpq_incremental_recall(
     # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
     # convention; a fixture whose ids don't start at 0 would otherwise
     # diverge from the oracle)
-    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
-    query = [float(x) for x in qrow[0][0]]
+    qid, query = _min_id_vector(emb)
     top = ivfpq_incremental_topk(
         emb, new, books, query, query_id=qid, k=10, nprobe=2
     ).select("vec_id")
@@ -13342,9 +13342,7 @@ def q_emb_ivfpq_incremental_recall_gate(
     # (SELECT min(vec_id)) — never a hardcoded 0 (the persisted-topk
     # convention; a fixture whose ids don't start at 0 would otherwise
     # diverge from the oracle)
-    qid = int(emb.agg(F.min("vec_id")).collect()[0][0])
-    qrow = emb.filter(F.col("vec_id") == qid).select("embedding").collect()
-    query = [float(x) for x in qrow[0][0]]
+    qid, query = _min_id_vector(emb)
     top = ivfpq_incremental_rerank_topk(
         emb, new, books, query, query_id=qid, k=10, nprobe=9, shortlist=200
     ).select("vec_id")
@@ -15641,13 +15639,7 @@ def q_emb_ivfpq_clustered_adc_audit(
     if books is None:
         books = pq_fit(ce, m=8, k=16, n_iter=3)
         _memo_put(_PQ_FIT_MEMO, key, books)
-    qid = int(ce.agg(F.min("vec_id")).first()[0])
-    query = [
-        float(x)
-        for x in ce.filter(F.col("vec_id") == qid)
-        .select("embedding")
-        .first()[0]
-    ]
+    qid, query = _min_id_vector(ce)
     top = ivfpq_topk(
         cec, books, query, qid, k=10, nprobe=2, cell_col="cluster"
     ).select("vec_id")
@@ -15744,13 +15736,7 @@ def q_emb_ivfpq_residual_adc_audit(
         res = residual_vectors(cec, cents, cell_col="cluster")
         books = pq_fit(res, m=8, k=16, n_iter=3)
         _memo_put(_PQ_FIT_MEMO, key, books)
-    qid = int(ce.agg(F.min("vec_id")).first()[0])
-    query = [
-        float(x)
-        for x in ce.filter(F.col("vec_id") == qid)
-        .select("embedding")
-        .first()[0]
-    ]
+    qid, query = _min_id_vector(ce)
     top = ivfpq_residual_topk(
         cec, query, qid, topk=10, nprobe=2, cell_col="cluster",
         codebooks=books,
@@ -15859,13 +15845,7 @@ def q_emb_ivfpq_code_budget_curve(
     cent, ce = _clustered_fit(spark, sf_dir, skew=False)
     assigned = kmeans_predict(ce, cent).select("vec_id", "cluster")
     cec = ce.select("vec_id", "embedding").join(assigned, "vec_id")
-    qid = int(ce.agg(F.min("vec_id")).first()[0])
-    query = [
-        float(x)
-        for x in ce.filter(F.col("vec_id") == qid)
-        .select("embedding")
-        .first()[0]
-    ]
+    qid, query = _min_id_vector(ce)
     ced = ce.select(
         "vec_id", F.transform(F.col("embedding"), _snap9).alias("_xd")
     )
