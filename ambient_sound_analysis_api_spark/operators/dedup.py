@@ -624,6 +624,16 @@ _MINHASH_MEMBER_SQL = (
     f"{MINHASH_MOD}"
 )
 
+#: the same member map with shift FUNCTIONS instead of operators — the
+#: only spelling the parser accepts inside array(...)/struct(...) calls,
+#: where ``>>``/``<<`` collide with generic-type brackets
+_MINHASH_MEMBER_FN_SQL = (
+    "(shiftright({a} * shiftright(h0, 30), 31)"
+    " + shiftleft(({a} * shiftright(h0, 30)) & 2147483647, 30)"
+    " + {a} * (h0 & 1073741823) + {c}) % "
+    f"{MINHASH_MOD}"
+)
+
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic 30-bit (a, c) coefficients for the MinHash family,
@@ -683,16 +693,19 @@ def minhash_signatures(
             F.array_distinct(token_ngrams(F.col(text_col), n))
         ).alias("shingle"),
     ).select("id", md5_hash60(F.col("shingle")).alias("h0"))
-    mins = exploded.groupBy("id").agg(
-        *[
-            F.min(F.expr(_MINHASH_MEMBER_SQL.format(a=a, c=c))).alias(
-                f"h{i}"
-            )
-            for i, (a, c) in enumerate(minhash_coeffs(num_hashes))
-        ]
+    # the k minima and the signature array ride ONE parsed expression —
+    # building 32 separate agg Columns plus a 32-element F.array cost
+    # ~0.8 s of py4j plumbing per invocation (measured), for an
+    # identical aggregate plan. Shift ops use the function forms
+    # (shiftright/shiftleft): inside array(...) the parser reads ``>>``
+    # as generic-type syntax and rejects the operator spelling.
+    members = ",".join(
+        "min(" + _MINHASH_MEMBER_FN_SQL.format(a=a, c=c) + ")"
+        for a, c in minhash_coeffs(num_hashes)
     )
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
-    return mins.select("id", sig.alias("sig"))
+    return exploded.groupBy("id").agg(
+        F.expr(f"array({members})").alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -757,32 +770,27 @@ def _band_signatures(
     """(id, band_idx, band_hash) LSH banding of a signature table — the
     standing-index layout: one row per (doc, band), keyed by the portable
     md5 band hash so any engine rebuilds identical buckets."""
-    from ..functions.scalars import md5_hash60
-
     rows_per_band = num_hashes // bands
+    # one parsed expression for the whole band array: the per-band
+    # Column-DSL construction (struct + md5 chain per band) was pure
+    # py4j plumbing; the parsed tree is identical (md5_hash60 inlined:
+    # cast(conv(substring(md5(x),1,15),16,10) as bigint))
+    structs = []
+    for bi in range(bands):
+        parts = ",".join(
+            f"cast(sig[{bi * rows_per_band + r}] as string)"
+            for r in range(rows_per_band)
+        )
+        h = (
+            "cast(conv(substring(md5(concat_ws(',', "
+            f"{parts})), 1, 15), 16, 10) as bigint)"
+        )
+        structs.append(
+            f"named_struct('band_idx', {bi}, 'band_hash', {h})"
+        )
     return sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        md5_hash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[
-                                        bi * rows_per_band + r
-                                    ].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
 
 

@@ -45,12 +45,23 @@ def bigram_lm_scores(
     with at least one bigram; ``avg_logprob`` is
     ``CAST(sum_6dp_logprobs AS DOUBLE) / n_bigrams``.
     """
-    toks = df.select(
-        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("toks")
+    from .caching import tracked_persist
+
+    # persisted: the normalize+tokenize projection feeds four consumers
+    # (unigram counts, vocabulary size, bigram counts, the scored join
+    # stream) — without the cache the regexp chain ran once per consumer
+    toks = tracked_persist(
+        df.select(
+            F.col(id_col),
+            tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
     )
     uni = toks.select(F.col(id_col), F.explode("toks").alias("token"))
-    ug = uni.groupBy("token").agg(F.count("*").alias("c_ug"))
-    vocab = uni.agg(F.countDistinct("token").alias("v"))
+    ug = tracked_persist(uni.groupBy("token").agg(F.count("*").alias("c_ug")))
+    # |vocabulary| is BY DEFINITION the unigram table's row count — same
+    # value as countDistinct(token) over the corpus without a second
+    # corpus-wide aggregation pass
+    vocab = ug.agg(F.count("*").alias("v"))
     bg_stream = (
         toks.filter(F.size("toks") >= 2)
         .select(
