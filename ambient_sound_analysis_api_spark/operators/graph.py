@@ -47,6 +47,18 @@ def connected_components(
     is truncated with ``localCheckpoint`` every round so the plan doesn't
     grow with iterations (the classic iterative-Spark trap).
 
+    The iteration runs over the EDGE-INDUCED node set only: a node with no
+    edges can never receive a label, so carrying the full node table
+    through every round's join + checkpoint pays per-round cost on rows
+    that cannot change (after exact-collapse dedup, singletons are
+    typically the vast majority of a corpus). Edge endpoints must be drawn
+    from ``nodes`` — every caller passes edges generated from the same
+    frame — and singletons are attached by one final left join (label
+    coalesces to the node's own id). The first hook round is fused into
+    initialization: with identity labels, round 0's neighbor-min for edge
+    node ``u`` is just ``min(u, min(neighbors))`` — one aggregation over
+    the symmetric edge set, no join, no full-node checkpoint.
+
     Returns ``(node_col, cluster_id)`` — singleton nodes keep their own id.
     """
     # Materialize the symmetric edge set ONCE: every iteration joins against
@@ -70,9 +82,11 @@ def connected_components(
         .select("e.u", "e.v")
         .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("u"), F.col(node_col).alias("lbl")
-    ).localCheckpoint()
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("lbl"))
+        .localCheckpoint()
+    )
 
     converged = False
     try:
@@ -88,10 +102,11 @@ def connected_components(
             best = F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
             )
-            if i >= 2:
-                # still unconverged after the clique-friendly rounds: this is
-                # a deep/chain-shaped component — add the pointer-jumping
-                # step lbl(u) <- lbl(lbl(u)) so remaining chains halve per
+            if i >= 1:
+                # still unconverged after the clique-friendly rounds (the
+                # fused init round + loop round 0): this is a deep/chain-
+                # shaped component — add the pointer-jumping step
+                # lbl(u) <- lbl(lbl(u)) so remaining chains halve per
                 # round instead of shrinking by one hop
                 jumped = labels.select(
                     F.col("u").alias("j_u"), F.col("lbl").alias("j_lbl")
@@ -122,9 +137,14 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "with pointer jumping this needs a component of diameter "
-            f"~2^{max_iter - 2} — check the edge set (or raise max_iter)"
+            f"~2^{max_iter - 1} — check the edge set (or raise max_iter)"
         )
-    return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
+    return nodes.select(F.col(node_col)).join(
+        labels, F.col(node_col) == F.col("u"), "left"
+    ).select(
+        F.col(node_col),
+        F.coalesce(F.col("lbl"), F.col(node_col)).alias("cluster_id"),
+    )
 
 
 def pagerank(
