@@ -464,18 +464,27 @@ def kcenter_greedy(
     centers = [seed["xd"]]
     # seeded all-NULL; F.least skips NULLs, so round 1's least(dmin, d) = d
     df = base.withColumn("dmin", F.lit(None).cast("decimal(38,18)"))
+    prev = None
     for t in range(2, k + 1):
+        # persist + let the argmax collect materialize it: ONE job per
+        # round where localCheckpoint + collect was two. The previous
+        # round's cache is released once the new one is materialized
+        # (its data was folded into this round's dmin); lineage depth
+        # grows by one select per round — model-sized k keeps that flat.
         df = df.select(
             "id",
             "xd",
             F.least(F.col("dmin"), dist_to(centers[-1])).alias("dmin"),
-        ).localCheckpoint()
+        ).persist()
         nxt_rows = (
             df.filter(~F.col("id").isin([p[1] for p in picks]))
             .orderBy(F.col("dmin").desc(), F.col("id"))
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = df
         if not nxt_rows:
             raise ValueError(
                 f"kcenter_greedy: k={k} exceeds the number of distinct "
@@ -484,6 +493,8 @@ def kcenter_greedy(
         nxt = nxt_rows[0]
         picks.append((t, int(nxt["id"]), nxt["dmin"]))
         centers.append(nxt["xd"])
+    if prev is not None:
+        prev.unpersist()
     from decimal import ROUND_HALF_UP, Decimal
 
     q6 = Decimal("0.000001")

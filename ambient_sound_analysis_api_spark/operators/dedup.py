@@ -139,16 +139,22 @@ def _pair_intersections(groups: DataFrame) -> DataFrame:
     hot-shingle cap — the documented single-task unit), and one
     aggregation keyed on the pair counts shared shingles. Replaces the
     former shingle self-equi-join: same pairs, same counts, one exchange
-    of the candidate rows instead of two plus a join."""
+    of the candidate rows instead of two plus a join. The combinations
+    stream through a two-step explode (position, then suffix slice) so a
+    group never materializes its whole C(df, 2) pair set in one value —
+    per-row peak is one ≤ df-element slice."""
     pairs = groups.select(
+        F.posexplode("ids").alias("_i", "id_a"), F.col("ids")
+    ).select(
+        "id_a",
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> named_struct('id_a', x, 'id_b', y))))"
+            F.slice(
+                F.col("ids"),
+                F.col("_i") + F.lit(2),
+                F.size("ids") - F.col("_i") - F.lit(1),
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+        ).alias("id_b"),
+    )
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
 
 
@@ -761,7 +767,13 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    # candidates are bare id pairs — nothing wide moves through this shuffle
+    # candidates are bare id pairs — nothing wide moves through this
+    # shuffle. Kept as a self-equi-join deliberately: the grouped
+    # posting-list form that won for the shingle family
+    # (_pair_intersections) measured consistently SLOWER here (2.55 s vs
+    # 2.08 s best-of-4, same session) — band buckets are overwhelmingly
+    # singletons, so the collect_list aggregation pays ObjectHashAggregate
+    # overhead on 8×n rows without reducing any join volume.
     cand = (
         a.join(
             b,

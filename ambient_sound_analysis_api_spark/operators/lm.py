@@ -213,6 +213,129 @@ def pmi_collocations(
     )
 
 
+def _bpe_symbols(df: DataFrame, text_col: str, min_word_len: int) -> DataFrame:
+    """Round-0 BPE state: the word-frequency table split to one row per
+    (word, freq, position, single-char symbol)."""
+    from ..functions.text import letter_tokens
+
+    words = df.select(
+        F.explode(letter_tokens(F.col(text_col))).alias("word")
+    ).filter(F.length("word") >= min_word_len)
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    return wf.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("i", "s"),
+    )
+
+
+def _bpe_apply_merge(paired: DataFrame, ba: str, bb: str) -> DataFrame:
+    """Greedy-left non-overlapping application of one merge (a, b) to a
+    ``(word, freq, j, s, s_next)`` paired symbol table — the
+    gaps-and-islands step shared by the trainer and the apply-only
+    encoder: positions where the pair matches form maximal consecutive
+    chains, every ODD chain member applies, its successor is consumed.
+    Returns the merged ``(word, freq, i, s)`` symbol table (lazy)."""
+    from pyspark.sql import Window
+
+    w_match = Window.partitionBy("word").orderBy("j")
+    m = paired.select(
+        "word",
+        "freq",
+        "j",
+        "s",
+        (
+            (F.col("s") == F.lit(ba)) & (F.col("s_next") == F.lit(bb))
+        ).alias("is_match"),
+        F.lit(ba).alias("ba"),
+        F.lit(bb).alias("bb"),
+    )
+    mm = m.withColumn(
+        "mrn",
+        F.when(
+            F.col("is_match"),
+            F.row_number().over(
+                Window.partitionBy("word", "is_match").orderBy("j")
+            ),
+        ),
+    )
+    isl = mm.withColumn(
+        "island", F.when(F.col("is_match"), F.col("j") - F.col("mrn"))
+    )
+    applied = isl.withColumn(
+        "applied",
+        F.coalesce(
+            F.col("is_match")
+            & (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("word", "island").orderBy("j")
+                    )
+                    % 2
+                )
+                == 1
+            ),
+            F.lit(False),
+        ),
+    )
+    nxt = applied.withColumn(
+        "applied_prev",
+        F.lag("applied").over(w_match),
+    ).filter(~F.coalesce(F.col("applied_prev"), F.lit(False)))
+    return nxt.select(
+        "word",
+        "freq",
+        F.col("j").alias("i"),
+        F.when(
+            F.col("applied"), F.concat(F.col("ba"), F.col("bb"))
+        )
+        .otherwise(F.col("s"))
+        .alias("s"),
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    min_word_len: int = 2,
+) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with an already-trained
+    merge list — the serve-path twin of :func:`bpe_train`, with the
+    counting/argmax machinery gone. The merge list is model state
+    (model-sized, the k-means-centroid contract), so application is ONE
+    lazy plan: no per-round pair-count aggregation, no driver collects,
+    no checkpoints — every round's windows are partitioned by ``word``,
+    so the whole chain runs off a single exchange. Produces the same
+    ``(word, freq, i, s)`` symbol table ``bpe_train(...,
+    return_symbols=True)`` returns after its final round (shared
+    ``_bpe_apply_merge`` kernel — the two paths cannot diverge)."""
+    from pyspark.sql import Window
+
+    sym = _bpe_symbols(df, text_col, min_word_len)
+    w_seq = Window.partitionBy("word").orderBy("i")
+    for ba, bb in merges:
+        cur = sym.select(
+            "word", "freq", F.row_number().over(w_seq).alias("j"), "s"
+        )
+        paired = cur.select(
+            "word",
+            "freq",
+            "j",
+            "s",
+            F.lead("s").over(
+                Window.partitionBy("word").orderBy("j")
+            ).alias("s_next"),
+        )
+        sym = _bpe_apply_merge(paired, ba, bb)
+    return sym
+
+
 def bpe_train(
     df: DataFrame,
     n_rounds: int = 3,
@@ -253,22 +376,7 @@ def bpe_train(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import letter_tokens
-
-    words = df.select(
-        F.explode(letter_tokens(F.col(text_col))).alias("word")
-    ).filter(F.length("word") >= min_word_len)
-    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
-    sym = wf.select(
-        "word",
-        "freq",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1))"
-            )
-        ).alias("i", "s"),
-    )
+    sym = _bpe_symbols(df, text_col, min_word_len)
 
     w_seq = Window.partitionBy("word").orderBy("i")
     merges = []
@@ -306,65 +414,13 @@ def bpe_train(
             best_rows[0]["pair_freq"],
         )
         merges.append((rnd, ba, bb, ba + bb, bfreq))
-        # greedy-left application: islands of consecutive match positions,
-        # odd members apply, their successors are consumed.
-        m = paired.select(
-            "word",
-            "freq",
-            "j",
-            "s",
-            (
-                (F.col("s") == F.lit(ba)) & (F.col("s_next") == F.lit(bb))
-            ).alias("is_match"),
-            F.lit(ba).alias("ba"),
-            F.lit(bb).alias("bb"),
-        )
-        w_match = Window.partitionBy("word").orderBy("j")
-        mm = m.withColumn(
-            "mrn",
-            F.when(
-                F.col("is_match"),
-                F.row_number().over(
-                    Window.partitionBy("word", "is_match").orderBy("j")
-                ),
-            ),
-        )
-        isl = mm.withColumn(
-            "island", F.when(F.col("is_match"), F.col("j") - F.col("mrn"))
-        )
-        applied = isl.withColumn(
-            "applied",
-            F.coalesce(
-                F.col("is_match")
-                & (
-                    (
-                        F.row_number().over(
-                            Window.partitionBy("word", "island").orderBy("j")
-                        )
-                        % 2
-                    )
-                    == 1
-                ),
-                F.lit(False),
-            ),
-        )
-        nxt = applied.withColumn(
-            "applied_prev",
-            F.lag("applied").over(w_match),
-        ).filter(~F.coalesce(F.col("applied_prev"), F.lit(False)))
+        # greedy-left application (shared _bpe_apply_merge kernel), then
         # localCheckpoint: truncate the per-round window-chain lineage
         # (repo iterative-operator convention) so round N never re-executes
-        # rounds 1..N-1
-        sym = nxt.select(
-            "word",
-            "freq",
-            F.col("j").alias("i"),
-            F.when(
-                F.col("applied"), F.concat(F.col("ba"), F.col("bb"))
-            )
-            .otherwise(F.col("s"))
-            .alias("s"),
-        ).localCheckpoint()
+        # rounds 1..N-1 — needed here because each round's COUNT branch
+        # re-reads sym (the apply-only bpe_apply path has one consumer
+        # and stays fully lazy instead)
+        sym = _bpe_apply_merge(paired, ba, bb).localCheckpoint()
     out = df.sparkSession.createDataFrame(
         merges, "round int, a string, b string, merged string, pair_freq bigint"
     )

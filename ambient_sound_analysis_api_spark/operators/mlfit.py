@@ -116,7 +116,15 @@ def standardize(
     df: DataFrame, cols: list[str], label_cols: list[str] | None = None
 ) -> DataFrame:
     """Z-score ``cols`` (one stats pass + a literal projection; see
-    :func:`standardize_stats` for the determinism contract)."""
+    :func:`standardize_stats` for the determinism contract).
+
+    The input frame is persisted first: the stats pass and the returned
+    projection both read it, and feature frames are typically projections
+    of expensive per-row chains (the quality-logit regex features ran
+    twice per fit before this — once for stats, once when the projection
+    materialized). The cached frame is the post-projection feature
+    columns only, so the cache is a few doubles per row."""
+    df = tracked_persist(df)
     return apply_standardize(
         df, cols, standardize_stats(df, cols), label_cols
     )

@@ -152,23 +152,24 @@ def bm25_topk(
     from .caching import tracked_persist
 
     terms = [t.lower() for t in query_terms]
-    # dl and tf are each consumed by TWO subtrees (stats+scored, df+scored)
-    # and Spark shares no common subplans across references — without the
-    # persist every reference re-runs the corpus tokenize scan (measured:
-    # 4-5 parquet scans per query). Both tables are the post-tokenize,
-    # post-shuffle artifacts a production index would materialize anyway.
+    # ONE tokenize pass: dl and tf both derive from the same persisted
+    # token-array projection (the regexp extraction is the scan's CPU
+    # cost, and the former dl/tf persists each re-ran it — 2 full regex
+    # passes per query). dl/tf stay persisted too: each is consumed by
+    # TWO subtrees (stats+scored, df+scored) and Spark shares no common
+    # subplans across references. All three are post-tokenize artifacts
+    # a production index would materialize anyway.
+    toks = tracked_persist(
+        docs.select("doc_id", letter_tokens(F.col("text")).alias("_toks"))
+    )
     dl = tracked_persist(
-        docs.select(
-            "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
-        )
+        toks.select("doc_id", F.size("_toks").alias("dl"))
     )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )  # 1 row
     tf = tracked_persist(
-        docs.select(
-            "doc_id", F.explode(letter_tokens(F.col("text"))).alias("term")
-        )
+        toks.select("doc_id", F.explode("_toks").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -223,22 +224,23 @@ def bm25_eval(
     qrows = [(int(qid), t.lower()) for qid, terms in queries for t in terms]
     qtab = spark.createDataFrame(qrows, "query_id int, term string")
 
-    # persisted for the same multi-reference reason as bm25_topk: dl feeds
-    # stats AND the score join, tf feeds df AND the score join — without
-    # the persist each reference re-tokenizes the corpus (measured: 8
-    # parquet scans for a 3-query batch; 2 with)
+    # persisted for the same multi-reference reason as bm25_topk (dl feeds
+    # stats AND the score join, tf feeds df AND the score join), with the
+    # same single-tokenize structure: dl and tf both read the one
+    # persisted token-array projection instead of each re-running the
+    # regexp pass (measured: 8 parquet scans for a 3-query batch before
+    # any persist; 2 with dl/tf persisted; 1 tokenize with toks shared)
+    toks = tracked_persist(
+        docs.select("doc_id", letter_tokens(F.col("text")).alias("_toks"))
+    )
     dl = tracked_persist(
-        docs.select(
-            "doc_id", F.size(letter_tokens(F.col("text"))).alias("dl")
-        )
+        toks.select("doc_id", F.size("_toks").alias("dl"))
     )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )  # 1 row
     tf = tracked_persist(
-        docs.select(
-            "doc_id", F.explode(letter_tokens(F.col("text"))).alias("term")
-        )
+        toks.select("doc_id", F.explode("_toks").alias("term"))
         .join(F.broadcast(qtab.select("term").distinct()), "term", "left_semi")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))

@@ -272,14 +272,25 @@ def token_budget_select(
         raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
     from pyspark.sql import Window
 
-    d = docs.select(
-        "source",
-        # (16,6) covers |q| < 10^10: a plain (10,6) silently NULLs
-        # scores >= 10^4 under non-ANSI Spark (uncalibrated raw scores)
-        F.round(quality, 6).cast("decimal(16,6)").alias("_q"),
-        n_tokens.cast("bigint").alias("_nt"),
+    from .caching import tracked_persist
+
+    # persisted: d is consumed by the histogram (twice — cumulative and
+    # total branches) AND the final selection, and the quality column is
+    # typically a multi-regexp chain (quality_score) — without the cache
+    # the regex scan ran 3x per call. hist is vocabulary-sized but also
+    # dual-consumed (cum + total), so it caches too.
+    d = tracked_persist(
+        docs.select(
+            "source",
+            # (16,6) covers |q| < 10^10: a plain (10,6) silently NULLs
+            # scores >= 10^4 under non-ANSI Spark (uncalibrated raw scores)
+            F.round(quality, 6).cast("decimal(16,6)").alias("_q"),
+            n_tokens.cast("bigint").alias("_nt"),
+        )
     )
-    hist = d.groupBy("_q").agg(F.sum("_nt").alias("_toks"))
+    hist = tracked_persist(
+        d.groupBy("_q").agg(F.sum("_nt").alias("_toks"))
+    )
     w = (
         Window.orderBy(F.col("_q").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

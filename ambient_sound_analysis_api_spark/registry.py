@@ -186,6 +186,11 @@ _SPECS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
 # fingerprint change also evicts the dead entry (one artifact per path).
 _BLOOM_FIT_MEMO: dict[tuple, list[int]] = {}
 _PQ_FIT_MEMO: dict[tuple, list] = {}
+# trained BPE merge list [(a, b), ...] — model-sized (n_rounds rows),
+# the same model-memo contract as the PQ/k-means fits: the trainer
+# entry (pipeline_bpe_train_rounds) always times the full trainer;
+# the encode entry times tokenizer APPLICATION over a trained model
+_BPE_MEMO: dict[tuple, list] = {}
 # (standardization stats, weight vector) of the fitted quality classifier
 _LOGIT_FIT_MEMO: dict[tuple, tuple] = {}
 # persisted cell-partitioned IVF-PQ code indexes: fingerprint-keyed temp
@@ -10310,10 +10315,23 @@ def q_text_bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence count is Σ word_freq per piece, never a corpus rescan.
     Oracle = the trainer's unrolled CTE chain aggregated over the final
     symbol table."""
-    from .operators.lm import bpe_train
+    from .operators.lm import bpe_apply, bpe_train
 
     docs = _table(spark, sf_dir, "documents")
-    _, sym = bpe_train(docs, n_rounds=3, return_symbols=True)
+    # tokenizer application over the TRAINED merges (the entry's charter:
+    # "tokenizer application over the trained merges" — bench.py): the
+    # merge list is model state and memoizes per dataset like the PQ
+    # codebooks; application is one lazy window chain (bpe_apply), no
+    # per-round pair counting, no driver collects, no checkpoints
+    key = (_dataset_fingerprint(sf_dir, "documents"), "bpe", 3)
+    merges = _BPE_MEMO.get(key)
+    if merges is None:
+        mdf = bpe_train(docs, n_rounds=3)
+        merges = [
+            (r["a"], r["b"]) for r in mdf.orderBy("round").collect()
+        ]
+        _memo_put(_BPE_MEMO, key, merges)
+    sym = bpe_apply(docs, merges)
     return (
         sym.groupBy(F.col("s").alias("piece"))
         .agg(F.sum("freq").cast("long").alias("n_occurrences"))
@@ -12654,6 +12672,12 @@ def q_pipeline_logit_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("y"),
     )
+    # persisted: raw feeds the stats pass, the fit's feature frame, and
+    # the serving projection — without the cache the regex feature chain
+    # re-ran per consumer (3 full scans); cached rows are 4 doubles + id
+    from .operators.caching import tracked_persist
+
+    raw = tracked_persist(raw)
     key = (_dataset_fingerprint(sf_dir, "documents"), "logit", 4, 2.0, 0.75)
     model = _LOGIT_FIT_MEMO.get(key)
     if model is None:
@@ -15143,6 +15167,11 @@ def q_eval_quality_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3).alias("_h"),
     )
+    # persisted: both split halves and their stats/fit/score consumers
+    # re-ran the regex feature chain per reference before this cache
+    from .operators.caching import tracked_persist
+
+    raw = tracked_persist(raw)
     train_raw = raw.filter(F.col("_h") < "ccc")
     hold_raw = raw.filter(F.col("_h") >= "ccc")
     key = (
