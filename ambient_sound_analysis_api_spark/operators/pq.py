@@ -330,10 +330,7 @@ def ivfpq_recall_curve(
     spark = emb.sparkSession
     maxp = max(nprobes)
 
-    cent = ivf_cell_centroids(
-        emb, cell_col=cell_col, vec_col=vec_col,
-        dim=len(codebooks) * len(codebooks[0][0]),
-    )
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -511,10 +508,7 @@ def ivfpq_batch_topk(
     if not qrows:
         raise ValueError("empty query batch")
 
-    cent = ivf_cell_centroids(
-        emb, cell_col=cell_col, vec_col=vec_col,
-        dim=len(codebooks) * len(codebooks[0][0]),
-    )
+    cent = ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     # query-id type comes from the batch frame itself — an external batch
     # may key queries by string/int; hardcoding long would mis-cast them
     qid_type = dict(queries.dtypes)[query_id_col]
@@ -668,14 +662,7 @@ def ivfpq_residual_topk(
     # without the cache the corpus-wide centroid aggregation ran up to
     # four times per serve (probe stage recomputed its own copy too)
     cents = tracked_persist(
-        ivf_cell_centroids(
-            emb, cell_col=cell_col, vec_col=vec_col,
-            dim=(
-                len(codebooks) * len(codebooks[0][0])
-                if codebooks is not None
-                else None
-            ),
-        )
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     )
     if codebooks is None:
         res = residual_vectors(
@@ -849,14 +836,7 @@ def ivfpq_incremental_topk(
     # and the delta assignment — persist so the corpus-wide centroid
     # aggregation runs once
     cents = tracked_persist(
-        ivf_cell_centroids(
-            emb, cell_col=cell_col, vec_col=vec_col,
-            dim=(
-                len(codebooks) * len(codebooks[0][0])
-                if codebooks is not None
-                else None
-            ),
-        )
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     )
 
     qarr = F.lit([float(x) for x in query])
@@ -1305,14 +1285,7 @@ def ivfpq_write_residual_index(
     # without the caches the centroid aggregation + broadcast join
     # chain re-executed once per consumer
     cents = tracked_persist(
-        ivf_cell_centroids(
-            emb, cell_col=cell_col, vec_col=vec_col,
-            dim=(
-                len(codebooks) * len(codebooks[0][0])
-                if codebooks is not None
-                else None
-            ),
-        )
+        ivf_cell_centroids(emb, cell_col=cell_col, vec_col=vec_col)
     )
     res = tracked_persist(
         residual_vectors(
