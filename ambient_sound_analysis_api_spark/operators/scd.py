@@ -41,7 +41,15 @@ def scd2_apply(
     ``compare_cols`` equal, null-safe) is a no-op; a differing row closes
     the open version and opens a new one; an unseen key just opens.
     """
+    from .caching import tracked_persist
+
     keys = list(key_cols)
+    # persisted: the change batch is CDC-batch-sized and read by the
+    # duplicate-key guard, the classifying join, and (via ``effective``)
+    # three output branches — without the cache each reference re-ran
+    # the caller's whole batch-construction pipeline (the bench query's
+    # plan carried 28 parquet scans of the same snapshot).
+    changes = tracked_persist(changes)
     # A change batch with duplicate business keys would open multiple
     # simultaneous versions (identical valid_from, NULL valid_to), breaking
     # the at-most-one-open-row invariant every versioned range join relies
@@ -67,7 +75,12 @@ def scd2_apply(
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"_cur_{c}"))
-    effective = joined.filter(is_new | differs).select(*changes.columns)
+    # persisted: effective (the classified changes) feeds the anti/semi
+    # key probes AND the opened branch — 3 executions of the classifying
+    # join without the cache; batch-sized rows.
+    effective = tracked_persist(
+        joined.filter(is_new | differs).select(*changes.columns)
+    )
 
     eff_keys = effective.select(*keys)
     untouched = open_rows.join(eff_keys, keys, "left_anti")

@@ -9718,14 +9718,22 @@ def q_pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame
     nd_edges = dedup.ngram_jaccard_pairs(uniq, n=3, threshold=0.2).select(
         "id_a", "id_b"
     )
-    exact_edges = doc_rep.filter(F.col("doc_id") != F.col("rep_id")).select(
-        F.col("doc_id").alias("id_a"), F.col("rep_id").alias("id_b")
+    # CC runs over the REPRESENTATIVE graph only, then one membership
+    # join expands labels to every doc (the ``representative_clusters``
+    # equivalence: reps are copy-group minima, so the component minimum
+    # over docs IS the component minimum over reps, and every copy
+    # inherits its rep's label — the former doc→rep exact edges only
+    # lengthened every label chain by one hop, costing an extra
+    # propagation round over a node set inflated by the copy count).
+    # Output is row-for-row identical (oracle replays the closure over
+    # the full nd ∪ exact edge set and hash-matches).
+    rep_cc = connected_components(
+        nd_edges, uniq.select("doc_id"), node_col="doc_id"
     )
-    clusters = connected_components(
-        nd_edges.unionAll(exact_edges),
-        docs.select("doc_id"),
-        node_col="doc_id",
-    )
+    clusters = doc_rep.join(
+        rep_cc.select(F.col("doc_id").alias("rep_id"), "cluster_id"),
+        "rep_id",
+    ).select("doc_id", "cluster_id")
     return hash_split(clusters, F.col("cluster_id"), train=0.8, valid=0.1).orderBy(
         "doc_id"
     )
