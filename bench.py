@@ -542,6 +542,13 @@ def main() -> None:
         # Code identity guards the quiet-representative substitution: a
         # best-run recorded under a DIFFERENT commit must never mask a
         # code-caused slowdown in the current tree (round-13 ADVICE).
+        # The CORE COUNT is part of the validity key too (round-14
+        # measurement-bug fix, noted in OPTIMIZATION_r14.md): the driver
+        # re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+        # scaling, and at sf-bench size the 8-core run is quieter AND
+        # faster (less task overhead) — without the key a contended
+        # 32-core run would print the 8-core run's numbers as its
+        # representative.
         try:
             head = subprocess.run(
                 ["git", "-C", REPO, "rev-parse", "HEAD"],
@@ -549,6 +556,7 @@ def main() -> None:
             ).stdout.strip() or "unknown"
         except Exception:  # pragma: no cover - git unavailable
             head = "unknown"
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         best = None
         try:
             with open(best_path) as f:
@@ -557,6 +565,7 @@ def main() -> None:
                 cand.get("baseline") == out.get("baseline")
                 and cand.get("sf") == out.get("sf")
                 and cand.get("git_head") == head
+                and cand.get("cpus") == cpus
                 and set(cand.get("queries", {})) == set(out["queries"])
             ):
                 best = cand
@@ -565,6 +574,7 @@ def main() -> None:
         if best is None or dn <= best.get("drift_norm", float("inf")):
             best = dict(out)
             best["git_head"] = head
+            best["cpus"] = cpus
             try:
                 with open(best_path, "w") as f:
                     json.dump(best, f, separators=(",", ":"))
