@@ -326,49 +326,56 @@ def triangle_stats(
             .alias("deg_t"),
         )
     )
-    e1 = oe.select(
-        F.col("s"),
-        F.col("t").alias("t1"),
-        F.col("deg_t").alias("k1"),
+    # Wedge generation via ONE source-keyed aggregation + in-row ordered
+    # combinations (the round-14 _pair_intersections pattern): the
+    # oriented edge list shuffles once instead of twice through a
+    # self-equi-join on ``s``, and the (deg, id)-ordered pair filter
+    # becomes "sort the neighbor array once, emit ordered combinations".
+    # Per-row peak is one ≤ out-degree slice; out-degree is O(√m) under
+    # the orientation and hard-bounded by the guard, which now reads
+    # straight off the collected array's size (no count window needed).
+    # The combinations stream through a two-step explode so a node never
+    # materializes its whole wedge set in a single value.
+    nb = oe.groupBy("s").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("deg_t").alias("k"), F.col("t")))
+        ).alias("_ns")
     )
     if guard_max_out_degree is not None:
-        from pyspark.sql import Window
-
-        # out-degree as a count window over the wedge join's OWN partition
-        # key: the window's shuffle satisfies the join's distribution
-        # requirement, so the guard adds no extra exchange. The assertion
-        # lives in a FILTER (assert_true yields NULL on pass, so isNull()
-        # keeps every surviving row): in a projected-then-dropped column
-        # the optimizer would prune it away.
-        e1 = (
-            e1.withColumn(
-                "_od", F.count("*").over(Window.partitionBy("s"))
-            )
-            .filter(
-                F.assert_true(
-                    F.col("_od") <= F.lit(guard_max_out_degree),
-                    F.concat(
-                        F.lit("triangle_stats: oriented out-degree "),
-                        F.col("_od").cast("string"),
-                        F.lit(
-                            " exceeds guard_max_out_degree="
-                            f"{guard_max_out_degree} — collapse exact/"
-                            "fingerprint duplicates first, or raise/disable"
-                            " the guard"
-                        ),
+        # the assertion lives in a FILTER (assert_true yields NULL on
+        # pass, so isNull() keeps every surviving row): in a
+        # projected-then-dropped column the optimizer would prune it away
+        nb = nb.filter(
+            F.assert_true(
+                F.size("_ns") <= F.lit(guard_max_out_degree),
+                F.concat(
+                    F.lit("triangle_stats: oriented out-degree "),
+                    F.size("_ns").cast("string"),
+                    F.lit(
+                        " exceeds guard_max_out_degree="
+                        f"{guard_max_out_degree} — collapse exact/"
+                        "fingerprint duplicates first, or raise/disable"
+                        " the guard"
                     ),
-                ).isNull()
-            )
-            .drop("_od")
+                ),
+            ).isNull()
         )
-    e2 = oe.select(
-        F.col("s"),
-        F.col("t").alias("t2"),
-        F.col("deg_t").alias("k2"),
-    )
-    wedges = e1.join(e2, "s").filter(
-        (F.col("k1") < F.col("k2"))
-        | ((F.col("k1") == F.col("k2")) & (F.col("t1") < F.col("t2")))
+    wedges = (
+        nb.select(
+            "s", F.posexplode("_ns").alias("_i", "_w1"), F.col("_ns")
+        )
+        .select(
+            "s",
+            F.col("_w1.t").alias("t1"),
+            F.explode(
+                F.slice(
+                    F.col("_ns"),
+                    F.col("_i") + F.lit(2),
+                    F.size("_ns") - F.col("_i") - F.lit(1),
+                )
+            ).alias("_w2"),
+        )
+        .select("s", "t1", F.col("_w2.t").alias("t2"))
     )
     closing = oe.select(
         F.col("s").alias("t1"), F.col("t").alias("t2")
