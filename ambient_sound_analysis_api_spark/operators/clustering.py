@@ -465,36 +465,44 @@ def kcenter_greedy(
     # seeded all-NULL; F.least skips NULLs, so round 1's least(dmin, d) = d
     df = base.withColumn("dmin", F.lit(None).cast("decimal(38,18)"))
     prev = None
-    for t in range(2, k + 1):
-        # persist + let the argmax collect materialize it: ONE job per
-        # round where localCheckpoint + collect was two. The previous
-        # round's cache is released once the new one is materialized
-        # (its data was folded into this round's dmin); lineage depth
-        # grows by one select per round — model-sized k keeps that flat.
-        df = df.select(
-            "id",
-            "xd",
-            F.least(F.col("dmin"), dist_to(centers[-1])).alias("dmin"),
-        ).persist()
-        nxt_rows = (
-            df.filter(~F.col("id").isin([p[1] for p in picks]))
-            .orderBy(F.col("dmin").desc(), F.col("id"))
-            .limit(1)
-            .collect()
-        )
+    # try/finally so the live persisted round frame(s) are released even
+    # when a round raises (the k-exceeds-rows ValueError, or a collect
+    # failure) — a long-lived session must not accumulate leaked caches
+    # from failed fits (round-14 ADVICE); unpersist on a never-persisted
+    # frame is a no-op, so the finally is safe on every path.
+    try:
+        for t in range(2, k + 1):
+            # persist + let the argmax collect materialize it: ONE job per
+            # round where localCheckpoint + collect was two. The previous
+            # round's cache is released once the new one is materialized
+            # (its data was folded into this round's dmin); lineage depth
+            # grows by one select per round — model-sized k keeps that flat.
+            df = df.select(
+                "id",
+                "xd",
+                F.least(F.col("dmin"), dist_to(centers[-1])).alias("dmin"),
+            ).persist()
+            nxt_rows = (
+                df.filter(~F.col("id").isin([p[1] for p in picks]))
+                .orderBy(F.col("dmin").desc(), F.col("id"))
+                .limit(1)
+                .collect()
+            )
+            if prev is not None and prev is not df:
+                prev.unpersist()
+            prev = df
+            if not nxt_rows:
+                raise ValueError(
+                    f"kcenter_greedy: k={k} exceeds the number of distinct "
+                    f"input rows ({len(picks)} available)"
+                )
+            nxt = nxt_rows[0]
+            picks.append((t, int(nxt["id"]), nxt["dmin"]))
+            centers.append(nxt["xd"])
+    finally:
         if prev is not None:
             prev.unpersist()
-        prev = df
-        if not nxt_rows:
-            raise ValueError(
-                f"kcenter_greedy: k={k} exceeds the number of distinct "
-                f"input rows ({len(picks)} available)"
-            )
-        nxt = nxt_rows[0]
-        picks.append((t, int(nxt["id"]), nxt["dmin"]))
-        centers.append(nxt["xd"])
-    if prev is not None:
-        prev.unpersist()
+        df.unpersist()
     from decimal import ROUND_HALF_UP, Decimal
 
     q6 = Decimal("0.000001")

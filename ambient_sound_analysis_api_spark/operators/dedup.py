@@ -190,6 +190,16 @@ def ngram_jaccard_pairs(
     universe: identical docs still score 1.0, while pairs similar only
     through boilerplate drop out — the standard stop-shingle trade-off.
 
+    **Uncapped-path warning** (``max_shingle_df=None``): beyond output
+    volume, the grouped posting-list candidate generator materializes ONE
+    ``ids`` array per distinct shingle — a shingle carried by N docs
+    becomes a single N-element array value in one aggregation task, and
+    that task alone then streams out all C(N, 2) candidate pairs. At
+    boilerplate df in the millions that is a multi-GB single row and a
+    one-task quadratic stage: the opt-out is for corpora KNOWN to be
+    boilerplate-free (or pre-collapsed), not a general exactness upgrade
+    (round-14 ADVICE; the capped path never builds arrays over the cap).
+
     The cap is ON by default (``DEFAULT_MAX_SHINGLE_DF`` = 1000: pair
     fan-out per shingle is bounded at ~500k, a single-task unit) because
     the blowup is the failure a naive caller hits first on real corpora —
@@ -1328,7 +1338,10 @@ def containment_pairs(
     the cap) leave the computation entirely, candidates and denominators
     alike, keeping containment exact over the reduced shingle universe.
     Like the Jaccard form, the cap defaults ON (``DEFAULT_MAX_SHINGLE_DF``)
-    and is replayed by the SQL oracle; ``None`` opts out.
+    and is replayed by the SQL oracle; ``None`` opts out — subject to the
+    same uncapped-path skew/memory warning as :func:`ngram_jaccard_pairs`
+    (one N-element posting array and a one-task C(N, 2) pair stream per
+    df-N boilerplate shingle).
 
     The intersection count is symmetric, so it is aggregated ONCE over
     ``id_a < id_b`` candidates (halving the dominant self-join/aggregation

@@ -51,13 +51,23 @@ def connected_components(
     edges can never receive a label, so carrying the full node table
     through every round's join + checkpoint pays per-round cost on rows
     that cannot change (after exact-collapse dedup, singletons are
-    typically the vast majority of a corpus). Edge endpoints must be drawn
-    from ``nodes`` — every caller passes edges generated from the same
-    frame — and singletons are attached by one final left join (label
-    coalesces to the node's own id). The first hook round is fused into
-    initialization: with identity labels, round 0's neighbor-min for edge
-    node ``u`` is just ``min(u, min(neighbors))`` — one aggregation over
-    the symmetric edge set, no join, no full-node checkpoint.
+    typically the vast majority of a corpus). Singletons are attached by
+    one final left join (label coalesces to the node's own id). The first
+    hook round is fused into initialization: with identity labels, round
+    0's neighbor-min for edge node ``u`` is just ``min(u, min(neighbors))``
+    — one aggregation over the symmetric edge set, no join, no full-node
+    checkpoint.
+
+    .. warning:: **Edge endpoints MUST be drawn from ``nodes``.** The
+       edge-induced iteration does not re-validate this: an endpoint
+       absent from ``nodes`` silently participates in propagation (it can
+       receive, forward, and even BECOME a component's minimum label) yet
+       is dropped from the output, so misuse produces wrong labels with
+       no error (round-14 ADVICE). Every in-repo caller generates edges
+       from the same frame it passes as ``nodes``; external callers must
+       do the same, or pre-filter edges with two semi-joins against
+       ``nodes`` (a validating wrapper costs two shuffles — deliberately
+       not paid on the trusted internal path).
 
     Returns ``(node_col, cluster_id)`` — singleton nodes keep their own id.
     """

@@ -234,6 +234,12 @@ def _bpe_symbols(df: DataFrame, text_col: str, min_word_len: int) -> DataFrame:
     )
 
 
+# bpe_apply truncates lineage after this many merges: ~6 window ops per
+# merge keeps a 12-merge chunk well under Catalyst's comfortable plan
+# size, while short (in-repo) merge lists never checkpoint at all.
+_APPLY_CHECKPOINT_EVERY = 12
+
+
 def _bpe_apply_merge(paired: DataFrame, ba: str, bb: str) -> DataFrame:
     """Greedy-left non-overlapping application of one merge (a, b) to a
     ``(word, freq, j, s, s_next)`` paired symbol table — the
@@ -314,12 +320,21 @@ def bpe_apply(
     so the whole chain runs off a single exchange. Produces the same
     ``(word, freq, i, s)`` symbol table ``bpe_train(...,
     return_symbols=True)`` returns after its final round (shared
-    ``_bpe_apply_merge`` kernel — the two paths cannot diverge)."""
+    ``_bpe_apply_merge`` kernel — the two paths cannot diverge).
+
+    Each merge adds ~6 window operators to the lazy plan, all partitioned
+    by ``word`` (one exchange total) — fine for the short merge lists the
+    in-repo models train, but a production-sized tokenizer (thousands of
+    merges) would grow an analyzer-blowup-sized expression tree. Lineage
+    is therefore truncated with ``localCheckpoint`` every
+    ``_APPLY_CHECKPOINT_EVERY`` merges (round-14 ADVICE); below that
+    bound the chain stays fully lazy, so short-list serve plans are
+    unchanged."""
     from pyspark.sql import Window
 
     sym = _bpe_symbols(df, text_col, min_word_len)
     w_seq = Window.partitionBy("word").orderBy("i")
-    for ba, bb in merges:
+    for n_applied, (ba, bb) in enumerate(merges, start=1):
         cur = sym.select(
             "word", "freq", F.row_number().over(w_seq).alias("j"), "s"
         )
@@ -333,6 +348,10 @@ def bpe_apply(
             ).alias("s_next"),
         )
         sym = _bpe_apply_merge(paired, ba, bb)
+        if n_applied % _APPLY_CHECKPOINT_EVERY == 0 and n_applied < len(
+            merges
+        ):
+            sym = sym.localCheckpoint()
     return sym
 
 

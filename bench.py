@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -360,9 +359,54 @@ def _parse_baseline_file(path: str) -> tuple[str, dict] | None:
         ).rstrip("/").rsplit("sf", 1)[-1]
         if str(parsed.get("sf")) != cur_sf:
             return None  # cross-SF ratios are noise, not drift signal
+        if parsed.get("contended"):
+            # A contended round record is not a drift reference: its
+            # timings carry the machine state the drift metric exists to
+            # cancel. Normalizing against it inverts the guard — a QUIET
+            # run reads drift ~0.4 while an equally-contended run reads
+            # ~1.0 and sails past the >1.25 substitution threshold
+            # (exactly what BENCH_r14, drift 2.397, would cause). Fall
+            # through to the newest quiet round file instead.
+            return None
         return os.path.basename(path), {k: float(v) for k, v in prev.items()}
     except (OSError, ValueError, AttributeError):
         return None
+
+
+def _code_fingerprint() -> str:
+    """Content hash of every source file that determines what the bench
+    measures (the engine package, the driver entry, and bench.py itself).
+
+    This — not the git HEAD — is the code-identity key for the
+    quiet-representative record: the round's final bench run is always
+    COMMITTED afterwards (its own log artifacts land in the tree), so a
+    HEAD-keyed record is invalidated by the very commit that publishes
+    it, and the driver's re-run then finds no valid representative (the
+    round-14 failure: a drift-2.397 contended run was judged raw because
+    HEAD had moved by one logs-only commit). Hashing working-tree source
+    bytes keys the record to what actually affects the numbers."""
+    import hashlib
+
+    h = hashlib.sha256()
+    files = [
+        os.path.join(REPO, "__spark_entry__.py"),
+        os.path.abspath(__file__),
+    ]
+    pkg = os.path.join(REPO, "ambient_sound_analysis_api_spark")
+    for dirpath, _dirs, names in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        files.extend(
+            os.path.join(dirpath, n) for n in names if n.endswith(".py")
+        )
+    for p in sorted(files):
+        h.update(os.path.relpath(p, REPO).encode())
+        try:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        except OSError:  # pragma: no cover - racing deletion
+            h.update(b"<unreadable>")
+    return h.hexdigest()[:16]
 
 
 #: The driver records only the LAST ~2000 characters of bench output and
@@ -540,44 +584,52 @@ def main() -> None:
             out["contended"] = full["contended"] = True
         best_path = os.path.join(REPO, "logs", "bench_best.json")
         # Code identity guards the quiet-representative substitution: a
-        # best-run recorded under a DIFFERENT commit must never mask a
+        # best-run recorded under DIFFERENT source must never mask a
         # code-caused slowdown in the current tree (round-13 ADVICE).
-        # The CORE COUNT is part of the validity key too (round-14
-        # measurement-bug fix, noted in OPTIMIZATION_r14.md): the driver
-        # re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
-        # scaling, and at sf-bench size the 8-core run is quieter AND
-        # faster (less task overhead) — without the key a contended
-        # 32-core run would print the 8-core run's numbers as its
-        # representative.
-        try:
-            head = subprocess.run(
-                ["git", "-C", REPO, "rev-parse", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip() or "unknown"
-        except Exception:  # pragma: no cover - git unavailable
-            head = "unknown"
+        # The key is a working-tree source-content hash, NOT the git
+        # HEAD — see _code_fingerprint for why (round-15 measurement-bug
+        # fix; the r14 HEAD key was invalidated by the logs-only commit
+        # that published the record). The CORE COUNT is part of the
+        # validity key too (round-14 fix): the driver re-runs the bench
+        # at a lower $SPARK_GRAFT_CPUS to measure scaling, and at
+        # sf-bench size the 8-core run is quieter AND faster (less task
+        # overhead) — without the key a contended 32-core run would
+        # print the 8-core run's numbers as its representative. The file
+        # now holds ONE record PER core count ("by_cpus"), so the
+        # scaling re-run does not evict the main run's representative
+        # (round-15 fix; previously whichever core count ran last owned
+        # the single slot).
+        code_fp = _code_fingerprint()
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        records: dict = {}
         best = None
         try:
             with open(best_path) as f:
-                cand = json.load(f)
-            if (
+                doc = json.load(f)
+            # legacy single-record layout: fold it into by_cpus
+            records = (
+                doc["by_cpus"] if "by_cpus" in doc
+                else {doc.get("cpus", "32"): doc}
+            )
+            cand = records.get(cpus)
+            if cand and (
                 cand.get("baseline") == out.get("baseline")
                 and cand.get("sf") == out.get("sf")
-                and cand.get("git_head") == head
-                and cand.get("cpus") == cpus
+                and cand.get("code_fp") == code_fp
                 and set(cand.get("queries", {})) == set(out["queries"])
             ):
                 best = cand
-        except (OSError, ValueError):
-            pass
+        except (OSError, ValueError, AttributeError, KeyError):
+            records = {}
         if best is None or dn <= best.get("drift_norm", float("inf")):
             best = dict(out)
-            best["git_head"] = head
+            best["code_fp"] = code_fp
             best["cpus"] = cpus
+            records[cpus] = best
             try:
                 with open(best_path, "w") as f:
-                    json.dump(best, f, separators=(",", ":"))
+                    json.dump({"by_cpus": records}, f,
+                              separators=(",", ":"))
             except OSError:  # pragma: no cover
                 pass
             best = out
