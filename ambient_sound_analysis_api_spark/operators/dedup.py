@@ -122,10 +122,16 @@ def _shingle_universe(
         )
     )
     if max_shingle_df is not None:
-        sizes = (
-            groups.select(F.explode("ids").alias("id"))
-            .groupBy("id")
-            .agg(F.count("*").alias("n_shingles"))
+        # reduced-universe sizes come from the SAME anti-joined shingle
+        # stream the posting groups aggregate (identical row set — the
+        # groups are its collect_list), not from re-exploding the groups:
+        # one aggregation over cached-arrs + broadcast-anti rows instead
+        # of posting-array explode + shuffle. Persisted (doc-count rows,
+        # two longs each) because BOTH size joins (sa/sb) build separate
+        # broadcasts — unpersisted, the sizes shuffle ran once per side
+        # (round-15; guide §2.4 shared-work).
+        sizes = tracked_persist(
+            shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
         )
     else:
         sizes = arrs.select("id", F.size(F.col("_arr")).alias("n_shingles"))
@@ -216,17 +222,22 @@ def ngram_jaccard_pairs(
         df, n, text_col, id_col, max_shingle_df
     )
     inter = _pair_intersections(groups)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    # both size joins broadcast the SAME bare sizes frame (aliased, not
+    # re-projected): the two broadcast subtrees canonicalize equal, so
+    # ReuseExchange builds the relation once — the former per-side
+    # rename projections made the subtrees distinct and paid two
+    # broadcast-build jobs for one table (round-15, guide §2.4)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    na, nb = F.col("sa.n_shingles"), F.col("sb.n_shingles")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
             (
                 F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                / (na + nb - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -794,17 +805,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # shared broadcast of the bare signature frame (aliased twins
+    # canonicalize equal → ReuseExchange builds the relation once; the
+    # former per-side rename projections paid two broadcast-build jobs)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
     est = F.size(
         F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            F.zip_with(
+                F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y
+            ),
             lambda eq: eq,
         )
     ) / F.lit(float(num_hashes))
     return (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= F.lit(threshold))
     )
@@ -1350,9 +1365,12 @@ def containment_pairs(
         df, n, text_col, id_col, max_shingle_df
     )
     inter = _pair_intersections(groups)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
-    scored = inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # shared broadcast of the bare sizes frame — see ngram_jaccard_pairs
+    # (the aliased twins canonicalize equal, ReuseExchange builds once)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = inter.join(
+        F.broadcast(sa), F.col("id_a") == F.col("sa.id")
+    ).join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
     # both directions emitted from ONE pass via a 2-element explode — a
     # unionByName of two selects would re-execute the candidate join per
     # branch (Spark shares no common subplans across union branches; the
@@ -1361,12 +1379,16 @@ def containment_pairs(
         F.struct(
             F.col("id_a").alias("contained"),
             F.col("id_b").alias("container"),
-            (F.col("inter") / F.col("na").cast("double")).alias("containment"),
+            (F.col("inter") / F.col("sa.n_shingles").cast("double")).alias(
+                "containment"
+            ),
         ),
         F.struct(
             F.col("id_b").alias("contained"),
             F.col("id_a").alias("container"),
-            (F.col("inter") / F.col("nb").cast("double")).alias("containment"),
+            (F.col("inter") / F.col("sb.n_shingles").cast("double")).alias(
+                "containment"
+            ),
         ),
     )
     return (

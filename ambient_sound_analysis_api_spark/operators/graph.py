@@ -24,15 +24,15 @@ def connected_components(
     """Assign every node the minimum node id reachable from it.
 
     Min-label propagation with pointer-jumping acceleration. Each round,
-    every node takes the min of its own label and its neighbors' labels
-    (the *hook* step — converges alone in O(component diameter) rounds);
-    from the third round on, each node ALSO takes its label's label (the
-    *jump* step of Shiloach-Vishkin pointer doubling), which halves the
-    remaining label-chain depth per round and brings worst-case
-    convergence to O(log diameter). Near-dup components are shallow
-    (cliques/near-cliques from the pair generators) and converge in 2
-    rounds before jumping ever engages — the jump join's extra shuffle is
-    only paid on graphs that actually need it.
+    every node takes the min of its own label, its neighbors' labels (the
+    *hook* step — converges alone in O(component diameter) rounds), and
+    its label's label (the *jump* step of Shiloach-Vishkin pointer
+    doubling, which halves the remaining label-chain depth per round and
+    brings worst-case convergence to O(log diameter)). The jump rides the
+    SAME join as the hook: ``lbl(lbl(u))`` is the neighbor-min
+    contribution of a synthetic edge ``u → lbl(u)``, so the label table
+    is unioned into the per-round edge input instead of paying a second
+    label self-join (round-15; the union branch is label-table-sized).
 
     The jump step preserves the invariant that ``lbl(u)`` is always the id
     of a node in ``u``'s component and only ever decreases, so the fixed
@@ -43,9 +43,9 @@ def connected_components(
     which is strictly worse than failing.
 
     Scale notes: each round is one shuffle (join on the edge endpoint) plus
-    a min-aggregate (plus one node-sized self-join while jumping); lineage
-    is truncated with ``localCheckpoint`` every round so the plan doesn't
-    grow with iterations (the classic iterative-Spark trap).
+    a min-aggregate; lineage is truncated with ``localCheckpoint`` every
+    round so the plan doesn't grow with iterations (the classic
+    iterative-Spark trap).
 
     The iteration runs over the EDGE-INDUCED node set only: a node with no
     edges can never receive a label, so carrying the full node table
@@ -101,9 +101,26 @@ def connected_components(
     converged = False
     try:
         for i in range(max_iter):
+            # The jump step rides the SAME join as the hook step (round-15,
+            # guide §2.4): pointer jumping wants lbl(lbl(u)), which is
+            # exactly the neighbor-min contribution of a synthetic edge
+            # u → lbl(u) — so instead of a second label self-join per
+            # round, the label table itself is unioned into the edge set
+            # as those edges. min over N(u) ∪ {lbl(u)} of lbl(·) =
+            # min(nbr_min(u), lbl(lbl(u))), and since labels only decrease
+            # and lbl(x) ≤ x, lbl(lbl(u)) ≤ lbl(u) — the self term is
+            # subsumed, same fixpoint, one fewer join and one fewer
+            # exchange every round. (Jumping from round 0 instead of
+            # round 1 only accelerates: intermediate labelings stay
+            # component-internal, the fixpoint is unchanged.)
+            hop = sym.unionByName(
+                labels.filter(F.col("lbl") != F.col("u")).select(
+                    "u", F.col("lbl").alias("v")
+                )
+            )
             neighbor_min = (
-                sym.join(
-                    labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2")
+                hop.join(
+                    labels.withColumnRenamed("u", "v2"), hop["v"] == F.col("v2")
                 )
                 .groupBy("u")
                 .agg(F.min("lbl").alias("nbr_lbl"))
@@ -112,30 +129,21 @@ def connected_components(
             best = F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
             )
-            if i >= 1:
-                # still unconverged after the clique-friendly rounds (the
-                # fused init round + loop round 0): this is a deep/chain-
-                # shaped component — add the pointer-jumping step
-                # lbl(u) <- lbl(lbl(u)) so remaining chains halve per
-                # round instead of shrinking by one hop
-                jumped = labels.select(
-                    F.col("u").alias("j_u"), F.col("lbl").alias("j_lbl")
-                )
-                cand = cand.join(jumped, F.col("lbl") == F.col("j_u"), "left")
-                best = F.least(
-                    best, F.coalesce(F.col("j_lbl"), F.col("lbl"))
-                )
             # The changed flag rides the propagation join (a label only
-            # changes when a strictly smaller label arrives), so convergence
-            # is read off the already-checkpointed frame with a shuffle-free
-            # filter+isEmpty — not a separate join job per iteration, which
-            # at cluster scale would be a full extra job launch per round.
+            # changes when a strictly smaller label arrives), and the
+            # checkpoint is LAZY so one count job per round does both
+            # (round-15, guide §1.2 job-count): counting the changed rows
+            # computes every partition of the checkpoint RDD — local
+            # checkpoint data is saved as partitions materialize — so the
+            # single action materializes the round AND reads convergence.
+            # The former eager checkpoint + filter/isEmpty pair was two
+            # job launches per round for the same work.
             new_labels = cand.select(
                 "u",
                 best.alias("lbl"),
                 (best < F.col("lbl")).alias("chg"),
-            ).localCheckpoint()
-            converged = new_labels.filter(F.col("chg")).isEmpty()
+            ).localCheckpoint(eager=False)
+            converged = new_labels.filter(F.col("chg")).count() == 0
             labels = new_labels.drop("chg")
             if converged:
                 break

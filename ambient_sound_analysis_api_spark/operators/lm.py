@@ -76,7 +76,12 @@ def bigram_lm_scores(
         )
         .select(F.col(id_col), F.col("bg.bigram"), F.col("bg.tok1"))
     )
-    bg_counts = bg_stream.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    from pyspark.sql import Window
+
+    # c(ab) attaches to every bigram occurrence via ONE count window on
+    # the same key the former groupBy+self-join shuffled twice (round-15,
+    # guide §2.4: the count and the attach share the bigram exchange);
+    # identical counts, one exchange of the bigram stream instead of two
     lp = F.round(
         F.log(
             (F.col("c_bg") + F.lit(1)).cast("double")
@@ -85,7 +90,9 @@ def bigram_lm_scores(
         6,
     ).cast("decimal(18,6)")
     scored = (
-        bg_stream.join(bg_counts, "bigram")
+        bg_stream.withColumn(
+            "c_bg", F.count("*").over(Window.partitionBy("bigram"))
+        )
         .join(ug, bg_stream["tok1"] == ug["token"])
         .crossJoin(F.broadcast(vocab))
         .select(F.col(id_col), lp.alias("lp"))
