@@ -11722,17 +11722,32 @@ def q_pipeline_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks every step's weights and metrics, proving the distributed
     fit is bit-deterministic end to end. The reference has no ML surface
     (extension charter, SURVEY.md §7.7)."""
-    from .functions.text import punct_ratio, quality_score, stopword_ratio, token_count
+    from .functions.text import punct_ratio, stopword_ratio, token_count
     from .operators.mlfit import logit_gd_trajectory, standardize
 
     docs = _table(spark, sf_dir, "documents")
     t = F.col("text")
     n_tok = token_count(t).cast("double")
-    raw = docs.select(
+    # y = [quality_score >= 0.75] is derived from the three feature
+    # columns instead of re-invoking quality_score(t): the score is
+    # definitionally (length_ok + stop_ok + punct_ok)/3 over the SAME
+    # subexpressions the features already compute, so building it from
+    # x_len/x_stop/x_punct is operand-for-operand identical IEEE
+    # arithmetic while the regex/split chains run once per row, not
+    # twice (round-15, guide §1.2 per-task work; oracle hash-equal)
+    feats = docs.select(
         F.least(n_tok / F.lit(50.0), F.lit(1.0)).alias("x_len"),
         stopword_ratio(t).alias("x_stop"),
         punct_ratio(t).alias("x_punct"),
-        F.when(quality_score(t) >= F.lit(0.75), F.lit(1.0))
+    )
+    stop_ok = F.least(F.col("x_stop") * 5.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.col("x_punct") * 4.0, F.lit(1.0))
+    qscore = (F.col("x_len") + stop_ok + punct_ok) / F.lit(3.0)
+    raw = feats.select(
+        "x_len",
+        "x_stop",
+        "x_punct",
+        F.when(qscore >= F.lit(0.75), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("y"),
     )
